@@ -1,0 +1,217 @@
+"""b-bit MinHash signature kernel — bit-exact vs codelibs/elasticsearch-minhash.
+
+Spec (verified against all six golden fixtures in the reference test
+/root/reference/src/test/java/org/codelibs/elasticsearch/minhash/MinHashPluginTest.java:163-171,
+semantics documented in SURVEY.md §2.1):
+
+1. k hash functions: murmur3 x64_128 h1 with seed ``base_seed + i`` over the
+   token's UTF-16LE bytes, signed int64 (Guava ``asLong``).
+2. Per-document signed min over all tokens, accumulator init Long.MAX_VALUE
+   (empty token stream ⇒ all accumulators 0x7FFF...FFFF ⇒ for b<=63 every
+   sampled bit is 1 ⇒ full-width all-0xFF signature).
+3. b-bit sampling LSB-first: bit position p = i*b + j holds bit j of min i.
+4. java.util.BitSet packing: LSB-first within each byte; ``toByteArray()``
+   drops trailing all-zero bytes (variable-width signatures — reproduced
+   exactly, see MinHashFieldMapper.java:271 + SURVEY.md §2.1 step 5).
+5. ``compare``: fraction of equal bits over the full k*b width; **0 when the
+   stored byte lengths differ** (upstream ``MinHash.compare`` rule).
+
+Everything here is pure numpy / python — no Ray. The Ray stage wrapping this
+lives in ``elasticsearch_minhash_ray.stages.signature``.
+"""
+
+from __future__ import annotations
+
+import base64
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .murmur3 import hash_tokens_many_seeds, seeds_u64
+
+LONG_MAX = (1 << 63) - 1
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """Mirror of the reference's token-filter parameters
+    (MinHashTokenFilterFactory.java:39-43) + mapper parameters
+    (MinHashFieldMapper.java:80-93).
+
+    - ``num_of_hash`` (k): number of hash functions, reference default 128.
+    - ``bit`` (b): bits sampled per hash, reference default 1.
+    - ``seed``: base seed, reference default 0.
+    - ``tokenizer``: analyzer stand-in (see functions.tokenize), default
+      'standard' (UAX#29-ish approximation of ES standard tokenizer).
+    - ``null_value``: substitute for null content (MinHashFieldMapper.java:89-90);
+      rows still null after substitution produce no signature.
+    - ``bit_string``: store '0'/'1' string instead of base64
+      (MinHashFieldMapper.java:92-93, 272-274).
+    """
+
+    num_of_hash: int = 128
+    bit: int = 1
+    seed: int = 0
+    tokenizer: str = "standard"
+    shingle: int = 1
+    null_value: str | None = None
+    bit_string: bool = False
+    name: str = "minhash"
+
+    def __post_init__(self):
+        if self.num_of_hash < 1:
+            raise ValueError(f"num_of_hash must be >= 1, got {self.num_of_hash}")
+        if not 1 <= self.bit <= 63:
+            raise ValueError(f"bit must be in [1, 63], got {self.bit}")
+        if self.shingle < 1:
+            raise ValueError(f"shingle must be >= 1, got {self.shingle}")
+
+    @property
+    def sig_bits(self) -> int:
+        return self.num_of_hash * self.bit
+
+    @property
+    def full_width(self) -> int:
+        return (self.sig_bits + 7) // 8
+
+    def config_hash(self) -> str:
+        import hashlib
+
+        key = f"{self.num_of_hash}|{self.bit}|{self.seed}|{self.tokenizer}|{self.shingle}|{self.null_value}|{self.bit_string}"
+        return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+@dataclass
+class MinHasher:
+    """Reusable signature computer: holds the precomputed seed vector — the
+    analogue of the reference's once-per-index HashFunction[] array
+    (MinHashTokenFilterFactory.java:43). Build once per actor, call per batch.
+    """
+
+    cfg: MinHashConfig
+    _seeds: np.ndarray = field(init=False, repr=False)
+
+    def __post_init__(self):
+        self._seeds = seeds_u64(self.cfg.seed, self.cfg.num_of_hash)
+
+    # -- min-value computation ------------------------------------------------
+
+    def min_values_for_docs(self, token_lists: list[list[str]]) -> np.ndarray:
+        """Signed per-hash min for each doc. Returns (n_docs, k) int64.
+
+        Cost model: murmur3 runs once per (distinct token in batch, seed) —
+        duplicate tokens across and within docs are hashed once into H
+        (n_distinct, k). The per-doc min is a SIMD ``min(axis=0)`` over the
+        doc's gathered hash rows (np.minimum.reduceat measured ~150x slower);
+        transient memory per doc is tokens_in_doc * k * 8 B.
+        """
+        n_docs = len(token_lists)
+        k = self.cfg.num_of_hash
+        out = np.full((n_docs, k), LONG_MAX, dtype=np.int64)
+        flat: list[str] = []
+        bounds = [0]
+        for toks in token_lists:
+            flat.extend(toks)
+            bounds.append(len(flat))
+        if not flat:
+            return out
+        import pandas as pd
+
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        H = hash_tokens_many_seeds(list(uniques), self._seeds)  # (n_distinct, k)
+        for d in range(n_docs):
+            lo, hi = bounds[d], bounds[d + 1]
+            if lo != hi:
+                H[codes[lo:hi]].min(axis=0, out=out[d])
+        return out
+
+    # -- packing ---------------------------------------------------------------
+
+    def pack(self, min_values: np.ndarray) -> list[bytes]:
+        """(n, k) signed mins → per-doc truncated signature bytes (BitSet rules)."""
+        n = min_values.shape[0]
+        if n == 0:
+            return []
+        b = self.cfg.bit
+        u = min_values.view(np.uint64)
+        # (n, k, b) bit matrix, LSB-first sampling then LSB-first byte packing
+        shifts = np.arange(b, dtype=np.uint64)
+        bits = ((u[:, :, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+        bits = bits.reshape(n, self.cfg.sig_bits)
+        packed = np.packbits(bits, axis=1, bitorder="little")  # (n, full_width)
+        # trailing-zero truncation per row (java BitSet.toByteArray)
+        w = packed.shape[1]
+        nz = packed != 0
+        any_nz = nz.any(axis=1)
+        last = np.where(any_nz, w - np.argmax(nz[:, ::-1], axis=1), 0)
+        rows = packed.tobytes()
+        return [rows[i * w : i * w + int(last[i])] for i in range(n)]
+
+    def signatures(self, token_lists: list[list[str]]) -> list[bytes]:
+        return self.pack(self.min_values_for_docs(token_lists))
+
+
+# -- encoders (MinHashFieldMapper.java:272-278) --------------------------------
+
+
+def to_base64(sig: bytes) -> str:
+    return base64.b64encode(sig).decode("ascii")
+
+
+def from_base64(s: str) -> bytes:
+    return base64.b64decode(s)
+
+
+def to_bit_string(sig: bytes) -> str:
+    """'0'/'1' string, LSB-first per byte — matches MinHash.toBinaryString as
+    used for the reference's ``bit_string:true`` fields
+    (MinHashFieldMapper.java:272-274)."""
+    if not sig:
+        return ""
+    arr = np.frombuffer(sig, dtype=np.uint8)
+    bits = np.unpackbits(arr, bitorder="little")
+    return "".join("1" if x else "0" for x in bits)
+
+
+# -- compare (upstream MinHash.compare; capability per README.md:7-8) ----------
+
+
+def compare(sig_a: bytes, sig_b: bytes) -> float:
+    """Fraction of equal bits; 0.0 if byte lengths differ (reference rule —
+    truncated signatures only ever match identically-truncated ones)."""
+    if len(sig_a) != len(sig_b):
+        return 0.0
+    if not sig_a:
+        return 1.0
+    a = np.frombuffer(sig_a, dtype=np.uint8)
+    b = np.frombuffer(sig_b, dtype=np.uint8)
+    diff = int(np.unpackbits(a ^ b).sum())
+    nbits = len(sig_a) * 8
+    return (nbits - diff) / nbits
+
+
+def compare_many(
+    sigs_a: np.ndarray, sigs_b: np.ndarray, lens_a: np.ndarray, lens_b: np.ndarray, width: int
+) -> np.ndarray:
+    """Vectorized compare over m pairs.
+
+    sigs_a/sigs_b: (m, width) uint8, zero-padded to the config's full width.
+    lens_a/lens_b: stored (truncated) byte lengths. Pairs with unequal stored
+    lengths get similarity 0.0 (reference length rule). Equal-length pairs are
+    scored over the full k*b bit width — zero-padding is transient only, as
+    decided in SURVEY.md §2.1 step 5.
+    """
+    xor = np.bitwise_xor(sigs_a, sigs_b)
+    diff = np.unpackbits(xor, axis=1).sum(axis=1)
+    # reference compares over the STORED arrays: nbits = stored_len * 8; the
+    # zero padding beyond the stored length contributes no diff bits.
+    nbits = lens_a.astype(np.int64) * 8
+    sim = np.divide(nbits - diff, nbits, out=np.ones(len(diff), dtype=np.float64), where=nbits > 0)
+    return np.where(lens_a == lens_b, sim, 0.0)
+
+
+def bbit_jaccard_estimate(r: float | np.ndarray, b: int) -> float | np.ndarray:
+    """Li & König b-bit estimator: Ĵ = (r − 2^−b) / (1 − 2^−b) for uniform
+    collision floor 2^−b; clipped at 0."""
+    floor = 2.0**-b
+    return np.maximum(0.0, (r - floor) / (1.0 - floor))

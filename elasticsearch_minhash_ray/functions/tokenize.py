@@ -1,0 +1,78 @@
+"""Tokenizers — the analyzer plug-point of the reference, re-expressed.
+
+The reference does not hard-code a tokenizer: the analyzer chain is ES index
+configuration with the ``minhash`` filter last (reference README.md:28-42,
+MinHashTokenFilterFactory.java:47-49). The documented/tested default is the ES
+``standard`` tokenizer (UAX#29 word segmentation, no lowercasing). We mirror
+that with a pluggable registry; on the golden fixture corpus (``"test N"``)
+``whitespace`` and ``standard`` are identical, which is all the fixtures pin.
+
+Tokenizers are pure functions ``str -> list[str]`` built once (compiled regex)
+per actor via :func:`get_tokenizer`; an optional ``shingle(n)`` wrapper mirrors
+the stock ES shingle filter commonly placed before ``minhash`` for w-shingling
+source code.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+Tokenizer = Callable[[str], list[str]]
+
+# ES standard tokenizer approximation: runs of word chars, keeping interior
+# dots/apostrophes between letters together (example.com, it's → one token) —
+# documented approximation of UAX#29, SURVEY.md §2.2.
+_STANDARD_RE = re.compile(r"\w+(?:[.'’]\w+)*", re.UNICODE)
+# plain word runs (used by the SQL-comparable text-stats ops: duckdb
+# regexp_extract_all(text, '[0-9A-Za-z_]+') must match exactly)
+_WORD_RE = re.compile(r"[0-9A-Za-z_]+")
+# source-code tokenizer: identifiers, numbers, or single operator/punct chars
+_CODE_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+(?:\.\d+)?|[^\sA-Za-z0-9_]")
+_WS_RE = re.compile(r"\S+")
+
+
+def tokenize_standard(text: str) -> list[str]:
+    return _STANDARD_RE.findall(text)
+
+
+def tokenize_whitespace(text: str) -> list[str]:
+    return _WS_RE.findall(text)
+
+
+def tokenize_words(text: str) -> list[str]:
+    return _WORD_RE.findall(text)
+
+
+def tokenize_code(text: str) -> list[str]:
+    return _CODE_RE.findall(text)
+
+
+_REGISTRY: dict[str, Tokenizer] = {
+    "standard": tokenize_standard,
+    "whitespace": tokenize_whitespace,
+    "words": tokenize_words,
+    "code": tokenize_code,
+}
+
+
+def shingle(tokens: list[str], n: int) -> list[str]:
+    """w-shingles joined with a single space (ES shingle filter default sep).
+    Documents shorter than n tokens yield one shingle of all their tokens."""
+    if n <= 1:
+        return tokens[:]
+    if not tokens:
+        return []
+    if len(tokens) < n:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+
+
+def get_tokenizer(name: str, shingle_n: int = 1) -> Tokenizer:
+    try:
+        base = _REGISTRY[name]
+    except KeyError:
+        raise ValueError(f"unknown tokenizer {name!r}; known: {sorted(_REGISTRY)}") from None
+    if shingle_n <= 1:
+        return base
+    return lambda text: shingle(base(text), shingle_n)
