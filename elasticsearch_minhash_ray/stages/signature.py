@@ -1,0 +1,101 @@
+"""Signature stage — Ray Data analogue of MinHashFieldMapper.parseCreateField
+(/root/reference/.../MinHashFieldMapper.java:252-295).
+
+A callable class for ``Dataset.map_batches(SignatureStage(cfgs), ...)``: the
+constructor precomputes per-config tokenizers and seed state (the reference's
+once-per-index ``HashFunction[]``, MinHashTokenFilterFactory.java:43); each
+``__call__`` processes one zero-copy Arrow batch.
+
+Semantics mirrored per config:
+- null content → substitute ``null_value`` (MinHashFieldMapper.java:261-262);
+  still null → NO signature (null cell; the reference simply skips the field,
+  :267-269).
+- ``copy_to`` fan-out (MinHashPluginTest.java:108-113): pass N configs — one
+  signature column ``minhash_<name>`` per config, computed in a single pass;
+  configs sharing a (tokenizer, shingle) pair share the tokenization.
+- encodings (MinHashFieldMapper.java:272-278): raw ``binary`` signature always;
+  optional base64 / bit-string string columns via ``encode=``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.minhash import MinHasher, MinHashConfig, to_base64, to_bit_string
+from ..functions.tokenize import get_tokenizer
+
+
+class SignatureStage:
+    def __init__(
+        self,
+        configs: list[MinHashConfig] | MinHashConfig,
+        content_col: str = "content",
+        drop_content: bool = True,
+        encode: str | None = None,  # None | "base64" | "bit_string" | "auto"
+    ):
+        if isinstance(configs, MinHashConfig):
+            configs = [configs]
+        if len({c.name for c in configs}) != len(configs):
+            raise ValueError("each MinHashConfig needs a distinct .name")
+        self.configs = configs
+        self.content_col = content_col
+        self.drop_content = drop_content
+        self.encode = encode
+        self._hashers = [MinHasher(c) for c in configs]
+        # share tokenization across configs with identical analyzer settings
+        self._tok_key = [(c.tokenizer, c.shingle) for c in configs]
+        self._tokenizers = {key: get_tokenizer(*key) for key in set(self._tok_key)}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = batch[self.content_col].to_pylist()
+        n = len(content)
+        token_cache: dict[tuple, list] = {}
+        for cfg, hasher, tkey in zip(self.configs, self._hashers, self._tok_key):
+            vals = [c if c is not None else cfg.null_value for c in content]
+            valid = [i for i, v in enumerate(vals) if v is not None]
+            if tkey not in token_cache:
+                tok = self._tokenizers[tkey]
+                # tokenize every row once per analyzer config (None-safe)
+                token_cache[tkey] = [tok(v) if v is not None else [] for v in vals]
+            toks = token_cache[tkey]
+            sigs = hasher.signatures([toks[i] for i in valid])
+            col: list[bytes | None] = [None] * n
+            for i, s in zip(valid, sigs):
+                col[i] = s
+            sig_arr = pa.array(col, pa.binary())
+            batch = batch.append_column(f"minhash_{cfg.name}", sig_arr)
+            if self.encode == "base64" or (self.encode == "auto" and not cfg.bit_string):
+                batch = batch.append_column(
+                    f"minhash_{cfg.name}_b64",
+                    pa.array([None if s is None else to_base64(s) for s in col], pa.string()),
+                )
+            elif self.encode == "bit_string" or (self.encode == "auto" and cfg.bit_string):
+                batch = batch.append_column(
+                    f"minhash_{cfg.name}_bits",
+                    pa.array([None if s is None else to_bit_string(s) for s in col], pa.string()),
+                )
+        if self.drop_content:
+            # content can be MBs/row; drop right after hashing so downstream
+            # shuffles move only keys + 16-byte signatures (SURVEY.md §4)
+            batch = batch.drop_columns([self.content_col])
+        return batch
+
+
+def sig_matrix(sig_col: pa.ChunkedArray | pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-pad a (possibly truncated) binary signature column to a fixed-width
+    uint8 matrix + stored-length vector — the transient padding used by the
+    Hamming kernels (SURVEY.md §2.1 step 5). Null signatures get length -1."""
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    n = len(sig_col)
+    mat = np.zeros((n, width), dtype=np.uint8)
+    lens = np.full(n, -1, dtype=np.int64)
+    for i in range(n):
+        v = sig_col[i].as_py()
+        if v is not None:
+            m = len(v)
+            lens[i] = m
+            if m:
+                mat[i, :m] = np.frombuffer(v, dtype=np.uint8)
+    return mat, lens
