@@ -1,44 +1,406 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry() runs the flagship near-dup pipeline on sf0.001; queries() exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the training-data
+operator set); oracle_sql() gives DuckDB-equivalent SQL where the operator is
+SQL-expressible (minhash/LSH/clustering/simhash/fingerprints are not — the
+driver records rows-only checks for those).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _docs_with_sha(sf_dir: str):
+    def add_sha(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sha = [hashlib.sha256((t or "").encode("utf-8")).hexdigest() for t in texts]
+        return batch.append_column("content_sha256", pa.array(sha, pa.string()))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(add_sha, batch_format="pyarrow")
+
+
+def _corpus(sf_dir: str):
+    from elasticsearch_minhash_ray.sources.corpus import documents_as_corpus
+
+    return documents_as_corpus(sf_dir)
+
+
+def _pipeline_cfg(**kw):
+    from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, PipelineConfig
+
+    lsh = kw.pop("lsh", None) or LSHConfig(num_partitions=16)
+    mh = kw.pop("minhash", None) or MinHashConfig(name="sig")
+    return PipelineConfig(minhash=mh, lsh=lsh, sig_concurrency=(1, 8), **kw)
+
+
+# --------------------------------------------------------------------------
+# driver contract
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full near-dup detect+cluster over sf0.001 documents."""
+    from elasticsearch_minhash_ray import near_dup_pipeline
+
+    res = near_dup_pipeline(_corpus("/root/testdata/sf0.001"), _pipeline_cfg())
+    return res.clusters  # pa.Table (doc_key, cluster_id)
+
+
+# -- SQL-expressible ops -----------------------------------------------------
+
+
+def _q_exact_dedup_groups(sf_dir: str):
+    from elasticsearch_minhash_ray.stages.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs_with_sha(sf_dir), num_partitions=16).map_batches(
+        lambda b: b.select(["content_sha256", "n_dups", "rep_doc_id"]), batch_format="pyarrow"
+    )
+
+
+def _q_exact_dedup_keep(sf_dir: str):
+    from elasticsearch_minhash_ray.stages.dedup import exact_dedup_keep
+
+    return exact_dedup_keep(_docs_with_sha(sf_dir), num_partitions=16)
+
+
+def _q_text_quality_stats(sf_dir: str):
+    from elasticsearch_minhash_ray.stages.text import TextStatsStage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(TextStatsStage(), batch_format="pandas")
+        .drop_columns(["text"])
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    from elasticsearch_minhash_ray.functions.text_stats import TOKEN_RE
+
+    def count(batch):
+        batch["n_tokens"] = batch["text"].fillna("").str.count(TOKEN_RE).astype("int64")
+        return batch[["doc_id", "n_tokens"]]
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(count, batch_format="pandas")
+
+
+def _q_docs_by_lang(sf_dir: str):
+    """Partial-aggregate per batch (combiner) then tiny groupby — the
+    pre-aggregation pattern for low-cardinality keys."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.functions.text_stats import TOKEN_RE
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_chars"] = batch["text"].fillna("").str.len().astype("int64")
+        batch["n_tokens"] = batch["text"].fillna("").str.count(TOKEN_RE).astype("int64")
+        agg = batch.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "size"), total_chars=("n_chars", "sum"), total_tokens=("n_tokens", "sum")
+        )
+        return agg
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("lang", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            total_chars=("total_chars", "sum"),
+            total_tokens=("total_tokens", "sum"),
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _q_events_by_type(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value")
+    )
+
+    def round2(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.schema.get_field_index("total_value")
+        return batch.set_column(i, "total_value", pc.round(batch["total_value"], 2))
+
+    return out.map_batches(round2, batch_format="pyarrow")
+
+
+def _ann_queries(sf_dir: str, nq: int = 5):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(t, sort_keys=[("vec_id", "ascending")])[:nq]
+    tq = t.take(idx)
+    q = np.asarray(tq["embedding"].to_pylist(), dtype=np.float64)
+    qids = np.asarray(tq["vec_id"].to_pylist(), dtype=np.int64)
+    return q, qids
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.embed import brute_force_topk
+
+    q, qids = _ann_queries(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    top = brute_force_topk(ds, q, qids, k=10)
+
+    def round9(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.set_column(
+            batch.schema.get_field_index("cos_sim"), "cos_sim", pc.round(batch["cos_sim"], 9)
+        )
+
+    return round9(top)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_brute
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # synthetic embeddings are near-random (max pairwise cos ~0.5): 0.35
+    # yields a few hundred edges at every sf, exercising the kernel end-to-end
+    return cosine_near_dup_edges_brute(ds, threshold=0.35)
+
+
+# -- non-SQL ops (rows-only checks) ------------------------------------------
+
+
+def _q_minhash_signatures(sf_dir: str):
+    from elasticsearch_minhash_ray import MinHashConfig
+    from elasticsearch_minhash_ray.stages.signature import SignatureStage
+
+    stage_kw = {"configs": [MinHashConfig(name="sig")], "content_col": "text", "encode": "base64"}
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        .select_columns(["doc_id", "minhash_sig_b64"])
+    )
+
+
+def _q_minhash_multi_config(sf_dir: str):
+    from elasticsearch_minhash_ray import MinHashConfig
+    from elasticsearch_minhash_ray.stages.signature import SignatureStage
+
+    cfgs = [
+        MinHashConfig(name="c1"),
+        MinHashConfig(seed=1000, name="c2"),
+        MinHashConfig(num_of_hash=32, bit=2, seed=1000, name="c3"),
+    ]
+    stage_kw = {"configs": cfgs, "content_col": "text", "encode": "base64"}
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        .select_columns(["doc_id", "minhash_c1_b64", "minhash_c2_b64", "minhash_c3_b64"])
+    )
+
+
+def _q_near_dup_clusters(sf_dir: str):
+    from elasticsearch_minhash_ray import near_dup_pipeline
+
+    return near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg()).clusters
+
+
+def _q_near_dup_edges(sf_dir: str):
+    from elasticsearch_minhash_ray import near_dup_pipeline
+
+    res = near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg())
+    return res.edges.map_batches(
+        lambda b: b.select(["src", "dst", "sim"]), batch_format="pyarrow"
+    )
+
+
+def _q_ngram_jaccard_clusters(sf_dir: str):
+    from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
+
+    cfg = _pipeline_cfg(
+        minhash=MinHashConfig(name="sig", shingle=3),
+        lsh=LSHConfig(num_partitions=16, verify_mode="jaccard", jaccard_threshold=0.7),
+    )
+    return near_dup_pipeline(_corpus(sf_dir), cfg).clusters
+
+
+def _q_simhash_signatures(sf_dir: str):
+    from elasticsearch_minhash_ray.stages.dedup import SimHashStage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(SimHashStage(content_col="text"), batch_format="pyarrow")
+        .select_columns(["doc_id", "simhash"])
+    )
+
+
+def _q_simhash_near_dup(sf_dir: str):
+    from elasticsearch_minhash_ray.sources.corpus import prepare_batch
+    from elasticsearch_minhash_ray.stages.dedup import SimHashStage, simhash_near_dup_edges
+
+    ds = (
+        _corpus(sf_dir)
+        .map_batches(prepare_batch, batch_format="pyarrow")
+        .map_batches(SimHashStage(), batch_format="pyarrow")
+        .select_columns(["doc_key", "simhash"])
+    )
+    return simhash_near_dup_edges(ds, max_hamming=3, num_partitions=16)
+
+
+def _q_lang_id(sf_dir: str):
+    from elasticsearch_minhash_ray.stages.text import LangIdStage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(LangIdStage(), batch_format="pandas")
+        .drop_columns(["text"])
+    )
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    from elasticsearch_minhash_ray.stages.text import FingerprintStage
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(FingerprintStage(), batch_format="pandas")
+        .drop_columns(["text"])
+    )
+
+
+def _q_embedding_near_dup_lsh(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_lsh
+
+    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[0][0].as_py())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # 8 bands x 2 bits tuned for the 0.35 regime of the synthetic embeddings:
+    # p_band = (1 - theta/pi)^2 = 0.377 -> recall 1-(1-p)^8 ~ 0.98
+    return cosine_near_dup_edges_lsh(
+        ds, dim=dim, threshold=0.35, n_bits=16, n_bands=8, num_partitions=16
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-verifiable
+        "exact_dedup_groups": _q_exact_dedup_groups,
+        "exact_dedup_keep": _q_exact_dedup_keep,
+        "text_quality_stats": _q_text_quality_stats,
+        "token_counts": _q_token_counts,
+        "docs_by_lang": _q_docs_by_lang,
+        "events_by_type": _q_events_by_type,
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        # rows-only (non-SQL-expressible kernels)
+        "minhash_signatures": _q_minhash_signatures,
+        "minhash_multi_config": _q_minhash_multi_config,
+        "near_dup_clusters": _q_near_dup_clusters,
+        "near_dup_edges": _q_near_dup_edges,
+        "ngram_jaccard_clusters": _q_ngram_jaccard_clusters,
+        "simhash_signatures": _q_simhash_signatures,
+        "simhash_near_dup": _q_simhash_near_dup,
+        "lang_id": _q_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_groups": """
+            SELECT sha256(coalesce(text, '')) AS content_sha256,
+                   count(*) AS n_dups,
+                   min(doc_id) AS rep_doc_id
+            FROM documents
+            GROUP BY sha256(coalesce(text, ''))
+        """,
+        "exact_dedup_keep": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY coalesce(text, '')
+        """,
+        "text_quality_stats": """
+            WITH s AS (
+                SELECT doc_id,
+                       length(coalesce(text,'')) AS n_chars,
+                       CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT) AS n_tokens,
+                       length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[A-Za-z]', '', 'g')) AS n_alpha,
+                       length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[0-9]', '', 'g')) AS n_digit,
+                       length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[A-Z]', '', 'g')) AS n_upper,
+                       length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[ \t\n\r]', '', 'g')) AS n_space
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens, n_alpha, n_digit,
+                   n_chars - n_alpha - n_digit - n_space AS n_punct,
+                   CAST(n_upper AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS upper_ratio,
+                   CAST(n_digit AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS digit_ratio,
+                   CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS punct_ratio,
+                   CAST(n_alpha AS DOUBLE) / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS alpha_ratio
+            FROM s
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "docs_by_lang": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(length(coalesce(text,''))) AS total_chars,
+                   sum(CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT)) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC,
+                                                   e.vec_id ASC) AS rn
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.35
+        """,
+    }

@@ -31,7 +31,14 @@ from ..stages.cluster import (
     connected_components_distributed,
     connected_components_driver,
 )
-from ..stages.lsh import BandStage, BucketPairer, EdgeDeduper, LSHConfig, add_edge_part
+from ..stages.lsh import (
+    BandStage,
+    BucketPairer,
+    EdgeDeduper,
+    LSHConfig,
+    ShingleSetStage,
+    add_edge_part,
+)
 from ..stages.signature import SignatureStage
 from ..state import checkpoint as ckpt
 
@@ -63,6 +70,15 @@ def compute_signatures(corpus_ds, cfg: PipelineConfig):
     actor (reference: once-per-index HashFunction[],
     MinHashTokenFilterFactory.java:43)."""
     prepared = corpus_ds.map_batches(prepare_batch, batch_format="pyarrow")
+    if cfg.lsh.verify_mode == "jaccard":
+        # exact-Jaccard verification needs the shingle-hash sets; same
+        # analyzer settings as the signature so bands and sets agree
+        prepared = prepared.map_batches(
+            ShingleSetStage(
+                tokenizer=cfg.minhash.tokenizer, shingle_n=max(cfg.minhash.shingle, 1)
+            ),
+            batch_format="pyarrow",
+        )
     return prepared.map_batches(
         SignatureStage,
         fn_constructor_kwargs={"configs": [cfg.minhash]},
@@ -124,6 +140,8 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     cfg = cfg or PipelineConfig()
     sigs = compute_signatures(corpus_ds, cfg)
     sig_cols = (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
+    if cfg.lsh.verify_mode == "jaccard":
+        sig_cols = (*sig_cols, "shingles")
     sigs_out = sigs.map_batches(
         lambda b, c=sig_cols: b.select([x for x in c if x in b.schema.names]),
         batch_format="pyarrow",

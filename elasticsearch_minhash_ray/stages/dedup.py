@@ -1,0 +1,193 @@
+"""Deduplication operators for training-data curation.
+
+All wide steps use the same scale pattern as the LSH stage: ONE int32
+hash-partition key (``part = hash(group_key) % P``) + per-partition vectorized
+grouping — never a groupby on a high-cardinality string key, never per-group
+Python calls.
+
+Operators:
+- :func:`exact_dedup_groups` — duplicate groups by content hash
+  (hash-partition + per-group min/count; generalizes the reference's
+  signature-collapse, MinHashFieldMapper.java:218-221).
+- :func:`exact_dedup_keep` — the kept (representative) row keys.
+- :func:`simhash_near_dup_edges` — SimHash banding (4 x 16-bit bands over the
+  64-bit sketch → any pair within Hamming distance 3 shares >= 1 band) +
+  exact Hamming verification.
+- n-gram Jaccard verification is part of the LSH stage (LSHConfig
+  ``verify_mode='jaccard'`` carries shingle-hash sets on band rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.simhash import hamming64, simhash64_docs
+from ..functions.tokenize import get_tokenizer
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash_part_str(values: pd.Series, num_partitions: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(values, index=False).to_numpy().view(np.uint64)
+    with np.errstate(over="ignore"):
+        return ((h * _MIX) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def exact_dedup_groups(ds, key_col: str = "content_sha256", id_col: str = "doc_id", num_partitions: int = 64):
+    """Dataset → (content_sha256, n_dups, rep_<id_col>) one row per distinct
+    content; representative = min id. Pre-aggregates per batch (combiner)
+    before the partition shuffle so the exchange carries one row per distinct
+    key per block, not one per input row."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, id_col]).to_pandas()
+        agg = df.groupby(key_col, as_index=False, sort=False).agg(
+            n_dups=(id_col, "size"), rep=(id_col, "min")
+        )
+        agg["part"] = _hash_part_str(agg[key_col], num_partitions)
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby(key_col, as_index=False, sort=False).agg(
+            n_dups=("n_dups", "sum"), rep=("rep", "min")
+        )
+        agg = agg.rename(columns={"rep": f"rep_{id_col}"})
+        return pa.Table.from_pandas(agg[[key_col, "n_dups", f"rep_{id_col}"]], preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(final, batch_format="pyarrow")
+    )
+
+
+def exact_dedup_keep(ds, key_col: str = "content_sha256", id_col: str = "doc_id", num_partitions: int = 64):
+    """The representative (kept) id per distinct content — the dedup output a
+    training pipeline consumes."""
+    groups = exact_dedup_groups(ds, key_col, id_col, num_partitions)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return pa.table({id_col: batch[f"rep_{id_col}"]})
+
+    return groups.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+class SimHashStage:
+    """map_batches callable adding a ``simhash`` uint64 (stored int64) column."""
+
+    def __init__(self, content_col: str = "content", tokenizer: str = "standard", shingle: int = 1):
+        self.content_col = content_col
+        self.tok = get_tokenizer(tokenizer, shingle)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.content_col].to_pylist()
+        sigs = simhash64_docs([self.tok(t) if t else [] for t in texts])
+        return batch.append_column("simhash", pa.array(sigs.view(np.int64), pa.int64()))
+
+
+def simhash_near_dup_edges(
+    ds,
+    max_hamming: int = 3,
+    key_col: str = "doc_key",
+    num_partitions: int = 64,
+    bucket_cap: int = 256,
+):
+    """Edges (src, dst, hamming) between docs whose 64-bit simhash differs by
+    <= max_hamming bits. Banding: 4 disjoint 16-bit bands — any pair with
+    Hamming <= 3 collides on >= 1 band (pigeonhole); verification is exact.
+    Same partition/cap scheme as the MinHash LSH stage."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = np.asarray(batch["simhash"], dtype=np.int64).view(np.uint64)
+        keys = np.asarray(batch[key_col], dtype=np.int64)
+        n = len(sig)
+        bands = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            bands[:, b] = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        with np.errstate(over="ignore"):
+            bucket = (bands ^ ((np.arange(4, dtype=np.uint64) + np.uint64(1)) * _MIX)) >> np.uint64(1)
+            part = (bucket % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket_part": pa.array(part.ravel(), pa.int32()),
+                "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
+                "doc_key": pa.array(np.repeat(keys, 4), pa.int64()),
+                "simhash": pa.array(np.repeat(sig.view(np.int64), 4), pa.int64()),
+            }
+        )
+
+    def pair(batch: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (np.asarray(batch["doc_key"]), np.asarray(batch["bucket"]))
+        )
+        bucket = np.asarray(batch["bucket"])[order]
+        keys = np.asarray(batch["doc_key"])[order]
+        sig = np.asarray(batch["simhash"])[order].view(np.uint64)
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        ends = np.r_[starts[1:], len(bucket)]
+        ia_l, ib_l = [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            if m > bucket_cap:
+                m = bucket_cap  # cap pathological buckets; star keeps connectivity
+                ia, ib = np.triu_indices(m, k=1)
+                ia_l.append(ia + s)
+                ib_l.append(ib + s)
+                rest = np.arange(s + m, e)
+                ia_l.append(np.full(len(rest), s))
+                ib_l.append(rest)
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+                ia_l.append(ia + s)
+                ib_l.append(ib + s)
+        if not ia_l:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        d = hamming64(sig[ia], sig[ib])
+        ok = (d <= max_hamming) & (keys[ia] != keys[ib])
+        a, b = keys[ia[ok]], keys[ib[ok]]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(a, b), pa.int64()),
+                "dst": pa.array(np.maximum(a, b), pa.int64()),
+                "hamming": pa.array(d[ok], pa.int64()),
+            }
+        )
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src", "dst", "hamming"]).to_pandas()
+        out = df.groupby(["src", "dst"], as_index=False, sort=False)["hamming"].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def add_part(batch: pa.Table, n=num_partitions) -> pa.Table:
+        s = np.asarray(batch["src"]).view(np.uint64)
+        d = np.asarray(batch["dst"]).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (((s * _MIX) ^ d) % np.uint64(n)).astype(np.int32)
+        return batch.append_column("edge_part", pa.array(part, pa.int32()))
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(pair, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("edge_part")
+        .map_groups(dedupe, batch_format="pyarrow")
+    )

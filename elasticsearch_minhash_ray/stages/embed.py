@@ -1,0 +1,197 @@
+"""Embedding similarity operators: brute-force cosine top-k (baseline) and
+hyperplane-LSH-bucketed near-dup (scale path).
+
+Scale notes (explicit):
+- top-k: the QUERY matrix is tiny → ``ray.put`` once, read inside every task
+  (broadcast, no shuffle); per-batch float64 matmul + per-batch top-k
+  (combiner), final top-k merge over ``n_blocks * k`` candidate rows only.
+- near-dup brute force: O(n^2) — only for oracle-scale inputs; the LSH path
+  buckets by random-hyperplane sign bands (same single-int-key partition
+  pattern as the MinHash LSH stage) and verifies exact cosine within buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _stack(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
+
+
+def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Top-k cosine neighbours of each query vector over the Dataset.
+
+    Returns a pa.Table (query_id, vec_id, cos_sim) sorted by
+    (query_id, -cos_sim, vec_id); ties broken by vec_id for determinism.
+    """
+    import ray
+
+    qn = _normalize(np.asarray(queries))
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        m = _normalize(_stack(batch, vec_col))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sims = m @ q.T  # (rows, nq)
+        nq = sims.shape[1]
+        kk = min(k, sims.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for j in range(nq):
+            idx = np.argpartition(-sims[:, j], kk - 1)[:kk]
+            out_q.append(np.full(kk, query_ids[j], dtype=np.int64))
+            out_v.append(ids[idx])
+            out_s.append(sims[idx, j])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "cos_sim", "vec_id"], ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def cosine_near_dup_edges_brute(ds, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """All pairs with cosine > threshold — broadcast the (small) normalized
+    matrix, each task scores its rows against all. Oracle-scale only."""
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy(np.int64)
+    mat_all = _normalize(np.asarray(full[vec_col].tolist(), dtype=np.float64))
+    ref = ray.put((ids_all, mat_all))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_a, mat = ray.get(ref)
+        my = _normalize(_stack(batch, vec_col))
+        my_ids = np.asarray(batch[id_col], dtype=np.int64)
+        sims = my @ mat.T
+        ii, jj = np.nonzero(sims > threshold)
+        a, b = my_ids[ii], ids_a[jj]
+        keep = a < b  # emit each unordered pair once
+        return pa.table(
+            {
+                "a_id": pa.array(a[keep], pa.int64()),
+                "b_id": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+class HyperplaneLSHStage:
+    """map_batches callable: sign-bit sketch of embeddings under ``n_bits``
+    seeded random hyperplanes → band buckets (like simhash banding). State
+    (the projection matrix) built once per actor."""
+
+    def __init__(self, dim: int, n_bits: int = 32, n_bands: int = 4, seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 64):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((dim, n_bits))
+        self.n_bits = n_bits
+        self.n_bands = n_bands
+        self.band_bits = n_bits // n_bands
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _stack(batch, self.vec_col)
+        ids = np.asarray(batch[self.id_col], dtype=np.int64)
+        bits = (m @ self.proj) > 0  # (n, n_bits)
+        n = len(ids)
+        words = np.zeros(n, dtype=np.uint64)
+        for j in range(self.n_bits):
+            words |= bits[:, j].astype(np.uint64) << np.uint64(j)
+        bands = np.empty((n, self.n_bands), dtype=np.uint64)
+        mask = np.uint64((1 << self.band_bits) - 1)
+        for b in range(self.n_bands):
+            bands[:, b] = (words >> np.uint64(b * self.band_bits)) & mask
+        with np.errstate(over="ignore"):
+            bucket = (bands ^ ((np.arange(self.n_bands, dtype=np.uint64) + np.uint64(1)) * _MIX)) >> np.uint64(1)
+            part = (bucket % np.uint64(self.num_partitions)).astype(np.int32)
+        # carry the normalized vector for exact verification inside the bucket
+        vecs = _normalize(m)
+        rep = np.repeat(np.arange(n), self.n_bands)
+        return pa.table(
+            {
+                "bucket_part": pa.array(part.ravel(), pa.int32()),
+                "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, self.n_bands), pa.int64()),
+                "vec": pa.array(vecs[rep].tolist(), pa.list_(pa.float64())),
+            }
+        )
+
+
+def cosine_near_dup_edges_lsh(ds, dim: int, threshold: float, n_bits: int = 32, n_bands: int = 4, seed: int = 17, num_partitions: int = 64, bucket_cap: int = 512):
+    """Scale path: hyperplane-LSH candidates + exact cosine verify within
+    buckets. Recall depends on (n_bits, n_bands) vs threshold — with 4 bands
+    of 8 bits, a pair at cos θ has band-collision prob (1-θ/π)^8 per band."""
+    stage = HyperplaneLSHStage(dim, n_bits, n_bands, seed, num_partitions=num_partitions)
+
+    def pair(batch: pa.Table) -> pa.Table:
+        order = np.lexsort((np.asarray(batch["vec_id"]), np.asarray(batch["bucket"])))
+        bucket = np.asarray(batch["bucket"])[order]
+        ids = np.asarray(batch["vec_id"])[order]
+        vecs = _stack(batch, "vec")[order]
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        ends = np.r_[starts[1:], len(bucket)]
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            m = min(e - s, bucket_cap)
+            if m < 2:
+                continue
+            sub = vecs[s : s + m]
+            sims = sub @ sub.T
+            ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+            a, b = ids[s + ii], ids[s + jj]
+            neq = a != b
+            out_a.append(np.minimum(a[neq], b[neq]))
+            out_b.append(np.maximum(a[neq], b[neq]))
+        if not out_a:
+            return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a), pa.int64()),
+                "b_id": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        arr = np.stack([np.asarray(batch["a_id"]), np.asarray(batch["b_id"])], axis=1)
+        arr = np.unique(arr, axis=0)
+        return pa.table({"a_id": pa.array(arr[:, 0]), "b_id": pa.array(arr[:, 1])})
+
+    def add_part(batch: pa.Table, n=num_partitions) -> pa.Table:
+        a = np.asarray(batch["a_id"]).view(np.uint64)
+        b = np.asarray(batch["b_id"]).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (((a * _MIX) ^ b) % np.uint64(n)).astype(np.int32)
+        return batch.append_column("edge_part", pa.array(part, pa.int32()))
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(pair, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("edge_part")
+        .map_groups(dedupe, batch_format="pyarrow")
+    )

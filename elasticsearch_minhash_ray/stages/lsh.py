@@ -44,12 +44,21 @@ class LSHConfig:
     catch probability at bit-similarity r is 1-(1-r^8)^16 ≈ 1-2.7e-8 for
     r=0.95 — comfortably above the 0.99 recall target; a random pair
     (r≈0.5) becomes a candidate with p≈6e-2 and is killed by verification.
+
+    ``verify_mode``:
+    - "bbit" (default): reference-exact fraction-of-equal-bits (O12 kernel).
+    - "jaccard": exact n-gram Jaccard over shingle-hash SETS carried on the
+      band rows (column ``shingles``: list<int64>, see ShingleSetStage) —
+      candidates still come from the MinHash bands; verification is the true
+      set similarity, threshold ``jaccard_threshold``.
     """
 
     n_bands: int = 16
     threshold: float = 0.95  # min fraction-of-equal-bits (reference compare units)
     bucket_cap: int = 256  # max docs per all-pairs chunk inside one bucket
     num_partitions: int = 64  # P for the bucket shuffle; size ~4x cluster cores
+    verify_mode: str = "bbit"  # "bbit" | "jaccard"
+    jaccard_threshold: float = 0.8
 
     def band_bytes(self, width: int) -> int:
         if width % self.n_bands:
@@ -74,23 +83,29 @@ class BandStage:
         self.band_bytes = lsh.band_bytes(self.width)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        carry_shingles = self.lsh.verify_mode == "jaccard"
         mat, lens = sig_matrix(batch[self.sig_col], self.width)
         keep = lens >= 0
         mat, lens = mat[keep], lens[keep]
         n = mat.shape[0]
         nb = self.lsh.n_bands
         if n == 0:
-            return pa.table(
-                {
-                    "bucket_part": pa.array([], pa.int32()),
-                    "bucket": pa.array([], pa.int64()),
-                    "doc_key": pa.array([], pa.int64()),
-                    "sig": pa.array([], pa.binary()),
-                }
-            )
+            cols = {
+                "bucket_part": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                "doc_key": pa.array([], pa.int64()),
+                "sig": pa.array([], pa.binary()),
+            }
+            if carry_shingles:
+                cols["shingles"] = pa.array([], pa.list_(pa.int64()))
+            return pa.table(cols)
         doc_keys = batch["doc_key"].to_numpy(zero_copy_only=False)[keep]
         sigs = batch[self.sig_col].to_pylist()
         sigs = [s for s in sigs if s is not None]
+        if carry_shingles:
+            keep_idx = np.flatnonzero(keep)
+            sh = batch["shingles"].to_pylist()
+            shingles_rep = [sh[i] for i in keep_idx for _ in range(nb)]
         # band values: (n, nb, band_bytes) -> uint64 little-endian
         bands = mat.reshape(n, nb, self.band_bytes).astype(np.uint64)
         weights = (np.uint64(1) << (np.uint64(8) * np.arange(self.band_bytes, dtype=np.uint64)))
@@ -100,14 +115,15 @@ class BandStage:
         with np.errstate(over="ignore"):
             bucket = (vals ^ ((band_ids[None, :] + np.uint64(1)) * _HASH_MIX)) >> np.uint64(1)
             part = (bucket % np.uint64(self.lsh.num_partitions)).astype(np.int32)
-        return pa.table(
-            {
-                "bucket_part": pa.array(part.ravel(), pa.int32()),
-                "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
-                "doc_key": pa.array(np.repeat(doc_keys, nb), pa.int64()),
-                "sig": pa.array([s for s in sigs for _ in range(nb)], pa.binary()),
-            }
-        )
+        cols = {
+            "bucket_part": pa.array(part.ravel(), pa.int32()),
+            "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
+            "doc_key": pa.array(np.repeat(doc_keys, nb), pa.int64()),
+            "sig": pa.array([s for s in sigs for _ in range(nb)], pa.binary()),
+        }
+        if carry_shingles:
+            cols["shingles"] = pa.array(shingles_rep, pa.list_(pa.int64()))
+        return pa.table(cols)
 
 
 class BucketPairer:
@@ -182,8 +198,21 @@ class BucketPairer:
         # or duplicate corpus rows; keep them out of the edge list)
         neq = doc_keys[ia] != doc_keys[ib]
         ia, ib = ia[neq], ib[neq]
-        sim = compare_many(mat[ia], mat[ib], lens[ia], lens[ib], self.width)
-        ok = sim >= self.lsh.threshold
+        if self.lsh.verify_mode == "jaccard":
+            # exact n-gram Jaccard over sorted shingle-hash sets (carried on
+            # the band rows); candidate count is cap-bounded per bucket
+            sh = batch["shingles"].to_pylist()
+            sh = [np.asarray(sh[i], dtype=np.int64) for i in order]
+            sim = np.empty(len(ia), dtype=np.float64)
+            for j, (x, y) in enumerate(zip(ia, ib)):
+                a, b = sh[x], sh[y]
+                inter = len(np.intersect1d(a, b, assume_unique=True))
+                union = len(a) + len(b) - inter
+                sim[j] = inter / union if union else 1.0
+            ok = sim >= self.lsh.jaccard_threshold
+        else:
+            sim = compare_many(mat[ia], mat[ib], lens[ia], lens[ib], self.width)
+            ok = sim >= self.lsh.threshold
         a = doc_keys[ia[ok]]
         b = doc_keys[ib[ok]]
         src = np.minimum(a, b)
@@ -215,6 +244,43 @@ class EdgeDeduper:
         df = batch.select(["src", "dst", "sim"]).to_pandas()
         out = df.groupby(["src", "dst"], as_index=False, sort=False)["sim"].max()
         return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class ShingleSetStage:
+    """map_batches callable adding ``shingles``: sorted unique int64 hashes of
+    the doc's n-gram shingles (murmur3 seed 0 — same stable hash family as
+    the signature kernel). Input for exact-Jaccard verification; ~8 B per
+    distinct shingle per row."""
+
+    def __init__(self, content_col: str = "content", tokenizer: str = "standard", shingle_n: int = 3):
+        from ..functions.tokenize import get_tokenizer
+
+        self.content_col = content_col
+        self.tok = get_tokenizer(tokenizer, shingle_n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
+
+        texts = batch[self.content_col].to_pylist()
+        toks = [self.tok(t) if t else [] for t in texts]
+        flat: list[str] = []
+        bounds = [0]
+        for t in toks:
+            flat.extend(t)
+            bounds.append(len(flat))
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+            H = hash_tokens_many_seeds(list(uniques), seeds_u64(0, 1))[:, 0]
+        lists = []
+        for d in range(len(toks)):
+            lo, hi = bounds[d], bounds[d + 1]
+            if lo == hi:
+                lists.append([])
+            else:
+                lists.append(np.unique(H[codes[lo:hi]]).tolist())
+        return batch.append_column("shingles", pa.array(lists, pa.list_(pa.int64())))
 
 
 def add_edge_part(batch: pa.Table, num_partitions: int) -> pa.Table:

@@ -1,0 +1,156 @@
+"""Kernel + stage tests for the training-data extras: simhash, text stats,
+fingerprints, exact dedup, embedding ANN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from elasticsearch_minhash_ray.functions.simhash import hamming64, simhash64_docs
+from elasticsearch_minhash_ray.functions.text_stats import (
+    doc_fingerprint,
+    lang_id_scores,
+    quality_stats_frame,
+)
+from elasticsearch_minhash_ray.stages.dedup import (
+    SimHashStage,
+    exact_dedup_groups,
+    simhash_near_dup_edges,
+)
+from elasticsearch_minhash_ray.stages.embed import (
+    brute_force_topk,
+    cosine_near_dup_edges_brute,
+    cosine_near_dup_edges_lsh,
+)
+from elasticsearch_minhash_ray.stages.multimodal import (
+    FrameSampleStage,
+    MediaDecodeStage,
+    synth_media_table,
+)
+
+
+def test_simhash_properties():
+    s = simhash64_docs([["a", "b", "c"], ["c", "b", "a"], ["a", "b", "c", "d"], []])
+    assert s[0] == s[1]  # order-free
+    assert s[3] == 0  # empty
+    d = hamming64(s[0:1], s[2:3])[0]
+    assert 0 <= d <= 20  # near-dup docs are close in hamming space
+    far = simhash64_docs([[f"zz{i}" for i in range(50)]])
+    assert hamming64(s[0:1], far)[0] > d
+
+
+def test_quality_stats_matches_duckdb():
+    import duckdb
+    import pandas as pd
+
+    texts = pd.Series(
+        ["Hello World 123!", "", "   ", "ALL CAPS TEXT", "mixed_case 42 ..", "a\tb\nc"]
+    )
+    mine = quality_stats_frame(texts)
+    con = duckdb.connect()
+    ora = con.execute(
+        """
+        SELECT length(t) AS n_chars,
+               CAST(length(regexp_extract_all(t, '[0-9A-Za-z_]+')) AS BIGINT) AS n_tokens,
+               length(t) - length(regexp_replace(t, '[A-Za-z]', '', 'g')) AS n_alpha,
+               length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit
+        FROM (SELECT unnest(?) AS t)
+        """,
+        [texts.tolist()],
+    ).df()
+    assert (mine["n_chars"].to_numpy() == ora["n_chars"].to_numpy()).all()
+    assert (mine["n_tokens"].to_numpy() == ora["n_tokens"].to_numpy()).all()
+    assert (mine["n_alpha"].to_numpy() == ora["n_alpha"].to_numpy()).all()
+    assert (mine["n_digit"].to_numpy() == ora["n_digit"].to_numpy()).all()
+
+
+def test_lang_id_and_fingerprint():
+    assert lang_id_scores("the cat and the dog are in the house") == "en"
+    assert lang_id_scores("der Hund und die Katze ist nicht da und das ist gut") == "de"
+    assert lang_id_scores("xyzzy qwerty") == "unknown"
+    a = doc_fingerprint("some document content here")
+    assert a == doc_fingerprint("some document content here")  # deterministic
+    assert a != doc_fingerprint("some document content there")
+    assert doc_fingerprint("") == 0
+    assert doc_fingerprint("ab") == doc_fingerprint("ab")  # short-doc path
+
+
+def test_exact_dedup_groups(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "content_sha256": pa.array(["a", "b", "a", "c", "b"], pa.string()),
+        }
+    )
+    out = exact_dedup_groups(rd.from_arrow(t), num_partitions=4).to_pandas()
+    out = out.sort_values("content_sha256").reset_index(drop=True)
+    assert out["n_dups"].tolist() == [2, 2, 1]
+    assert out["rep_doc_id"].tolist() == [1, 2, 4]
+
+
+def test_simhash_near_dup(ray_session):
+    base = [f"tok{i}" for i in range(100)]
+    docs = [
+        " ".join(base),
+        " ".join(base[:98] + ["x", "y"]),  # near dup
+        " ".join(f"zz{i}" for i in range(100)),  # unrelated
+    ]
+    t = pa.table(
+        {
+            "doc_key": pa.array([10, 20, 30], pa.int64()),
+            "content": pa.array(docs, pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t).map_batches(SimHashStage(), batch_format="pyarrow")
+    edges = simhash_near_dup_edges(ds.select_columns(["doc_key", "simhash"]), max_hamming=8, num_partitions=4).to_pandas()
+    pairs = set(zip(edges["src"], edges["dst"]))
+    assert (10, 20) in pairs
+    assert (10, 30) not in pairs and (20, 30) not in pairs
+
+
+def test_brute_force_topk_and_near_dup(ray_session):
+    rng = np.random.default_rng(0)
+    mat = rng.standard_normal((200, 16))
+    mat[50] = mat[10] * 2.0  # exact cosine dup (scaled)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    top = brute_force_topk(ds, mat[:2], np.array([0, 1]), k=5).to_pandas()
+    assert len(top) == 10
+    assert top[top.query_id == 0].iloc[0]["vec_id"] == 0  # self is nearest
+    assert top[top.query_id == 0].iloc[0]["cos_sim"] == pytest.approx(1.0)
+    pairs = cosine_near_dup_edges_brute(ds, threshold=0.99).to_pandas()
+    assert (10, 50) in set(zip(pairs["a_id"], pairs["b_id"]))
+    # LSH path finds the planted dup too (exact-dup pair always collides)
+    lsh_pairs = cosine_near_dup_edges_lsh(ds, dim=16, threshold=0.99, num_partitions=4).to_pandas()
+    assert (10, 50) in set(zip(lsh_pairs["a_id"], lsh_pairs["b_id"]))
+
+
+def test_multimodal_plumbing(ray_session):
+    media = synth_media_table(n=30)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"feature_dim": 16, "decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    ).to_pandas()
+    assert len(feats) == 30
+    assert len(feats["features"].iloc[0]) == 16
+    # deterministic: same payload → same features
+    again = MediaDecodeStage(feature_dim=16)(media)
+    assert np.allclose(
+        np.asarray(again["features"].to_pylist()[0]), np.asarray(feats["features"].iloc[0])
+    )
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaDecodeStage(decoder="real")
+    frames = rd.from_arrow(media).map_batches(FrameSampleStage(n_samples=3), batch_format="pyarrow").to_pandas()
+    assert (frames.groupby("media_id").size() <= 3).all()
+    assert frames["frame_idx"].min() == 0
