@@ -19,6 +19,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
+
 
 # --------------------------------------------------------------------------
 # helpers
@@ -26,9 +28,7 @@ import pyarrow as pa
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return read_parquet_auto(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _docs_with_sha(sf_dir: str):
@@ -138,7 +138,7 @@ def _q_events_by_type(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
     out = ds.groupby("event_type").aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="total_value")
     )
@@ -171,7 +171,7 @@ def _q_ann_topk(sf_dir: str):
     from elasticsearch_minhash_ray.stages.embed import brute_force_topk
 
     q, qids = _ann_queries(sf_dir)
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     top = brute_force_topk(ds, q, qids, k=10)
 
     def round9(batch: pa.Table) -> pa.Table:
@@ -189,7 +189,7 @@ def _q_embedding_near_dup(sf_dir: str):
 
     from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_brute
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # synthetic embeddings are near-random (max pairwise cos ~0.5): 0.35
     # yields a few hundred edges at every sf, exercising the kernel end-to-end
     return cosine_near_dup_edges_brute(ds, threshold=0.35)
@@ -303,7 +303,7 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_lsh
 
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[0][0].as_py())
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     # 8 bands x 2 bits tuned for the 0.35 regime of the synthetic embeddings:
     # p_band = (1 - theta/pi)^2 = 0.377 -> recall 1-(1-p)^8 ~ 0.98
     return cosine_near_dup_edges_lsh(

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Bench harness for the Ray-Data minhash engine.
+
+Modes
+-----
+default       time the headline pipelines over ``$GRAFT_SF_DIR`` (default
+              /root/testdata/sf0.1) with ``ray.init(address="local",
+              num_cpus=$RAY_GRAFT_CPUS or 32)``; print ONE JSON line::
+
+                  {"metric": ..., "value": total_sec, "unit": "sec",
+                   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N}
+
+--scaling     run the flagship near-dup pipeline twice in FRESH subprocesses
+              (num_cpus=8 then num_cpus=32) on the same deterministic
+              synthetic source-code corpus (sandbox stand-in for the
+              N-vs-4N-node cluster rule, BASELINE.json north_rule); print one
+              JSON line with both throughputs + scaling efficiency
+              = (thru_32 / thru_8) / 4.
+
+--_worker C P internal: one fresh-process flagship run at C cpus on corpus P.
+
+This script OWNS its Ray session (the only places allowed to: bench.py, CLI
+entry points, the test fixture).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "120000"))
+BENCH_CORPUS = os.environ.get(
+    "GRAFT_BENCH_CORPUS", f"/tmp/graft_bench_corpus_{BENCH_DOCS}"
+)
+
+# headline subset of __ray_entry__.queries(): the flagship + one per operator
+# family (dedup / text / ANN / simhash), kept small enough for a per-round run
+HEADLINE = [
+    "near_dup_clusters",
+    "minhash_signatures",
+    "exact_dedup_groups",
+    "text_quality_stats",
+    "lang_id",
+    "doc_fingerprints",
+    "ann_topk",
+    "embedding_near_dup_lsh",
+    "simhash_near_dup",
+    "docs_by_lang",
+    "events_by_type",
+]
+
+
+def _consume(res) -> int:
+    """Force full execution of a query result; return its row count."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return res.num_rows if hasattr(res, "num_rows") else len(res)
+
+
+def run_flagship(corpus_path: str) -> dict:
+    """Full near-dup pipeline (sign -> LSH -> verify -> cluster) over a corpus
+    parquet directory; returns timing + row counts."""
+    from elasticsearch_minhash_ray import PipelineConfig, near_dup_pipeline
+    from elasticsearch_minhash_ray.functions.minhash import MinHashConfig
+    from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
+    from elasticsearch_minhash_ray.stages.lsh import LSHConfig
+
+    cfg = PipelineConfig(
+        minhash=MinHashConfig(name="sig"),
+        lsh=LSHConfig(num_partitions=64),
+        sig_concurrency=(1, NUM_CPUS),
+    )
+    t0 = time.perf_counter()
+    corpus = read_parquet_auto(corpus_path)
+    res = near_dup_pipeline(corpus, cfg)
+    n_clustered = _consume(res.clusters)
+    sec = time.perf_counter() - t0
+    return {"sec": sec, "n_edges": res.metrics["n_edges"], "n_clustered": n_clustered}
+
+
+def main_default() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        import __ray_entry__ as entry
+
+        qs = entry.queries()
+        timings: dict[str, float] = {}
+        rows: dict[str, int] = {}
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            rows[name] = _consume(qs[name](SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        total = round(sum(timings.values()), 3)
+        n_docs = rows.get("minhash_signatures", 0)
+        flagship_sec = timings["near_dup_clusters"]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_pipelines_total",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": timings,
+                    "rows": rows,
+                    "files_per_sec_flagship": round(n_docs / flagship_sec, 1)
+                    if flagship_sec
+                    else None,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+def main_worker(cpus: int, corpus_path: str) -> None:
+    import ray
+
+    global NUM_CPUS
+    NUM_CPUS = cpus
+    ray.init(address="local", num_cpus=cpus, include_dashboard=False)
+    try:
+        r = run_flagship(corpus_path)
+        print("WORKER_RESULT " + json.dumps({"num_cpus": cpus, **r}))
+    finally:
+        ray.shutdown()
+
+
+def main_scaling() -> None:
+    import ray
+
+    # generate (or reuse) the deterministic bench corpus — untimed
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        from elasticsearch_minhash_ray.sources.synth import make_bench_corpus
+
+        make_bench_corpus(BENCH_CORPUS, BENCH_DOCS)
+    finally:
+        ray.shutdown()
+
+    runs = []
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--_worker", str(cpus), BENCH_CORPUS],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            check=False,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+            raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
+        r = json.loads(line[-1][len("WORKER_RESULT ") :])
+        r["files_per_sec"] = round(BENCH_DOCS / r["sec"], 1)
+        runs.append(r)
+    eff = (runs[1]["files_per_sec"] / runs[0]["files_per_sec"]) / (32 / 8)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32_cpus",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "runs": runs,
+                "n_docs": BENCH_DOCS,
+                "corpus": BENCH_CORPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--_worker":
+        main_worker(int(sys.argv[2]), sys.argv[3])
+    else:
+        main_default()

@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.minhash import MinHashConfig
-from ..sources.corpus import prepare_batch
+from ..sources.corpus import prepare_batch, read_parquet_auto
 from ..stages.cluster import (
     connected_components_distributed,
     connected_components_driver,
@@ -198,7 +198,7 @@ def run_checkpointed(
     for i, sdir in enumerate(shard_dirs):
         if ckpt.is_complete(sdir, fp):
             continue
-        ds = rd.read_parquet(corpus_path)
+        ds = read_parquet_auto(corpus_path)
         if cfg.num_shards > 1:
             ds = ds.map_batches(
                 lambda b, i=i, n=cfg.num_shards: _filter_shard(b, i, n), batch_format="pyarrow"
@@ -217,7 +217,7 @@ def run_checkpointed(
 
     edges_dir = os.path.join(out_dir, "edges")
     if not ckpt.is_complete(edges_dir, fp):
-        sig_ds = rd.read_parquet([os.path.join(d, "data.parquet") for d in shard_dirs])
+        sig_ds = read_parquet_auto([os.path.join(d, "data.parquet") for d in shard_dirs])
         edges_all = build_edges(sig_ds, cfg)
         tbl = _collect(edges_all)
         tbl = tbl.drop_columns([c for c in ("edge_part",) if c in tbl.schema.names])

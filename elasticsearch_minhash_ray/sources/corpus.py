@@ -58,20 +58,59 @@ def prepare_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_corpus(path: str, columns: list[str] | None = None, **kwargs):
-    """Read a corpus parquet directory/file as a Dataset (column-pruned)."""
+def _path_bytes(path: str) -> int:
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def auto_num_blocks(total_bytes: int, cpus: int | None = None) -> int:
+    """Block count sized to the DATA, not a fixed parallelism constant.
+
+    Ray's default parallelism heuristic happily splits a 1.5 MB file into 64
+    blocks of ~80 rows; every later sort/groupby then pays O(blocks^2) shuffle
+    tasks of pure scheduling overhead. Rules (scale-safe in both directions):
+    - blocks never smaller than ~512 KB (kills tiny-block shuffle overhead)
+    - blocks never larger than ~64 MB (bounds per-task heap + enables
+      streaming/spilling at the 100 TB end)
+    - otherwise aim for 2 blocks per CPU for full pipeline parallelism
+    """
+    import os
+
+    if cpus is None:
+        cpus = os.cpu_count() or 8
+    min_blocks = max(1, total_bytes // (64 << 20))
+    max_blocks = max(1, total_bytes // (512 << 10))
+    return int(max(min_blocks, min(cpus * 2, max_blocks)))
+
+
+def read_parquet_auto(path, columns: list[str] | None = None, **kwargs):
+    """``ray.data.read_parquet`` with column pruning and data-sized blocks."""
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=columns or CORPUS_COLUMNS, **kwargs)
+    paths = path if isinstance(path, list) else [path]
+    total = sum(_path_bytes(p) for p in paths)
+    kwargs.setdefault("override_num_blocks", auto_num_blocks(total))
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def read_corpus(path: str, columns: list[str] | None = None, **kwargs):
+    """Read a corpus parquet directory/file as a Dataset (column-pruned)."""
+    return read_parquet_auto(path, columns=columns or CORPUS_COLUMNS, **kwargs)
 
 
 def documents_as_corpus(sf_dir: str, **kwargs):
     """Adapt the driver testdata ``documents`` table (doc_id, text, lang,
     source, n_chars) to the canonical corpus schema: repo=source,
     path=str(doc_id), commit='v0', content=text."""
-    import ray.data as rd
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"], **kwargs)
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"], **kwargs
+    )
 
     def to_corpus(t: pa.Table) -> pa.Table:
         return pa.table(

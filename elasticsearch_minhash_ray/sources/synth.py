@@ -149,3 +149,84 @@ def write_corpus(table: pa.Table, path: str) -> str:
 
     pq.write_table(table, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# bench-scale corpus (vectorized generation, parallel via Ray)
+# ---------------------------------------------------------------------------
+
+_BENCH_VOCAB_SIZE = 20_000
+
+
+def bench_corpus_batch(batch: pa.Table, seed: int, tokens_per_doc: int, dup_frac: float) -> pa.Table:
+    """Generate one block of the bench corpus from a range-Dataset ``id`` batch.
+
+    Deterministic per doc index (rng seeded by ``seed ^ block-start``); a
+    ``dup_frac`` fraction of docs are near-duplicates of a "base" doc family
+    (doc i duplicates family i // 8 with a few token substitutions), the rest
+    are i.i.d. token soup — enough structure to exercise LSH + verify +
+    clustering at bench scale without planted-skew pathologies."""
+    ids = batch["id"].to_numpy()
+    n = len(ids)
+    kw = _KEYWORDS["py"] + _KEYWORDS["java"]
+    vocab = np.array(
+        [f"sym_{i}" for i in range(_BENCH_VOCAB_SIZE)] + kw, dtype=object
+    )
+    is_dup = (ids % 1000) < int(dup_frac * 1000)
+    # family base streams are regenerated deterministically from family id;
+    # every doc is seeded by its own id so output is independent of batching
+    fam = ids // 8
+    contents = []
+    for i in range(n):
+        if is_dup[i]:
+            frng = np.random.default_rng(seed ^ (1 << 40) ^ int(fam[i]))
+            toks = vocab[frng.integers(0, len(vocab), tokens_per_doc)]
+            # ~2% token substitutions unique to this member
+            mrng = np.random.default_rng(seed ^ (1 << 41) ^ int(ids[i]))
+            nmut = max(1, tokens_per_doc // 50)
+            pos = mrng.integers(0, tokens_per_doc, nmut)
+            toks = toks.copy()
+            toks[pos] = vocab[mrng.integers(0, len(vocab), nmut)]
+        else:
+            drng = np.random.default_rng(seed ^ (1 << 42) ^ int(ids[i]))
+            toks = vocab[drng.integers(0, len(vocab), tokens_per_doc)]
+        contents.append(" ".join(toks))
+    return pa.table(
+        {
+            "repo": pa.array([f"org{int(x) % 64}/repo{int(x) % 512}" for x in ids], pa.string()),
+            "path": pa.array([f"src/f{int(x)}.py" for x in ids], pa.string()),
+            "commit": pa.array(["c0"] * n, pa.string()),
+            "lang": pa.array(["py"] * n, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
+def make_bench_corpus(
+    path: str,
+    n_docs: int,
+    seed: int = 42,
+    tokens_per_doc: int = 200,
+    dup_frac: float = 0.2,
+    num_blocks: int = 64,
+) -> str:
+    """Materialize the deterministic bench corpus to parquet (idempotent:
+    skipped when the directory already has a _SUCCESS marker for the params)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    key = json.dumps([n_docs, seed, tokens_per_doc, dup_frac], sort_keys=True)
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker) and open(marker).read() == key:
+        return path
+    os.makedirs(path, exist_ok=True)
+    ds = rd.range(n_docs, override_num_blocks=num_blocks).map_batches(
+        lambda b, s=seed, t=tokens_per_doc, d=dup_frac: bench_corpus_batch(b, s, t, d),
+        batch_format="pyarrow",
+    )
+    ds.write_parquet(path)
+    with open(marker, "w") as f:
+        f.write(key)
+    return path
