@@ -40,10 +40,16 @@ _HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
 class LSHConfig:
     """n_bands bands over the k*b signature bits; width must divide evenly.
 
-    Defaults (16 bands x 8 bits for the reference's default 128-bit config):
-    catch probability at bit-similarity r is 1-(1-r^8)^16 ≈ 1-2.7e-8 for
-    r=0.95 — comfortably above the 0.99 recall target; a random pair
-    (r≈0.5) becomes a candidate with p≈6e-2 and is killed by verification.
+    Defaults (8 bands x 16 bits for the reference's default 128-bit config):
+    catch probability at bit-similarity r is 1-(1-r^16)^8 = 0.990 at the
+    r=0.95 verify threshold (and →1 above it) — meets the 0.99 recall
+    target. Band width is the PRECISION lever and the scale-limiting choice:
+    a random pair (independent bits, r≈0.5) collides with p≈8*2^-16≈1.2e-4
+    here, vs p≈6e-2 for 16 bands x 8 bits — 8-bit bands admit ~6% of ALL
+    n^2 pairs as candidates, which is O(n^2/256) work per band and was
+    measured 20x slower end-to-end at 120k docs. At >>10^8 rows per cluster,
+    raise num_of_hash (wider signature) so bands can be >=32 bits, or accept
+    bucket_cap truncation (dropped-pair counts are surfaced in metrics).
 
     ``verify_mode``:
     - "bbit" (default): reference-exact fraction-of-equal-bits (O12 kernel).
@@ -53,7 +59,7 @@ class LSHConfig:
       set similarity, threshold ``jaccard_threshold``.
     """
 
-    n_bands: int = 16
+    n_bands: int = 8
     threshold: float = 0.95  # min fraction-of-equal-bits (reference compare units)
     bucket_cap: int = 256  # max docs per all-pairs chunk inside one bucket
     num_partitions: int = 64  # P for the bucket shuffle; size ~4x cluster cores
