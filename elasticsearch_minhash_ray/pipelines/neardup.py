@@ -47,7 +47,9 @@ from ..state import checkpoint as ckpt
 class PipelineConfig:
     minhash: MinHashConfig = field(default_factory=MinHashConfig)
     lsh: LSHConfig = field(default_factory=LSHConfig)
-    batch_size: int = 1024
+    # None = whole-block batches (blocks are already size-bounded by
+    # read_parquet_auto; slicing them further only adds python overhead)
+    batch_size: int | None = None
     sig_concurrency: tuple[int, int] = (1, 32)  # autoscaling actor pool bounds
     num_shards: int = 1  # signature checkpoint granularity (resume unit)
     distributed_cc: bool = False
@@ -63,12 +65,13 @@ class NearDupResult:
     metrics: dict
 
 
-def compute_signatures(corpus_ds, cfg: PipelineConfig):
+def compute_signatures(corpus_ds, cfg: PipelineConfig, keep_columns: tuple[str, ...] | None = None):
     """corpus Dataset → Dataset with keys, content_sha256 and minhash_<name>.
 
     Signature compute is a stateful actor pool: seed state built once per
     actor (reference: once-per-index HashFunction[],
-    MinHashTokenFilterFactory.java:43)."""
+    MinHashTokenFilterFactory.java:43). ``keep_columns`` projects the output
+    inside the stage (no separate select operator)."""
     prepared = corpus_ds.map_batches(prepare_batch, batch_format="pyarrow")
     if cfg.lsh.verify_mode == "jaccard":
         # exact-Jaccard verification needs the shingle-hash sets; same
@@ -81,7 +84,7 @@ def compute_signatures(corpus_ds, cfg: PipelineConfig):
         )
     return prepared.map_batches(
         SignatureStage,
-        fn_constructor_kwargs={"configs": [cfg.minhash]},
+        fn_constructor_kwargs={"configs": [cfg.minhash], "keep_columns": keep_columns},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.sig_concurrency,
@@ -89,10 +92,15 @@ def compute_signatures(corpus_ds, cfg: PipelineConfig):
     )
 
 
-def build_edges(sig_ds, cfg: PipelineConfig):
-    """signatures → verified, deduped edge Dataset (src, dst, sim) +
-    a tiny metrics side-channel (rows with src == -1 carry dropped-pair
-    counts from capped buckets; split out by :func:`split_edge_metrics`)."""
+def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
+    """signatures → verified edge Dataset (src, dst, sim) + a tiny metrics
+    side-channel (rows with src == -1 carry dropped-pair counts from capped
+    buckets; split out by :func:`split_edge_metrics`).
+
+    ``dedupe=False`` skips the cross-band pair-dedup shuffle (a full extra
+    sort barrier) and leaves ~n_bands-fold duplicate pairs in the output —
+    correct input for connected components, and the driver path dedups in
+    one vectorized pass on the pulled table instead."""
     width = cfg.minhash.full_width
     # BandStage holds only tiny config state → instance = stateless tasks
     bands = sig_ds.map_batches(
@@ -101,17 +109,19 @@ def build_edges(sig_ds, cfg: PipelineConfig):
         zero_copy_batch=True,
     )
     pairer = BucketPairer(cfg.lsh, width)
+    edges = bands.groupby("bucket_part").map_groups(
+        lambda g, p=pairer: p(g), batch_format="pyarrow"
+    )
+    if not dedupe:
+        return edges
     deduper = EdgeDeduper()
-    edges = (
-        bands.groupby("bucket_part")
-        .map_groups(lambda g, p=pairer: p(g), batch_format="pyarrow")
-        .map_batches(
+    return (
+        edges.map_batches(
             lambda b, n=cfg.lsh.num_partitions: add_edge_part(b, n), batch_format="pyarrow"
         )
         .groupby("edge_part")
         .map_groups(lambda g, d=deduper: d(g), batch_format="pyarrow")
     )
-    return edges
 
 
 def split_edge_metrics(edges_table: pa.Table) -> tuple[pa.Table, int]:
@@ -138,25 +148,60 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     """In-memory (non-checkpointed) flagship pipeline; returns lazy Datasets
     plus a materialized clusters table (small: nodes-with-edges only)."""
     cfg = cfg or PipelineConfig()
-    sigs = compute_signatures(corpus_ds, cfg)
     sig_cols = (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
     if cfg.lsh.verify_mode == "jaccard":
         sig_cols = (*sig_cols, "shingles")
-    sigs_out = sigs.map_batches(
-        lambda b, c=sig_cols: b.select([x for x in c if x in b.schema.names]),
-        batch_format="pyarrow",
-    )
-    edges_all = build_edges(sigs_out, cfg)
-    edges_mat = edges_all.materialize()
-    metrics_tbl = edges_mat.map_batches(
-        lambda b: _metrics_rows(b), batch_format="pyarrow"
-    ).to_pandas()
-    dropped = int(metrics_tbl["dropped"].sum()) if len(metrics_tbl) else 0
-    edges = edges_mat.map_batches(_edges_metric_filter, batch_format="pyarrow")
-    clusters = cluster_edges(edges, cfg)
-    n_edges = edges.count()
+    # materialize boundary after the actor-pool stage: on small cpu budgets
+    # the pinned signature actors otherwise starve the downstream band/sort
+    # tasks of cpus and the whole pipeline crawls (measured 119s -> 76s at
+    # num_cpus=2, 39s -> 31s at 8, on the 600k-doc bench corpus); the sort
+    # shuffle right after would materialize the band rows anyway
+    sigs_out = compute_signatures(corpus_ds, cfg, keep_columns=sig_cols).materialize()
+    if cfg.distributed_cc:
+        # scale path: edges never touch the driver; full distributed dedupe +
+        # metrics as an extra (small) aggregation pass
+        edges_mat = build_edges(sigs_out, cfg).materialize()
+        edges = edges_mat.map_batches(_edges_metric_filter, batch_format="pyarrow")
+        metrics_tbl = edges_mat.map_batches(
+            lambda b: _metrics_rows(b), batch_format="pyarrow"
+        ).to_pandas()
+        dropped = int(metrics_tbl["dropped"].sum()) if len(metrics_tbl) else 0
+        clusters = cluster_edges(edges, cfg)
+        n_edges = edges.count()
+    else:
+        # driver CC pulls the edge table anyway — skip the distributed
+        # pair-dedup shuffle (one whole sort barrier) and compute dedupe,
+        # metrics, edge count and clusters from that single pull
+        import ray.data as rd
+
+        raw = _collect(build_edges(sigs_out, cfg, dedupe=False).materialize())
+        raw, dropped = split_edge_metrics(raw)
+        edges_tbl = _dedupe_edges_table(raw)
+        clusters = connected_components_driver(edges_tbl, cfg.max_driver_edges)
+        n_edges = edges_tbl.num_rows
+        edges = rd.from_arrow(edges_tbl)
     metrics = {"dropped_pairs": dropped, "n_edges": n_edges}
     return NearDupResult(signatures=sigs_out, edges=edges, clusters=clusters, metrics=metrics)
+
+
+def _dedupe_edges_table(tbl: pa.Table) -> pa.Table:
+    """Vectorized distinct-(src,dst)-keep-max-sim on one (driver-side) table;
+    same semantics as the distributed EdgeDeduper."""
+    if tbl.num_rows == 0:
+        return tbl.select(["src", "dst", "sim"]) if "sim" in tbl.schema.names else tbl
+    src = np.asarray(tbl["src"], dtype=np.int64)
+    dst = np.asarray(tbl["dst"], dtype=np.int64)
+    sim = np.asarray(tbl["sim"], dtype=np.float64)
+    order = np.lexsort((-sim, dst, src))
+    src, dst, sim = src[order], dst[order], sim[order]
+    first = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+    return pa.table(
+        {
+            "src": pa.array(src[first], pa.int64()),
+            "dst": pa.array(dst[first], pa.int64()),
+            "sim": pa.array(sim[first], pa.float64()),
+        }
+    )
 
 
 def _metrics_rows(batch: pa.Table) -> pa.Table:

@@ -64,28 +64,46 @@ class _UnionFind:
 
 
 def connected_components_driver(edges, max_driver_edges: int = 50_000_000) -> pa.Table:
-    """edges: Dataset or pa.Table with int64 ``src``/``dst`` columns."""
-    uf = _UnionFind()
+    """edges: Dataset or pa.Table with int64 ``src``/``dst`` columns.
+
+    Vectorized min-label propagation with path compression over compacted
+    node ids (np.unique is ascending, so the min compact index IS the min
+    doc_key — cluster_id = min doc_key of the component). O(E · log D)."""
     seen = 0
+    srcs: list[np.ndarray] = []
+    dsts: list[np.ndarray] = []
     if isinstance(edges, pa.Table):
         batches = edges.to_batches()
     else:
         batches = edges.iter_batches(batch_size=1_000_000, batch_format="pyarrow")
     for b in batches:
-        src = np.asarray(b["src"])
-        dst = np.asarray(b["dst"])
-        seen += len(src)
+        if b.num_rows == 0:
+            continue
+        srcs.append(np.asarray(b["src"], dtype=np.int64))
+        dsts.append(np.asarray(b["dst"], dtype=np.int64))
+        seen += len(srcs[-1])
         if seen > max_driver_edges:
             raise ValueError(
                 f"edge count exceeds max_driver_edges={max_driver_edges}; "
                 "use connected_components_distributed"
             )
-        for a, c in zip(src.tolist(), dst.tolist()):
-            uf.union(a, c)
-    nodes = sorted(uf.parent)
-    labels = [uf.find(n) for n in nodes]
+    if not srcs:
+        return pa.table({"doc_key": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    nodes, inv = np.unique(np.r_[src, dst], return_inverse=True)
+    ea, eb = inv[: len(src)], inv[len(src) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ea], label[eb])
+        before = label.copy()
+        np.minimum.at(label, ea, m)
+        np.minimum.at(label, eb, m)
+        label = np.minimum(label, label[label])  # pointer-jump compression
+        if np.array_equal(label, before):
+            break
     return pa.table(
-        {"doc_key": pa.array(nodes, pa.int64()), "cluster_id": pa.array(labels, pa.int64())}
+        {"doc_key": pa.array(nodes, pa.int64()), "cluster_id": pa.array(nodes[label], pa.int64())}
     )
 
 

@@ -106,12 +106,15 @@ class BandStage:
                 cols["shingles"] = pa.array([], pa.list_(pa.int64()))
             return pa.table(cols)
         doc_keys = batch["doc_key"].to_numpy(zero_copy_only=False)[keep]
-        sigs = batch[self.sig_col].to_pylist()
-        sigs = [s for s in sigs if s is not None]
+        # vectorized n_bands-fold repeat of the variable-width columns
+        rep_idx = pa.array(np.repeat(np.flatnonzero(keep), nb))
+        sig_rep = batch[self.sig_col].take(rep_idx)
+        if isinstance(sig_rep, pa.ChunkedArray):
+            sig_rep = sig_rep.combine_chunks()
         if carry_shingles:
-            keep_idx = np.flatnonzero(keep)
-            sh = batch["shingles"].to_pylist()
-            shingles_rep = [sh[i] for i in keep_idx for _ in range(nb)]
+            shingles_rep = batch["shingles"].take(rep_idx)
+            if isinstance(shingles_rep, pa.ChunkedArray):
+                shingles_rep = shingles_rep.combine_chunks()
         # band values: (n, nb, band_bytes) -> uint64 little-endian
         bands = mat.reshape(n, nb, self.band_bytes).astype(np.uint64)
         weights = (np.uint64(1) << (np.uint64(8) * np.arange(self.band_bytes, dtype=np.uint64)))
@@ -125,11 +128,22 @@ class BandStage:
             "bucket_part": pa.array(part.ravel(), pa.int32()),
             "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
             "doc_key": pa.array(np.repeat(doc_keys, nb), pa.int64()),
-            "sig": pa.array([s for s in sigs for _ in range(nb)], pa.binary()),
+            "sig": sig_rep,
         }
         if carry_shingles:
-            cols["shingles"] = pa.array(shingles_rep, pa.list_(pa.int64()))
+            cols["shingles"] = shingles_rep
         return pa.table(cols)
+
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu_cached(m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Memoized upper-triangle pair index template for an m-doc bucket."""
+    hit = _TRIU_CACHE.get(m)
+    if hit is None:
+        hit = _TRIU_CACHE[m] = np.triu_indices(m, k=1)
+    return hit
 
 
 class BucketPairer:
@@ -165,36 +179,39 @@ class BucketPairer:
         ib_all: list[np.ndarray] = []
         dropped = 0
         cap = self.lsh.bucket_cap
-        for s, e in zip(starts, ends):
+        sizes = ends - starts
+        # vectorized all-pairs for in-cap buckets, grouped by bucket size:
+        # one broadcast per distinct size instead of a python loop with two
+        # small allocations per bucket (10^4+ buckets/partition otherwise)
+        small = (sizes >= 2) & (sizes <= cap)
+        for m in np.unique(sizes[small]):
+            rows = starts[small & (sizes == m)]
+            ia_t, ib_t = _triu_cached(int(m))
+            ia_all.append((rows[:, None] + ia_t[None, :]).ravel())
+            ib_all.append((rows[:, None] + ib_t[None, :]).ravel())
+        for s, e in zip(starts[sizes > cap], ends[sizes > cap]):
             m = e - s
-            if m < 2:
-                continue
-            if m <= cap:
-                ia, ib = np.triu_indices(m, k=1)
-                ia_all.append(ia + s)
-                ib_all.append(ib + s)
-            else:
-                # skew guard: all-pairs within consecutive cap-sized chunks +
-                # chain of chunk heads keeps the bucket connected
-                dropped += m * (m - 1) // 2
-                heads = []
-                for cs in range(s, e, cap):
-                    ce = min(cs + cap, e)
-                    cm = ce - cs
-                    heads.append(cs)
-                    if cm >= 2:
-                        ia, ib = np.triu_indices(cm, k=1)
-                        ia_all.append(ia + cs)
-                        ib_all.append(ib + cs)
-                        dropped -= cm * (cm - 1) // 2
-                h = np.asarray(heads)
-                if len(h) >= 2:
-                    # STAR-link chunk heads (not a chain): keeps the capped
-                    # bucket connected with O(1) component diameter, which the
-                    # distributed min-label CC relies on for round count
-                    ia_all.append(np.full(len(h) - 1, h[0]))
-                    ib_all.append(h[1:])
-                    dropped -= len(h) - 1
+            # skew guard: all-pairs within consecutive cap-sized chunks +
+            # chain of chunk heads keeps the bucket connected
+            dropped += m * (m - 1) // 2
+            heads = []
+            for cs in range(s, e, cap):
+                ce = min(cs + cap, e)
+                cm = ce - cs
+                heads.append(cs)
+                if cm >= 2:
+                    ia, ib = _triu_cached(int(cm))
+                    ia_all.append(ia + cs)
+                    ib_all.append(ib + cs)
+                    dropped -= cm * (cm - 1) // 2
+            h = np.asarray(heads)
+            if len(h) >= 2:
+                # STAR-link chunk heads (not a chain): keeps the capped
+                # bucket connected with O(1) component diameter, which the
+                # distributed min-label CC relies on for round count
+                ia_all.append(np.full(len(h) - 1, h[0]))
+                ib_all.append(h[1:])
+                dropped -= len(h) - 1
         if not ia_all:
             return _edges_table(np.array([], np.int64), np.array([], np.int64), np.array([]), 0)
         ia = np.concatenate(ia_all)

@@ -33,6 +33,7 @@ class SignatureStage:
         content_col: str = "content",
         drop_content: bool = True,
         encode: str | None = None,  # None | "base64" | "bit_string" | "auto"
+        keep_columns: tuple[str, ...] | None = None,  # project output in-stage
     ):
         if isinstance(configs, MinHashConfig):
             configs = [configs]
@@ -42,6 +43,7 @@ class SignatureStage:
         self.content_col = content_col
         self.drop_content = drop_content
         self.encode = encode
+        self.keep_columns = keep_columns
         self._hashers = [MinHasher(c) for c in configs]
         # share tokenization across configs with identical analyzer settings
         self._tok_key = [(c.tokenizer, c.shingle) for c in configs]
@@ -75,6 +77,10 @@ class SignatureStage:
                     f"minhash_{cfg.name}_bits",
                     pa.array([None if s is None else to_bit_string(s) for s in col], pa.string()),
                 )
+        if self.keep_columns is not None:
+            # project inside the stage — an extra Ray operator for a column
+            # select costs a full block copy + scheduling for zero work
+            return batch.select([c for c in self.keep_columns if c in batch.schema.names])
         if self.drop_content:
             # content can be MBs/row; drop right after hashing so downstream
             # shuffles move only keys + 16-byte signatures (SURVEY.md §4)
@@ -91,11 +97,23 @@ def sig_matrix(sig_col: pa.ChunkedArray | pa.Array, width: int) -> tuple[np.ndar
     n = len(sig_col)
     mat = np.zeros((n, width), dtype=np.uint8)
     lens = np.full(n, -1, dtype=np.int64)
-    for i in range(n):
-        v = sig_col[i].as_py()
-        if v is not None:
-            m = len(v)
-            lens[i] = m
-            if m:
-                mat[i, :m] = np.frombuffer(v, dtype=np.uint8)
+    if n == 0:
+        return mat, lens
+    # vectorized over the Arrow binary buffers (no per-row as_py)
+    off0 = sig_col.offset
+    buffers = sig_col.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int32)[off0 : off0 + n + 1].astype(np.int64)
+    data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+    lengths = offsets[1:] - offsets[:-1]
+    valid = np.ones(n, dtype=bool)
+    if sig_col.null_count:
+        valid = ~np.asarray(sig_col.is_null())
+    lens[valid] = lengths[valid]
+    lengths = np.where(valid, np.minimum(lengths, width), 0)
+    total = int(lengths.sum())
+    if total:
+        row_idx = np.repeat(np.arange(n), lengths)
+        starts = np.repeat(offsets[:-1], lengths)
+        col_idx = np.arange(total) - np.repeat(np.cumsum(lengths) - lengths, lengths)
+        mat[row_idx, col_idx] = data[starts + col_idx]
     return mat, lens
