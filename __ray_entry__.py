@@ -311,6 +311,66 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     )
 
 
+def _q_top_docs_by_len(sf_dir: str):
+    """sort + limit operator coverage; deterministic tie-break on doc_id."""
+    import pandas as pd
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def lens(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_chars"] = batch["text"].fillna("").str.len().astype("int64")
+        return batch[["doc_id", "n_chars"]]
+
+    return (
+        ds.map_batches(lens, batch_format="pandas")
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def _q_signature_collapse(sf_dir: str):
+    """Reference O13: exact-dup collapse BY SIGNATURE (the ES keyword-collapse
+    semantic, MinHashFieldMapper.java:218-221) — groups docs sharing the
+    identical minhash signature."""
+    from elasticsearch_minhash_ray import MinHashConfig
+    from elasticsearch_minhash_ray.stages.dedup import exact_dedup_groups
+    from elasticsearch_minhash_ray.stages.signature import SignatureStage
+
+    stage_kw = {"configs": [MinHashConfig(name="sig")], "content_col": "text", "encode": "base64"}
+    sigs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        .select_columns(["doc_id", "minhash_sig_b64"])
+    )
+    return exact_dedup_groups(sigs, key_col="minhash_sig_b64", num_partitions=16)
+
+
+def _q_minhash_bit_strings(sf_dir: str):
+    """O8: '0'/'1' bit-string encoding (bit_string:true mapper param)."""
+    from elasticsearch_minhash_ray import MinHashConfig
+    from elasticsearch_minhash_ray.stages.signature import SignatureStage
+
+    stage_kw = {
+        "configs": [MinHashConfig(name="sig", bit_string=True)],
+        "content_col": "text",
+        "encode": "auto",
+    }
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        .select_columns(["doc_id", "minhash_sig_bits"])
+    )
+
+
+def _q_ann_topk_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-k — the ANN scale path."""
+    from elasticsearch_minhash_ray.stages.embed import ivf_topk
+
+    q, qids = _ann_queries(sf_dir)
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-verifiable
@@ -333,6 +393,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
+        "signature_collapse": _q_signature_collapse,
+        "minhash_bit_strings": _q_minhash_bit_strings,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        # SQL-verifiable
+        "top_docs_by_len": _q_top_docs_by_len,
     }
 
 
@@ -397,6 +462,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+        """,
+        "top_docs_by_len": """
+            SELECT doc_id, length(coalesce(text,'')) AS n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 100
         """,
         "embedding_near_dup": """
             SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -1,0 +1,119 @@
+"""CLI entry point — the ``ray job submit`` surface of the engine.
+
+On a cluster::
+
+    ray job submit --working-dir . -- \
+        python -m elasticsearch_minhash_ray neardup \
+        --input s3://corpus/parquet --output s3://out/run1 --resume
+
+Locally (owns its Ray session; standalone scripts are the only place allowed
+to call ray.init per the driver contract)::
+
+    python -m elasticsearch_minhash_ray neardup --input /tmp/corpus \
+        --output /tmp/out --num-shards 8
+
+Subcommands:
+    sign     signatures only: corpus parquet -> signatures parquet
+    neardup  full pipeline with checkpoint/lineage/resume (run_checkpointed)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--input", required=True, help="corpus parquet file/dir (repo,path,commit,lang,content)")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--num-of-hash", type=int, default=128, help="k, reference 'size' param")
+    p.add_argument("--bit", type=int, default=1, help="b, bits sampled per hash")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tokenizer", default="standard", choices=["standard", "whitespace", "words", "code"])
+    p.add_argument("--shingle", type=int, default=1, help="w-shingle size before minhash")
+    p.add_argument("--concurrency", type=int, default=None, help="max signature actors (default: cpus)")
+
+
+def _configs(args):
+    from . import LSHConfig, MinHashConfig, PipelineConfig
+
+    mh = MinHashConfig(
+        num_of_hash=args.num_of_hash,
+        bit=args.bit,
+        seed=args.seed,
+        tokenizer=args.tokenizer,
+        shingle=args.shingle,
+        name="sig",
+    )
+    kw = {}
+    if getattr(args, "threshold", None) is not None:
+        kw["threshold"] = args.threshold
+    if getattr(args, "n_bands", None) is not None:
+        kw["n_bands"] = args.n_bands
+    lsh = LSHConfig(num_partitions=getattr(args, "num_partitions", 64), **kw)
+    conc = args.concurrency
+    if conc is None:
+        import os
+
+        conc = len(os.sched_getaffinity(0))
+    return PipelineConfig(
+        minhash=mh,
+        lsh=lsh,
+        sig_concurrency=(max(1, conc // 2), conc),
+        num_shards=getattr(args, "num_shards", 1),
+        distributed_cc=getattr(args, "distributed_cc", False),
+    )
+
+
+def cmd_sign(args) -> int:
+    from .pipelines.neardup import compute_signatures
+    from .sources.corpus import read_corpus
+
+    cfg = _configs(args)
+    ds = read_corpus(args.input)
+    sig_cols = (*cfg.keep_columns, "minhash_sig")
+    out = compute_signatures(ds, cfg, keep_columns=sig_cols)
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": out.count()}))
+    return 0
+
+
+def cmd_neardup(args) -> int:
+    from . import run_checkpointed
+
+    cfg = _configs(args)
+    manifest = run_checkpointed(args.input, args.output, cfg)
+    print(json.dumps(manifest, default=str))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="elasticsearch_minhash_ray", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_sign = sub.add_parser("sign", help="compute signatures only")
+    _add_common(p_sign)
+
+    p_nd = sub.add_parser("neardup", help="full near-dup pipeline (resumable)")
+    _add_common(p_nd)
+    p_nd.add_argument("--threshold", type=float, default=None, help="verify threshold (fraction of equal bits)")
+    p_nd.add_argument("--n-bands", type=int, default=None)
+    p_nd.add_argument("--num-partitions", type=int, default=64)
+    p_nd.add_argument("--num-shards", type=int, default=1, help="signature checkpoint shards (resume unit)")
+    p_nd.add_argument("--distributed-cc", action="store_true", help="distributed connected components")
+
+    args = parser.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    try:
+        return {"sign": cmd_sign, "neardup": cmd_neardup}[args.cmd](args)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -98,6 +98,93 @@ def cosine_near_dup_edges_brute(ds, threshold: float, id_col: str = "vec_id", ve
     return ds.map_batches(pairs, batch_format="pyarrow")
 
 
+def _kmeans_fit(sample: np.ndarray, n_lists: int, n_iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Tiny deterministic k-means (numpy, driver-side, on a SAMPLE) producing
+    the IVF coarse quantizer. Centroids are L2-normalized so list assignment
+    is argmax of dot product."""
+    rng = np.random.default_rng(seed)
+    sample = _normalize(sample)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    cent = sample[idx].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF approximate top-k: the scale path for ANN.
+
+    1. Fit ``n_lists`` coarse centroids on a driver-side SAMPLE (broadcast via
+       ray.put — tiny: n_lists x dim floats).
+    2. Each query probes its ``n_probe`` nearest lists.
+    3. Per batch, rows are scored ONLY against queries probing the row's list
+       (a (rows, nq) mask), so compute/shuffle cost drops by ~n_lists/n_probe
+       vs brute force; the final merge is the same tiny top-k reduce.
+    Recall depends on n_probe/n_lists; exact for n_probe = n_lists.
+    """
+    import ray
+
+    sample_tbl = ds.limit(sample_size).to_pandas()
+    sample = np.asarray(sample_tbl[vec_col].tolist(), dtype=np.float64)
+    cent = _kmeans_fit(sample, n_lists)
+    qn = _normalize(np.asarray(queries))
+    # lists each query probes: (nq, n_probe)
+    probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((cent, qn, probes))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cent_, qn_, probes_ = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        assign = np.argmax(m @ cent_.T, axis=1)  # (rows,) list id per row
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(qn_)):
+            mask = np.isin(assign, probes_[j])
+            if not mask.any():
+                continue
+            sims = m[mask] @ qn_[j]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, query_ids[j], dtype=np.int64))
+            out_v.append(ids[mask][idx])
+            out_s.append(sims[idx])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "cos_sim", "vec_id"], ascending=[True, False, True])
+    top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
 class HyperplaneLSHStage:
     """map_batches callable: sign-bit sketch of embeddings under ``n_bits``
     seeded random hyperplanes → band buckets (like simhash banding). State
