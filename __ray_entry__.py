@@ -371,6 +371,72 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=4)
 
 
+def _q_orders_by_region(sf_dir: str):
+    """Broadcast (map-side) join: orders ⨝ customer→nation→region collapsed to
+    a custkey→region lookup on the driver, ray.put once, read per task — the
+    scale pattern for small-side joins (no shuffle)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from elasticsearch_minhash_ray.stages.join import broadcast_join_column, broadcast_lookup
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = cust.merge(nat, left_on="c_nationkey", right_on="n_nationkey").merge(
+        reg, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "r_name"]]
+    ref = broadcast_lookup(dim, "c_custkey", "r_name")
+
+    orders = read_parquet_auto(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join_column(orders, ref, "o_custkey", "r_name")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("r_name", as_index=False).agg(
+            n_orders=("o_custkey", "size"), total_price=("o_totalprice", "sum")
+        )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby("r_name", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_price=("total_price", "sum")
+        )
+        out["total_price"] = out["total_price"].round(2)
+        return out
+
+    return (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("r_name")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _q_events_daily(sf_dir: str):
+    """Tumbling-window (daily) aggregate per event type; pre-aggregated per
+    batch before the tiny groupby."""
+    import pandas as pd
+
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        return batch.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum")
+        )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"), total_value=("total_value", "sum")
+        )
+        out["total_value"] = out["total_value"].round(2)
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "day"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-verifiable
@@ -398,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
+        "orders_by_region": _q_orders_by_region,
+        "events_daily": _q_events_daily,
     }
 
 
@@ -462,6 +530,20 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+        """,
+        "orders_by_region": """
+            SELECT r.r_name, count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "events_daily": """
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
         """,
         "top_docs_by_len": """
             SELECT doc_id, length(coalesce(text,'')) AS n_chars
