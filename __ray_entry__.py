@@ -143,13 +143,15 @@ def _q_events_by_type(sf_dir: str):
         Count(alias_name="n_events"), Sum("value", alias_name="total_value")
     )
 
-    def round2(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
+    def cents(batch: pa.Table) -> pa.Table:
+        # float sums differ across summation orders by ~1e-11 and round()
+        # can emit non-canonical doubles — compare in integer cents instead
         i = batch.schema.get_field_index("total_value")
-        return batch.set_column(i, "total_value", pc.round(batch["total_value"], 2))
+        v = np.asarray(batch["total_value"], dtype=np.float64)
+        col = pa.array(np.round(v * 100).astype(np.int64), pa.int64())
+        return batch.set_column(i, "total_value_cents", col)
 
-    return out.map_batches(round2, batch_format="pyarrow")
+    return out.map_batches(cents, batch_format="pyarrow")
 
 
 def _ann_queries(sf_dir: str, nq: int = 5):
@@ -400,7 +402,7 @@ def _q_orders_by_region(sf_dir: str):
         out = batch.groupby("r_name", as_index=False).agg(
             n_orders=("n_orders", "sum"), total_price=("total_price", "sum")
         )
-        out["total_price"] = out["total_price"].round(2)
+        out["total_price_cents"] = (out.pop("total_price") * 100).round().astype("int64")
         return out
 
     return (
@@ -427,7 +429,7 @@ def _q_events_daily(sf_dir: str):
         out = batch.groupby(["event_type", "day"], as_index=False).agg(
             n_events=("n_events", "sum"), total_value=("total_value", "sum")
         )
-        out["total_value"] = out["total_value"].round(2)
+        out["total_value_cents"] = (out.pop("total_value") * 100).round().astype("int64")
         return out
 
     return (
@@ -513,7 +515,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "events_by_type": """
-            SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+            SELECT event_type, count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type
         """,
         "ann_topk": """
@@ -533,7 +536,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "orders_by_region": """
             SELECT r.r_name, count(*) AS n_orders,
-                   round(sum(o.o_totalprice), 2) AS total_price
+                   CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS total_price_cents
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -541,8 +544,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r.r_name
         """,
         "events_daily": """
-            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-                   count(*) AS n_events, round(sum(value), 2) AS total_value
+            SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
         """,
         "top_docs_by_len": """
