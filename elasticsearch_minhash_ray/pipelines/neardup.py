@@ -108,10 +108,27 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairer = BucketPairer(cfg.lsh, width)
+    salted = cfg.lsh.n_salts > 1
+    if salted:
+        from ..stages.lsh import SaltHotBuckets, bucket_counts_to_driver
+
+        import ray
+
+        bands = bands.materialize()  # counted once, salted once
+        counts = bucket_counts_to_driver(bands)
+        thresh = cfg.lsh.hot_threshold or 2 * cfg.lsh.bucket_cap
+        hot = np.sort(counts.index.values[counts.values > thresh]).astype(np.int64)
+        hot_ref = ray.put(hot)
+        bands = bands.map_batches(
+            SaltHotBuckets(hot_ref, cfg.lsh.n_salts, cfg.lsh.num_partitions),
+            batch_format="pyarrow",
+        )
+    pairer = BucketPairer(cfg.lsh, width, emit_reps=salted)
     edges = bands.groupby("bucket_part").map_groups(
         lambda g, p=pairer: p(g), batch_format="pyarrow"
     )
+    if salted:
+        edges = _link_salted_reps(edges, cfg, width)
     if not dedupe:
         return edges
     deduper = EdgeDeduper()
@@ -122,6 +139,45 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
         .groupby("edge_part")
         .map_groups(lambda g, d=deduper: d(g), batch_format="pyarrow")
     )
+
+
+def _link_salted_reps(mixed, cfg: PipelineConfig, width: int):
+    """Second (tiny) pass of the salted-skew path: representative rows
+    (src == -3: one per (bucket, salt) group, carrying the unsalted bucket +
+    the rep's signature) are re-keyed by the UNSALTED bucket and pairwise
+    VERIFIED — true split families reconnect, random collisions do not.
+    Returns the plain (src, dst, sim) edge stream: verified edges + metric
+    rows from both passes."""
+    mixed = mixed.materialize()
+
+    def plain_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.not_equal(batch["src"], -3)).select(["src", "dst", "sim"])
+
+    def rep_rows(batch: pa.Table, n=cfg.lsh.num_partitions) -> pa.Table:
+        import pyarrow.compute as pc
+
+        reps = batch.filter(pc.equal(batch["src"], -3))
+        bucket = np.asarray(reps["bucket"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = (bucket.view(np.uint64) % np.uint64(n)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket_part": pa.array(part, pa.int32()),
+                "bucket": reps["bucket"].combine_chunks() if isinstance(reps["bucket"], pa.ChunkedArray) else reps["bucket"],
+                "doc_key": reps["dst"].combine_chunks() if isinstance(reps["dst"], pa.ChunkedArray) else reps["dst"],
+                "sig": reps["sig"].combine_chunks() if isinstance(reps["sig"], pa.ChunkedArray) else reps["sig"],
+            }
+        )
+
+    rep_pairer = BucketPairer(cfg.lsh, width)
+    rep_edges = (
+        mixed.map_batches(rep_rows, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(lambda g, p=rep_pairer: p(g), batch_format="pyarrow")
+    )
+    return mixed.map_batches(plain_edges, batch_format="pyarrow").union(rep_edges)
 
 
 def split_edge_metrics(edges_table: pa.Table) -> tuple[pa.Table, int]:

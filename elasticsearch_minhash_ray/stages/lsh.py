@@ -57,6 +57,20 @@ class LSHConfig:
       band rows (column ``shingles``: list<int64>, see ShingleSetStage) —
       candidates still come from the MinHash bands; verification is the true
       set similarity, threshold ``jaccard_threshold``.
+
+    ``n_salts`` — salted-key repartitioning for skewed buckets (north_rule):
+    with n_salts > 1 an exact per-bucket count pass (driver-side, bounded by
+    the band space not the row count) first finds HOT buckets (count >
+    ``hot_threshold``, default 2*bucket_cap) — the giant near-dup families of
+    vendored/boilerplate code. Hot-bucket rows re-shuffle on
+    hash(bucket, doc_key % S) so the family spreads over S groups instead of
+    hot-spotting one partition/task; per-(bucket, salt) representatives
+    (min doc_key + signature) are re-keyed by the UNSALTED bucket and
+    pairwise-VERIFIED in a second, tiny pass, reconnecting the family while
+    random-collision buckets gain no false links. Cold buckets are untouched,
+    so non-skewed recall is bit-identical to the unsalted path. Default 1
+    (off) — enable (e.g. 8-32) for corpora with families >> bucket_cap; at
+    10^12-file scale always.
     """
 
     n_bands: int = 8
@@ -65,6 +79,8 @@ class LSHConfig:
     num_partitions: int = 64  # P for the bucket shuffle; size ~4x cluster cores
     verify_mode: str = "bbit"  # "bbit" | "jaccard"
     jaccard_threshold: float = 0.8
+    n_salts: int = 1  # >1 = salted repartitioning (bbit verify mode only)
+    hot_threshold: int | None = None  # bucket size that triggers salting; default 2*bucket_cap
 
     def band_bytes(self, width: int) -> int:
         if width % self.n_bands:
@@ -135,6 +151,55 @@ class BandStage:
         return pa.table(cols)
 
 
+class SaltHotBuckets:
+    """map_batches stage of the salted-skew path: rows whose bucket is in the
+    broadcast HOT set (count > hot threshold) are re-keyed to
+    mix(bucket, doc_key % n_salts) so the giant bucket spreads over n_salts
+    shuffle groups; ``bucket_orig`` keeps the unsalted bucket for the
+    rep-link pass (-1 for unsalted rows — no rep emitted for those).
+    The hot set is tiny (bounded by the band space, <= n_bands * 2^band_bits
+    distinct buckets) and shipped once via ray.put."""
+
+    def __init__(self, hot_ref, n_salts: int, num_partitions: int):
+        self.hot_ref = hot_ref
+        self.n_salts = n_salts
+        self.num_partitions = num_partitions
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        hot = ray.get(self.hot_ref)  # sorted int64 array
+        bucket = np.asarray(batch["bucket"], dtype=np.int64)
+        keys = np.asarray(batch["doc_key"], dtype=np.int64)
+        pos = np.searchsorted(hot, bucket)
+        is_hot = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == bucket)
+        borig = np.where(is_hot, bucket, np.int64(-1))
+        with np.errstate(over="ignore"):
+            salt = (keys.view(np.uint64) % np.uint64(self.n_salts)) + np.uint64(3)
+            salted = ((bucket.view(np.uint64) ^ (salt * _HASH_MIX)) >> np.uint64(1)).view(np.int64)
+            new_bucket = np.where(is_hot, salted, bucket)
+            part = (new_bucket.view(np.uint64) % np.uint64(self.num_partitions)).astype(np.int32)
+        out = batch.drop_columns(["bucket", "bucket_part"])
+        return (
+            out.append_column("bucket_part", pa.array(part, pa.int32()))
+            .append_column("bucket", pa.array(new_bucket, pa.int64()))
+            .append_column("bucket_orig", pa.array(borig, pa.int64()))
+        )
+
+
+def bucket_counts_to_driver(bands) -> "np.ndarray":
+    """Exact per-bucket counts via per-block partial aggregation pulled to the
+    driver — bounded by the band space (n_bands * 2^band_bits keys), NOT the
+    row count, so this stays small at any corpus size for <=32-bit bands."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b, c = np.unique(np.asarray(batch["bucket"], dtype=np.int64), return_counts=True)
+        return pa.table({"bucket": pa.array(b, pa.int64()), "cnt": pa.array(c, pa.int64())})
+
+    df = bands.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return df.groupby("bucket", sort=False)["cnt"].sum()
+
+
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
@@ -151,17 +216,28 @@ class BucketPairer:
     → capped pair emission → exact b-bit verification (reference compare
     semantics incl. the length-mismatch-is-0 rule).
 
-    Output: (src:int64, dst:int64, sim:float64) with src < dst, plus one
-    metrics row per partition under doc_key sentinel columns? No — metrics are
-    separate: rows where src == -1 carry (dst=dropped_pairs) and are filtered
-    into pipeline metrics by the caller.
+    Output: (src:int64, dst:int64, sim:float64) with src < dst; rows where
+    src == -1 carry (dst=dropped_pairs) metrics and are filtered into
+    pipeline metrics by the caller.
+
+    ``emit_reps`` (salted mode, LSHConfig.n_salts > 1): additionally emits
+    one representative row per (bucket, salt) group — src=-3, dst=min
+    doc_key, bucket=unsalted bucket, sig=rep signature — for the second
+    verified rep-linking pass that reconnects salt-split buckets.
     """
 
-    def __init__(self, lsh: LSHConfig, width: int):
+    def __init__(self, lsh: LSHConfig, width: int, emit_reps: bool = False):
         self.lsh = lsh
         self.width = width
+        self.emit_reps = emit_reps
+        if emit_reps and lsh.verify_mode == "jaccard":
+            raise ValueError("n_salts > 1 currently supports verify_mode='bbit' only")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._table(
+                np.array([], np.int64), np.array([], np.int64), np.array([]), 0
+            )
         order = np.lexsort(
             (
                 batch["doc_key"].to_numpy(zero_copy_only=False),
@@ -175,6 +251,16 @@ class BucketPairer:
         # bucket boundaries
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
         ends = np.r_[starts[1:], len(buckets)]
+        reps = None
+        if self.emit_reps:
+            # sorted by (bucket, doc_key): first row of each group = min key;
+            # reps only for SALTED groups (bucket_orig >= 0 marks hot buckets)
+            borig = batch["bucket_orig"].to_numpy(zero_copy_only=False)[order]
+            rep_idx = starts[borig[starts] >= 0]
+            rep_sigs = [
+                mat[i, : lens[i]].tobytes() if lens[i] >= 0 else None for i in rep_idx
+            ]
+            reps = (doc_keys[rep_idx], borig[rep_idx], rep_sigs)
         ia_all: list[np.ndarray] = []
         ib_all: list[np.ndarray] = []
         dropped = 0
@@ -213,7 +299,9 @@ class BucketPairer:
                 ib_all.append(h[1:])
                 dropped -= len(h) - 1
         if not ia_all:
-            return _edges_table(np.array([], np.int64), np.array([], np.int64), np.array([]), 0)
+            return self._table(
+                np.array([], np.int64), np.array([], np.int64), np.array([]), 0, reps
+            )
         ia = np.concatenate(ia_all)
         ib = np.concatenate(ib_all)
         # drop self-pairs (same doc landing twice in a bucket can't happen —
@@ -240,7 +328,39 @@ class BucketPairer:
         b = doc_keys[ib[ok]]
         src = np.minimum(a, b)
         dst = np.maximum(a, b)
-        return _edges_table(src, dst, sim[ok], dropped)
+        return self._table(src, dst, sim[ok], dropped, reps)
+
+    def _table(self, src, dst, sim, dropped, reps=None) -> pa.Table:
+        tbl = _edges_table(src, dst, sim, dropped)
+        if not self.emit_reps:
+            return tbl
+        n = tbl.num_rows
+        if reps is None:
+            rep_keys, rep_bucket, rep_sigs = (
+                np.array([], np.int64), np.array([], np.int64), [],
+            )
+        else:
+            rep_keys, rep_bucket, rep_sigs = reps
+        m = len(rep_keys)
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [tbl["src"].combine_chunks(), pa.array(np.full(m, -3, np.int64), pa.int64())]
+                ),
+                "dst": pa.concat_arrays(
+                    [tbl["dst"].combine_chunks(), pa.array(rep_keys.astype(np.int64), pa.int64())]
+                ),
+                "sim": pa.concat_arrays(
+                    [tbl["sim"].combine_chunks(), pa.array(np.zeros(m), pa.float64())]
+                ),
+                "bucket": pa.concat_arrays(
+                    [pa.array(np.zeros(n, np.int64), pa.int64()), pa.array(rep_bucket.astype(np.int64), pa.int64())]
+                ),
+                "sig": pa.concat_arrays(
+                    [pa.array([None] * n, pa.binary()), pa.array(rep_sigs, pa.binary())]
+                ),
+            }
+        )
 
 
 def _edges_table(src: np.ndarray, dst: np.ndarray, sim: np.ndarray, dropped: int) -> pa.Table:

@@ -111,6 +111,29 @@ def test_skew_capped_path_same_clusters(ray_session, corpus, oracle):
     assert _cluster_partition(res.clusters) == oracle_parts
 
 
+def test_salted_repartitioning_same_clusters(ray_session, corpus, oracle):
+    """n_salts > 1 splits every bucket across salt groups (giant boilerplate
+    family included) and reconnects them through verified representative
+    links — cluster assignments must equal the unsalted oracle partition."""
+    _, oracle_parts = oracle
+    ds = rd.from_arrow(corpus.drop_columns(["doc_id", "doc_key", "content_sha256"]))
+    cfg = PipelineConfig(
+        minhash=CFG,
+        lsh=LSHConfig(num_partitions=16, n_salts=8, bucket_cap=32),
+        sig_concurrency=(1, 2),
+    )
+    res = near_dup_pipeline(ds, cfg)
+    assert _cluster_partition(res.clusters) == oracle_parts
+    # prove the hot-bucket detection actually fires on the giant family
+    from elasticsearch_minhash_ray.pipelines.neardup import compute_signatures
+    from elasticsearch_minhash_ray.stages.lsh import BandStage, bucket_counts_to_driver
+
+    sigs = compute_signatures(ds, cfg, keep_columns=("doc_key", "minhash_sig"))
+    bands = sigs.map_batches(BandStage(lsh=cfg.lsh, cfg=CFG), batch_format="pyarrow")
+    counts = bucket_counts_to_driver(bands)
+    assert (counts.values > 2 * cfg.lsh.bucket_cap).sum() > 0
+
+
 def test_distributed_cc_matches_driver(ray_session):
     rng = np.random.default_rng(3)
     # random graph with known components: 40 blobs + noise edges inside blobs
