@@ -244,6 +244,23 @@ def _q_near_dup_edges(sf_dir: str):
     )
 
 
+def _q_near_dup_clusters_distributed(sf_dir: str):
+    """Scale path: distributed min-label-propagation connected components
+    (no driver state) — same clusters as the driver union-find."""
+    from elasticsearch_minhash_ray import near_dup_pipeline
+
+    return near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg(distributed_cc=True)).clusters
+
+
+def _q_near_dup_clusters_salted(sf_dir: str):
+    """Skew path: hot-bucket salted repartitioning + verified rep links —
+    same clusters as the unsalted path."""
+    from elasticsearch_minhash_ray import LSHConfig, near_dup_pipeline
+
+    cfg = _pipeline_cfg(lsh=LSHConfig(num_partitions=16, n_salts=8))
+    return near_dup_pipeline(_corpus(sf_dir), cfg).clusters
+
+
 def _q_ngram_jaccard_clusters(sf_dir: str):
     from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
 
@@ -456,6 +473,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_edges": _q_near_dup_edges,
         "ngram_jaccard_clusters": _q_ngram_jaccard_clusters,
+        "near_dup_clusters_distributed": _q_near_dup_clusters_distributed,
+        "near_dup_clusters_salted": _q_near_dup_clusters_salted,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,
         "lang_id": _q_lang_id,

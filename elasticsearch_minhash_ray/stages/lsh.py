@@ -171,8 +171,11 @@ class SaltHotBuckets:
         hot = ray.get(self.hot_ref)  # sorted int64 array
         bucket = np.asarray(batch["bucket"], dtype=np.int64)
         keys = np.asarray(batch["doc_key"], dtype=np.int64)
-        pos = np.searchsorted(hot, bucket)
-        is_hot = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == bucket)
+        if len(hot) == 0:
+            is_hot = np.zeros(len(bucket), dtype=bool)
+        else:
+            pos = np.searchsorted(hot, bucket)
+            is_hot = (pos < len(hot)) & (hot[np.minimum(pos, len(hot) - 1)] == bucket)
         borig = np.where(is_hot, bucket, np.int64(-1))
         with np.errstate(over="ignore"):
             salt = (keys.view(np.uint64) % np.uint64(self.n_salts)) + np.uint64(3)
@@ -385,7 +388,16 @@ class EdgeDeduper:
         import pandas as pd
 
         df = batch.select(["src", "dst", "sim"]).to_pandas()
+        # metric rows (src == -1, dst = dropped count) are NOT pair keys:
+        # identical counts from different buckets must SUM, not collapse
+        metrics = df[df["src"] == -1]
+        df = df[df["src"] != -1]
         out = df.groupby(["src", "dst"], as_index=False, sort=False)["sim"].max()
+        if len(metrics):
+            out = pd.concat(
+                [out, pd.DataFrame({"src": [-1], "dst": [metrics["dst"].sum()], "sim": [0.0]})],
+                ignore_index=True,
+            )
         return pa.Table.from_pandas(out, preserve_index=False)
 
 
