@@ -86,13 +86,44 @@ class MinHasher:
     """Reusable signature computer: holds the precomputed seed vector — the
     analogue of the reference's once-per-index HashFunction[] array
     (MinHashTokenFilterFactory.java:43). Build once per actor, call per batch.
+
+    ``cache_tokens``: cross-batch token→hash-vector cache (per actor). Code
+    corpora reuse a small hot vocabulary across millions of files, so after
+    warm-up most distinct tokens per batch skip the murmur3 kernel entirely.
+    Memory = cache_tokens × k × 8 B (default 100k × 128 → ~100 MB/actor);
+    insertion stops when full (first-seen vocabulary wins). 0 disables.
     """
 
     cfg: MinHashConfig
+    cache_tokens: int = 100_000
     _seeds: np.ndarray = field(init=False, repr=False)
+    _cache: dict = field(init=False, repr=False, default_factory=dict)
 
     def __post_init__(self):
         self._seeds = seeds_u64(self.cfg.seed, self.cfg.num_of_hash)
+
+    def _hash_uniques(self, uniques) -> np.ndarray:
+        """(n_distinct, k) hash matrix, consulting the cross-batch cache."""
+        if not self.cache_tokens:
+            return hash_tokens_many_seeds(list(uniques), self._seeds)
+        k = self.cfg.num_of_hash
+        H = np.empty((len(uniques), k), dtype=np.int64)
+        cache = self._cache
+        miss_idx: list[int] = []
+        for i, tok in enumerate(uniques):
+            row = cache.get(tok)
+            if row is None:
+                miss_idx.append(i)
+            else:
+                H[i] = row
+        if miss_idx:
+            Hm = hash_tokens_many_seeds([uniques[i] for i in miss_idx], self._seeds)
+            room = self.cache_tokens - len(cache)
+            for j, i in enumerate(miss_idx):
+                H[i] = Hm[j]
+                if j < room:
+                    cache[uniques[i]] = Hm[j]
+        return H
 
     # -- min-value computation ------------------------------------------------
 
@@ -118,7 +149,7 @@ class MinHasher:
         import pandas as pd
 
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-        H = hash_tokens_many_seeds(list(uniques), self._seeds)  # (n_distinct, k)
+        H = self._hash_uniques(uniques)  # (n_distinct, k)
         # one reusable scratch buffer for the per-doc gather: a fresh
         # (tokens, k) allocation per doc costs ~5x the min itself in
         # page-fault churn at batch scale

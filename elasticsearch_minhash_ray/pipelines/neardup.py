@@ -311,10 +311,16 @@ def run_checkpointed(
             if c in sigs.schema().names
         ]
         sig_cols_keep = cols
-        tbl = _collect(
-            sigs.map_batches(lambda b, c=tuple(cols): b.select(list(c)), batch_format="pyarrow")
+        # shard concatenated + sorted + written inside a remote task — the
+        # driver never holds shard data (shard = the worker-memory unit)
+        ckpt.write_sorted_shard_remote(
+            sigs.map_batches(lambda b, c=tuple(cols): b.select(list(c)), batch_format="pyarrow"),
+            sdir,
+            ["doc_id"],
+            fp,
+            stage="signatures",
+            shard=i,
         )
-        ckpt.write_sorted_single_file(tbl, sdir, ["doc_id"], fp, stage="signatures", shard=i)
 
     edges_dir = os.path.join(out_dir, "edges")
     if not ckpt.is_complete(edges_dir, fp):

@@ -18,6 +18,10 @@ per shard so an interrupted+resumed run is byte-identical to an uninterrupted
 one (FIXTURES.md F-RESUME). The shard is the parallel unit — sizing shards
 (``num_shards``) keeps single-file writes small while the rest of the
 pipeline runs at full width.
+
+Paths use the local filesystem API (os.makedirs / os.replace atomic publish);
+on a multi-node cluster point ``out_dir`` at shared storage (NFS) or swap the
+writers for pyarrow.fs-based ones — the lineage protocol is unchanged.
 """
 
 from __future__ import annotations
@@ -82,3 +86,25 @@ def write_sorted_single_file(table, stage_dir: str, sort_keys: list[str], fp: st
     pq.write_table(table, tmp)
     os.replace(tmp, os.path.join(stage_dir, "data.parquet"))
     mark_complete(stage_dir, fp, rows=len(table), **meta)
+
+
+def write_sorted_shard_remote(ds, stage_dir: str, sort_keys: list[str], fp: str, **meta: Any):
+    """Scale-safe variant of :func:`write_sorted_single_file`: the shard's
+    blocks are concatenated + sorted + written inside ONE REMOTE TASK (a
+    worker holds one shard, never the driver). The shard is the memory unit —
+    size ``num_shards`` so a shard fits a worker's heap. Blocks stream
+    worker→worker through the object store; the driver only passes refs."""
+    import ray
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def _write(stage_dir, sort_keys, fp, meta, *tables):
+        import pyarrow as pa
+
+        tables = [t for t in tables if t.num_columns > 0]
+        table = pa.concat_tables(tables) if tables else pa.table({})
+        write_sorted_single_file(table, stage_dir, sort_keys, fp, **meta)
+        return len(table)
+
+    return ray.get(_write.remote(stage_dir, sort_keys, fp, meta, *refs))
