@@ -320,9 +320,15 @@ class BucketPairer:
             sim = np.empty(len(ia), dtype=np.float64)
             for j, (x, y) in enumerate(zip(ia, ib)):
                 a, b = sh[x], sh[y]
-                inter = len(np.intersect1d(a, b, assume_unique=True))
+                if len(a) == 0 or len(b) == 0:
+                    sim[j] = 1.0 if len(a) == len(b) else 0.0
+                    continue
+                # sets are sorted-unique (ShingleSetStage): membership via
+                # binary search, ~4x cheaper than intersect1d's re-sort
+                pos = np.searchsorted(a, b)
+                inter = int(np.count_nonzero(a[np.minimum(pos, len(a) - 1)] == b))
                 union = len(a) + len(b) - inter
-                sim[j] = inter / union if union else 1.0
+                sim[j] = inter / union
             ok = sim >= self.lsh.jaccard_threshold
         else:
             sim = compare_many(mat[ia], mat[ib], lens[ia], lens[ib], self.width)
