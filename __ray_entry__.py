@@ -456,6 +456,34 @@ def _q_events_daily(sf_dir: str):
     )
 
 
+def _q_user_sessions(sf_dir: str):
+    """Gap-based sessionization (30-min inactivity window) per user — the
+    stateful-window operator pattern: hash-partition by user, full per-user
+    history co-located, vectorized gap detection inside the partition."""
+    import pandas as pd
+
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def part_key(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["part"] = (batch["user_id"] % 16).astype("int32")
+        return batch
+
+    def sessions(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(["user_id", "ts"])
+        new_user = batch["user_id"].ne(batch["user_id"].shift())
+        gap = batch["ts"].diff() > pd.Timedelta(minutes=30)
+        is_new = (new_user | gap).astype("int64")
+        return batch.assign(is_new=is_new).groupby("user_id", as_index=False).agg(
+            n_sessions=("is_new", "sum"), n_events=("ts", "size")
+        )
+
+    return (
+        ds.map_batches(part_key, batch_format="pandas")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # SQL-verifiable
@@ -486,6 +514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_region": _q_orders_by_region,
+        "user_sessions": _q_user_sessions,
         "events_daily": _q_events_daily,
     }
 
@@ -552,6 +581,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+        """,
+        "user_sessions": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            ),
+            s AS (
+                SELECT user_id,
+                       CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS is_new
+                FROM e
+            )
+            SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id
         """,
         "orders_by_region": """
             SELECT r.r_name, count(*) AS n_orders,
