@@ -52,6 +52,9 @@ HEADLINE = [
     "simhash_near_dup",
     "docs_by_lang",
     "events_by_type",
+    "orders_by_region",
+    "user_sessions",
+    "events_daily",
 ]
 
 
