@@ -147,3 +147,52 @@ def test_tokenizers():
     assert shingle([], 3) == []
     sh = get_tokenizer("whitespace", shingle_n=2)
     assert sh("a b c") == ["a b", "b c"]
+
+
+# ---------------------------------------------------------------------------
+# property-based conformance (hypothesis): vectorized kernel == scalar spec
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_token = st.text(
+    alphabet=st.characters(codec="utf-16-le", exclude_categories=["Cs"]),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(tokens=st.lists(_token, min_size=1, max_size=12), seed=st.integers(-(2**31), 2**31 - 1))
+def test_vectorized_murmur3_matches_scalar_spec(tokens, seed):
+    """hash_tokens_many_seeds == Guava-semantics scalar reference for
+    arbitrary unicode tokens (incl. empty, astral, multi-block lengths)."""
+    seeds = seeds_u64(seed, 3)
+    H = hash_tokens_many_seeds(tokens, seeds)
+    for i, tok in enumerate(tokens):
+        data = tok.encode("utf-16-le")
+        for j, s in enumerate([seed, seed + 1, seed + 2]):
+            assert H[i, j] == murmur3_h1_scalar(data, s), (tok, s)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tokens=st.lists(st.text(alphabet="abcdefgh ", min_size=1, max_size=8), min_size=1, max_size=20),
+    k=st.sampled_from([8, 32, 128]),
+    b=st.sampled_from([1, 2, 4]),
+    seed=st.integers(0, 10_000),
+)
+def test_signature_properties(tokens, k, b, seed):
+    """Order/multiplicity invariance + determinism for arbitrary configs."""
+    cfg = MinHashConfig(num_of_hash=k, bit=b, seed=seed)
+    h = MinHasher(cfg, cache_tokens=0)
+    sig = h.signatures([tokens])[0]
+    # permutation invariance (min is order-free)
+    assert h.signatures([tokens[::-1]])[0] == sig
+    # duplicate tokens have no effect
+    assert h.signatures([tokens + tokens])[0] == sig
+    # cached hasher produces identical output
+    h2 = MinHasher(cfg, cache_tokens=1000)
+    assert h2.signatures([tokens])[0] == sig
+    assert h2.signatures([tokens])[0] == sig  # warm-cache path
