@@ -38,12 +38,21 @@ GOLDEN = [
     ("test 2", CFG1, "AGB9/Yen+yf/lBvJKtMdQA=="),
     ("test 2", CFG2, "8ShNb6UVCgPh16yxOd2Lew=="),
     ("test 2", CFG3, "i11gJHsY/zw="),
+    # reference README.md:69/90 Getting-Started example (default analyzer) —
+    # also pins the standard-tokenizer approximation on real prose with
+    # punctuation (trailing '.' dropped, case preserved)
+    (
+        "Fess is Java based full text search server provided as OSS product.",
+        CFG1,
+        "KV5rsUfZpcZdVojpG8mHLA==",
+    ),
 ]
 
 
 @pytest.mark.parametrize("text,cfg,want", GOLDEN)
 def test_golden_fixtures(text, cfg, want):
-    sig = MinHasher(cfg).signatures([text.split()])[0]
+    tok = get_tokenizer(cfg.tokenizer)
+    sig = MinHasher(cfg).signatures([tok(text)])[0]
     assert to_base64(sig) == want
 
 
