@@ -261,6 +261,15 @@ def _q_near_dup_clusters_salted(sf_dir: str):
     return near_dup_pipeline(_corpus(sf_dir), cfg).clusters
 
 
+def _q_near_dup_clusters_collapsed(sf_dir: str):
+    """Exact-signature collapse before banding (band one rep per distinct
+    signature + sim=1.0 star edges) — same clusters, band shuffle shrunk by
+    the exact-dup factor."""
+    from elasticsearch_minhash_ray import near_dup_pipeline
+
+    return near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg(collapse_exact=True)).clusters
+
+
 def _q_ngram_jaccard_clusters(sf_dir: str):
     from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
 
@@ -503,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_clusters": _q_ngram_jaccard_clusters,
         "near_dup_clusters_distributed": _q_near_dup_clusters_distributed,
         "near_dup_clusters_salted": _q_near_dup_clusters_salted,
+        "near_dup_clusters_collapsed": _q_near_dup_clusters_collapsed,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,
         "lang_id": _q_lang_id,

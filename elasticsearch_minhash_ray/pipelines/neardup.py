@@ -47,6 +47,15 @@ from ..state import checkpoint as ckpt
 class PipelineConfig:
     minhash: MinHashConfig = field(default_factory=MinHashConfig)
     lsh: LSHConfig = field(default_factory=LSHConfig)
+    # collapse identical signatures BEFORE banding: band only one
+    # representative per distinct signature and attach the other members via
+    # sim=1.0 star edges. Cluster assignments are provably identical (members
+    # share the rep's signature bit-for-bit, so every band/verify decision is
+    # the same) while the band shuffle shrinks by the exact-dup factor — the
+    # dominant win on vendored/boilerplate-heavy code corpora. Off by default
+    # because it changes the EDGE LIST representation (star instead of
+    # clique for exact-dup families).
+    collapse_exact: bool = False
     # None = whole-block batches (blocks are already size-bounded by
     # read_parquet_auto; slicing them further only adds python overhead)
     batch_size: int | None = None
@@ -141,6 +150,80 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
     )
 
 
+def collapse_exact_signatures(sig_ds, cfg: PipelineConfig):
+    """(reps, star_edges): one representative (min doc_key) per DISTINCT
+    signature + sim=1.0 edges rep→member for the collapsed rows.
+
+    Partition key = first 8 signature bytes (already a uniform hash) % P, so
+    identical signatures co-locate without an extra hash pass; per-partition
+    grouping is a vectorized sort + boundary scan."""
+    from ..stages.signature import sig_matrix
+
+    sig_col = f"minhash_{cfg.minhash.name}"
+    width = cfg.minhash.full_width
+    P = cfg.lsh.num_partitions
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        mat, _lens = sig_matrix(batch[sig_col], width)
+        key = mat[:, :8].copy().view(np.uint64).ravel()
+        part = (key % np.uint64(P)).astype(np.int32)
+        return batch.append_column("sig_part", pa.array(part, pa.int32()))
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        mat, lens = sig_matrix(batch[sig_col], width)
+        keys = batch["doc_key"].to_numpy(zero_copy_only=False)
+        # group identical signatures: sort by (sig bytes, doc_key)
+        order = np.lexsort((keys, lens, *[mat[:, i] for i in range(width - 1, -1, -1)]))
+        mat, lens, keys = mat[order], lens[order], keys[order]
+        same = (mat[1:] == mat[:-1]).all(axis=1) & (lens[1:] == lens[:-1])
+        starts = np.flatnonzero(np.r_[True, ~same])
+        group_of = np.cumsum(np.r_[True, ~same]) - 1
+        rep_keys = keys[starts]  # min doc_key per group (sorted within group)
+        is_rep = np.zeros(len(keys), dtype=bool)
+        is_rep[starts] = True
+        sig_arr = batch[sig_col]
+        if isinstance(sig_arr, pa.ChunkedArray):
+            sig_arr = sig_arr.combine_chunks()
+        return pa.table(
+            {
+                "doc_key": pa.array(keys, pa.int64()),
+                sig_col: sig_arr.take(pa.array(order)),
+                "rep_key": pa.array(rep_keys[group_of], pa.int64()),
+                "is_rep": pa.array(is_rep),
+            }
+        )
+
+    grouped = (
+        sig_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("sig_part")
+        .map_groups(collapse, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def reps(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(batch["is_rep"]).select(["doc_key", sig_col])
+
+    def stars(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.invert(batch["is_rep"]))
+        n = m.num_rows
+        return pa.table(
+            {
+                "src": m["rep_key"].combine_chunks() if isinstance(m["rep_key"], pa.ChunkedArray) else m["rep_key"],
+                "dst": m["doc_key"].combine_chunks() if isinstance(m["doc_key"], pa.ChunkedArray) else m["doc_key"],
+                "sim": pa.array(np.ones(n), pa.float64()),
+            }
+        )
+
+    return (
+        grouped.map_batches(reps, batch_format="pyarrow"),
+        grouped.map_batches(stars, batch_format="pyarrow"),
+    )
+
+
 def _link_salted_reps(mixed, cfg: PipelineConfig, width: int):
     """Second (tiny) pass of the salted-skew path: representative rows
     (src == -3: one per (bucket, salt) group, carrying the unsalted bucket +
@@ -213,15 +296,20 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     # num_cpus=2, 39s -> 31s at 8, on the 600k-doc bench corpus); the sort
     # shuffle right after would materialize the band rows anyway
     sigs_out = compute_signatures(corpus_ds, cfg, keep_columns=sig_cols).materialize()
+    band_input, star_edges = sigs_out, None
+    if cfg.collapse_exact:
+        band_input, star_edges = collapse_exact_signatures(sigs_out, cfg)
     if cfg.distributed_cc:
         # scale path: edges never touch the driver; full distributed dedupe +
         # metrics as an extra (small) aggregation pass
-        edges_mat = build_edges(sigs_out, cfg).materialize()
+        edges_mat = build_edges(band_input, cfg).materialize()
         edges = edges_mat.map_batches(_edges_metric_filter, batch_format="pyarrow")
         metrics_tbl = edges_mat.map_batches(
             lambda b: _metrics_rows(b), batch_format="pyarrow"
         ).to_pandas()
         dropped = int(metrics_tbl["dropped"].sum()) if len(metrics_tbl) else 0
+        if star_edges is not None:
+            edges = edges.union(star_edges)
         clusters = cluster_edges(edges, cfg)
         n_edges = edges.count()
     else:
@@ -230,9 +318,12 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
         # metrics, edge count and clusters from that single pull
         import ray.data as rd
 
-        raw = _collect(build_edges(sigs_out, cfg, dedupe=False).materialize())
+        raw = _collect(build_edges(band_input, cfg, dedupe=False).materialize())
         raw, dropped = split_edge_metrics(raw)
         edges_tbl = _dedupe_edges_table(raw)
+        if star_edges is not None:
+            parts = [t for t in (edges_tbl, _collect(star_edges)) if t.num_columns > 0]
+            edges_tbl = pa.concat_tables(parts) if parts else edges_tbl
         clusters = connected_components_driver(edges_tbl, cfg.max_driver_edges)
         n_edges = edges_tbl.num_rows
         edges = rd.from_arrow(edges_tbl)

@@ -134,6 +134,19 @@ def test_salted_repartitioning_same_clusters(ray_session, corpus, oracle):
     assert (counts.values > 2 * cfg.lsh.bucket_cap).sum() > 0
 
 
+def test_collapse_exact_same_clusters(ray_session, corpus, oracle):
+    """collapse_exact bands one rep per distinct signature + sim=1.0 star
+    edges — clusters must equal the full path exactly (members share the
+    rep's signature bit-for-bit, so every band/verify decision is identical)."""
+    _, oracle_parts = oracle
+    ds = rd.from_arrow(corpus.drop_columns(["doc_id", "doc_key", "content_sha256"]))
+    cfg = PipelineConfig(
+        minhash=CFG, lsh=LSHConfig(num_partitions=16), sig_concurrency=(1, 2), collapse_exact=True
+    )
+    res = near_dup_pipeline(ds, cfg)
+    assert _cluster_partition(res.clusters) == oracle_parts
+
+
 def test_distributed_cc_matches_driver(ray_session):
     rng = np.random.default_rng(3)
     # random graph with known components: 40 blobs + noise edges inside blobs
