@@ -178,6 +178,11 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
     Terminates when the label multiset stops changing (≤ diameter rounds).
     """
     edges = edges.materialize()  # reused every round
+    # every round pays per-block shuffle overhead; size the block count to
+    # the edge count (tiny graphs in 1 block, ~1M edges per block at scale)
+    n_edges = edges.count()
+    nblocks = max(1, min(num_partitions, n_edges // 1_000_000 + 1))
+    edges = edges.repartition(nblocks)
 
     def directed(batch: pa.Table, n=num_partitions) -> pa.Table:
         src = np.asarray(batch["src"], dtype=np.int64)
@@ -235,6 +240,10 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
             .map_groups(_min_label_per_node, batch_format="pyarrow")
             .materialize()
         )
+        # union grows the block count every round; rebound it so per-round
+        # shuffle cost stays constant across rounds
+        if labels.num_blocks() > 2 * nblocks:
+            labels = labels.repartition(nblocks).materialize()
         cur = _label_checksum(labels)
         if cur == prev:
             break
