@@ -465,6 +465,49 @@ def _q_events_daily(sf_dir: str):
     )
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary over lineitem: predicate pushed to the
+    parquet READ (row groups skipped at the source — "prune at the read"),
+    per-batch partial aggregation, tiny final groupby. Money sums compared
+    as integer cents (float summation order is nondeterministic)."""
+    import datetime
+
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cutoff = datetime.datetime(1998, 9, 2)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") <= pc.scalar(cutoff)),
+    )
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] <= cutoff]  # exact row filter on top of row-group pruning
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+
+    def final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("sum_qty", "sum"),
+            sum_base_price=("sum_base_price", "sum"),
+            count_order=("count_order", "sum"),
+        )
+        out["sum_qty"] = out["sum_qty"].round().astype("int64")
+        out["sum_base_price_cents"] = (out.pop("sum_base_price") * 100).round().astype("int64")
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def _q_user_sessions(sf_dir: str):
     """Gap-based sessionization (30-min inactivity window) per user — the
     stateful-window operator pattern: hash-partition by user, full per-user
@@ -525,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_region": _q_orders_by_region,
         "user_sessions": _q_user_sessions,
+        "pricing_summary": _q_pricing_summary,
         "events_daily": _q_events_daily,
     }
 
@@ -591,6 +635,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings e CROSS JOIN q
             )
             SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+                   count(*) AS count_order,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_cents
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "user_sessions": """
             WITH e AS (
