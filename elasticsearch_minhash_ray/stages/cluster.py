@@ -222,9 +222,25 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
                 }
             )
 
+        def as_jump_rows(batch: pa.Table, n=num_partitions) -> pa.Table:
+            # pointer-jump probe: ask the LABEL node for ITS label — rounds
+            # needed drop from O(diameter) to O(log diameter) (crucial for
+            # long near-dup chains at corpus scale)
+            node = np.asarray(batch["node"], dtype=np.int64)
+            lab = np.asarray(batch["label"], dtype=np.int64)
+            return pa.table(
+                {
+                    "key": pa.array(lab),
+                    "other": pa.array(node),
+                    "label": pa.array(np.zeros(len(node), np.int64)),
+                    "is_edge": pa.array(np.ones(len(node), bool)),
+                    "part": pa.array(_part_of(lab, n), pa.int32()),
+                }
+            )
+
         msgs = (
             labels.map_batches(as_join_rows, batch_format="pyarrow")
-            .union(edir)
+            .union(edir, labels.map_batches(as_jump_rows, batch_format="pyarrow"))
             .groupby("part")
             .map_groups(_propagate_group, batch_format="pyarrow")
         )
