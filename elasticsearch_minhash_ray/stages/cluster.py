@@ -208,6 +208,7 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
         .materialize()
     )
     prev = _label_checksum(labels)
+    converged = False
     for _ in range(max_rounds):
 
         def as_join_rows(batch: pa.Table) -> pa.Table:
@@ -262,8 +263,14 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
             labels = labels.repartition(nblocks).materialize()
         cur = _label_checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            "(graph diameter > 2^rounds?); raise max_rounds"
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(

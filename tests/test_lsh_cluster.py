@@ -180,3 +180,21 @@ def test_distributed_cc_on_real_edges(ray_session, corpus, oracle):
     )
     res = near_dup_pipeline(ds, cfg)
     assert _cluster_partition(res.clusters.to_pandas()) == oracle_parts
+
+
+def test_distributed_cc_long_chain(ray_session):
+    """A 600-node path graph (diameter 599) must converge via pointer
+    jumping in O(log n) rounds — would need 599 rounds (>> max_rounds=30)
+    with plain 1-hop propagation."""
+    n = 600
+    t = pa.table(
+        {
+            "src": pa.array(list(range(n - 1)), pa.int64()),
+            "dst": pa.array(list(range(1, n)), pa.int64()),
+        }
+    )
+    out = connected_components_distributed(
+        rd.from_arrow(t), num_partitions=4
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
