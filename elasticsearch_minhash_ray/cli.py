@@ -62,6 +62,7 @@ def _configs(args):
         lsh=lsh,
         sig_concurrency=(max(1, conc // 2), conc),
         num_shards=getattr(args, "num_shards", 1),
+        shard_by=getattr(args, "shard_by", "hash"),
         distributed_cc=getattr(args, "distributed_cc", False),
     )
 
@@ -101,6 +102,8 @@ def main(argv: list[str] | None = None) -> int:
     p_nd.add_argument("--n-bands", type=int, default=None)
     p_nd.add_argument("--num-partitions", type=int, default=64)
     p_nd.add_argument("--num-shards", type=int, default=1, help="signature checkpoint shards (resume unit)")
+    p_nd.add_argument("--shard-by", default="hash", choices=["hash", "file"],
+                      help="'file' = one shard per input parquet file (incremental ingest: appended files reuse existing checkpoints)")
     p_nd.add_argument("--distributed-cc", action="store_true", help="distributed connected components")
 
     args = parser.parse_args(argv)

@@ -61,6 +61,12 @@ class PipelineConfig:
     batch_size: int | None = None
     sig_concurrency: tuple[int, int] = (1, 32)  # autoscaling actor pool bounds
     num_shards: int = 1  # signature checkpoint granularity (resume unit)
+    # "hash": shards = hash(doc identity) % num_shards (fixed-input resume).
+    # "file": one signature shard PER INPUT PARQUET FILE — shard fingerprints
+    # cover only (config, file name, file size), so APPENDING files to the
+    # corpus directory reuses every existing signature checkpoint and only
+    # hashes the new files (incremental ingest); edges/clusters re-derive.
+    shard_by: str = "hash"
     distributed_cc: bool = False
     max_driver_edges: int = 50_000_000
     keep_columns: tuple[str, ...] = ("doc_id", "doc_key", "content_sha256", "repo", "path", "commit", "lang")
@@ -383,17 +389,48 @@ def run_checkpointed(
 
     cfg = cfg or PipelineConfig()
     input_id = input_id or corpus_path
-    fp = ckpt.fingerprint(cfg.minhash, cfg.lsh, cfg.num_shards, input_id, "v1")
 
-    sig_cols_keep = None
-    shard_dirs = [os.path.join(out_dir, "signatures", f"shard={i}") for i in range(cfg.num_shards)]
-    for i, sdir in enumerate(shard_dirs):
-        if ckpt.is_complete(sdir, fp):
+    if cfg.shard_by == "file" and os.path.isdir(corpus_path):
+        # incremental-ingest layout: one shard per input parquet file; shard
+        # fingerprints cover only (analyzer config, file name, file bytes) so
+        # appended files leave existing checkpoints valid
+        files = sorted(
+            os.path.join(corpus_path, f)
+            for f in os.listdir(corpus_path)
+            if f.endswith(".parquet")
+        )
+        sig_base = ckpt.fingerprint(cfg.minhash, "sig-v1")
+        shard_specs = [
+            (
+                os.path.join(
+                    out_dir, "signatures", f"file={os.path.splitext(os.path.basename(f))[0]}"
+                ),
+                ckpt.fingerprint(sig_base, os.path.basename(f), os.path.getsize(f)),
+                f,
+                None,
+            )
+            for f in files
+        ]
+        # downstream stages depend on the full input state
+        fp = ckpt.fingerprint(
+            cfg.minhash, cfg.lsh, [(os.path.basename(f), os.path.getsize(f)) for f in files], "v1"
+        )
+    else:
+        fp = ckpt.fingerprint(cfg.minhash, cfg.lsh, cfg.num_shards, input_id, "v1")
+        shard_specs = [
+            (os.path.join(out_dir, "signatures", f"shard={i}"), fp, corpus_path, i)
+            for i in range(cfg.num_shards)
+        ]
+
+    shard_dirs = [s[0] for s in shard_specs]
+    for i, (sdir, sfp, src, hash_shard) in enumerate(shard_specs):
+        if ckpt.is_complete(sdir, sfp):
             continue
-        ds = read_parquet_auto(corpus_path)
-        if cfg.num_shards > 1:
+        ds = read_parquet_auto(src)
+        if hash_shard is not None and cfg.num_shards > 1:
             ds = ds.map_batches(
-                lambda b, i=i, n=cfg.num_shards: _filter_shard(b, i, n), batch_format="pyarrow"
+                lambda b, i=hash_shard, n=cfg.num_shards: _filter_shard(b, i, n),
+                batch_format="pyarrow",
             )
         sigs = compute_signatures(ds, cfg)
         cols = [
@@ -401,14 +438,13 @@ def run_checkpointed(
             for c in (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
             if c in sigs.schema().names
         ]
-        sig_cols_keep = cols
         # shard concatenated + sorted + written inside a remote task — the
         # driver never holds shard data (shard = the worker-memory unit)
         ckpt.write_sorted_shard_remote(
             sigs.map_batches(lambda b, c=tuple(cols): b.select(list(c)), batch_format="pyarrow"),
             sdir,
             ["doc_id"],
-            fp,
+            sfp,
             stage="signatures",
             shard=i,
         )

@@ -107,3 +107,41 @@ def test_config_change_invalidates_checkpoint(ray_session, corpus_path, tmp_path
     run_checkpointed(corpus_path, out, other)
     after = _file_hash(os.path.join(out, "signatures/shard=0/data.parquet"))
     assert before != after  # stale checkpoint was NOT silently reused
+
+
+def test_incremental_file_shards(ray_session, tmp_path):
+    """shard_by='file': appending a new parquet file to the corpus dir reuses
+    every existing signature checkpoint (lineage untouched) and only hashes
+    the new file; edges/clusters re-derive over the grown corpus."""
+    corpus_dir = tmp_path / "corpus"
+    corpus_dir.mkdir()
+    full = code_corpus(seed=42).drop_columns(["truth_family"])
+    write_corpus(full.slice(0, 300), str(corpus_dir / "part_a.parquet"))
+    write_corpus(full.slice(300, 300), str(corpus_dir / "part_b.parquet"))
+
+    cfg = PipelineConfig(
+        minhash=MinHashConfig(name="sig"),
+        lsh=LSHConfig(num_partitions=8),
+        sig_concurrency=(1, 2),
+        shard_by="file",
+    )
+    out = str(tmp_path / "out")
+    m1 = run_checkpointed(str(corpus_dir), out, cfg)
+    assert len(m1["signatures"]) == 2
+    lineage_before = {
+        p: json.load(open(os.path.join(os.path.dirname(p), "_lineage.json")))
+        for p in m1["signatures"]
+    }
+
+    # append a third file -> rerun
+    write_corpus(full.slice(600, 300), str(corpus_dir / "part_c.parquet"))
+    m2 = run_checkpointed(str(corpus_dir), out, cfg)
+    assert len(m2["signatures"]) == 3
+    # the two original shards were NOT recomputed (identical lineage incl. timestamps)
+    for p, before in lineage_before.items():
+        after = json.load(open(os.path.join(os.path.dirname(p), "_lineage.json")))
+        assert after == before, p
+    # clusters cover the grown corpus
+    n1 = pq.read_table(m1["clusters"]).num_rows
+    n2 = pq.read_table(m2["clusters"]).num_rows
+    assert n2 >= n1
