@@ -50,7 +50,9 @@ def simhash64_docs(token_lists: list[list[str]]) -> np.ndarray:
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise Hamming distance between uint64 simhash arrays (vectorized
-    popcount via byte-view unpackbits)."""
+    byte-popcount LUT — same kernel style as minhash.compare_many)."""
+    from .minhash import _POPCNT
+
     x = (a ^ b).view(np.uint64)
     bytes_ = x.view(np.uint8).reshape(-1, 8)
-    return np.unpackbits(bytes_, axis=1).sum(axis=1).astype(np.int64)
+    return _POPCNT[bytes_].sum(axis=1, dtype=np.int64)
