@@ -612,8 +612,8 @@ def oracle_sql() -> dict[str, str]:
         "docs_by_lang": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(length(coalesce(text,''))) AS total_chars,
-                   sum(CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT)) AS total_tokens
+                   CAST(sum(length(coalesce(text,''))) AS BIGINT) AS total_chars,
+                   CAST(sum(CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT)) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
         """,
         "events_by_type": """

@@ -171,7 +171,12 @@ def collapse_exact_signatures(sig_ds, cfg: PipelineConfig):
 
     def add_part(batch: pa.Table) -> pa.Table:
         mat, _lens = sig_matrix(batch[sig_col], width)
-        key = mat[:, :8].copy().view(np.uint64).ravel()
+        # fixed 8-byte key buffer: configs with full_width < 8 (e.g.
+        # num_of_hash=32, bit=1) zero-pad instead of failing the uint64 view
+        buf = np.zeros((mat.shape[0], 8), dtype=np.uint8)
+        w = min(width, 8)
+        buf[:, :w] = mat[:, :w]
+        key = buf.view(np.uint64).ravel()
         part = (key % np.uint64(P)).astype(np.int32)
         return batch.append_column("sig_part", pa.array(part, pa.int32()))
 
@@ -293,6 +298,11 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     """In-memory (non-checkpointed) flagship pipeline; returns lazy Datasets
     plus a materialized clusters table (small: nodes-with-edges only)."""
     cfg = cfg or PipelineConfig()
+    if cfg.collapse_exact and cfg.lsh.verify_mode == "jaccard":
+        # collapse keeps only (doc_key, signature) per distinct signature;
+        # jaccard verify needs per-doc shingle sets, which identical-signature
+        # members do NOT necessarily share — the combination is unsound
+        raise ValueError("collapse_exact=True supports verify_mode='bbit' only")
     sig_cols = (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
     if cfg.lsh.verify_mode == "jaccard":
         sig_cols = (*sig_cols, "shingles")
@@ -400,21 +410,26 @@ def run_checkpointed(
             if f.endswith(".parquet")
         )
         sig_base = ckpt.fingerprint(cfg.minhash, "sig-v1")
+        # per-file fingerprint covers (config, name, size, mtime_ns) so an
+        # in-place edit that preserves byte size still invalidates the shard;
+        # appended files leave existing shards valid (incremental ingest)
+        file_ids = [
+            (os.path.basename(f), os.path.getsize(f), int(os.stat(f).st_mtime_ns))
+            for f in files
+        ]
         shard_specs = [
             (
                 os.path.join(
                     out_dir, "signatures", f"file={os.path.splitext(os.path.basename(f))[0]}"
                 ),
-                ckpt.fingerprint(sig_base, os.path.basename(f), os.path.getsize(f)),
+                ckpt.fingerprint(sig_base, *fid),
                 f,
                 None,
             )
-            for f in files
+            for f, fid in zip(files, file_ids)
         ]
         # downstream stages depend on the full input state
-        fp = ckpt.fingerprint(
-            cfg.minhash, cfg.lsh, [(os.path.basename(f), os.path.getsize(f)) for f in files], "v1"
-        )
+        fp = ckpt.fingerprint(cfg.minhash, cfg.lsh, file_ids, "v1")
     else:
         fp = ckpt.fingerprint(cfg.minhash, cfg.lsh, cfg.num_shards, input_id, "v1")
         shard_specs = [
@@ -433,11 +448,12 @@ def run_checkpointed(
                 batch_format="pyarrow",
             )
         sigs = compute_signatures(ds, cfg)
-        cols = [
-            c
-            for c in (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
-            if c in sigs.schema().names
-        ]
+        want = (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
+        if cfg.lsh.verify_mode == "jaccard":
+            # BandStage/BucketPairer need the shingle sets downstream of the
+            # checkpoint — persist them with the signatures
+            want = (*want, "shingles")
+        cols = [c for c in want if c in sigs.schema().names]
         # shard concatenated + sorted + written inside a remote task — the
         # driver never holds shard data (shard = the worker-memory unit)
         ckpt.write_sorted_shard_remote(

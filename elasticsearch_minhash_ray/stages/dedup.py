@@ -101,26 +101,35 @@ def simhash_near_dup_edges(
     bucket_cap: int = 256,
 ):
     """Edges (src, dst, hamming) between docs whose 64-bit simhash differs by
-    <= max_hamming bits. Banding: 4 disjoint 16-bit bands — any pair with
-    Hamming <= 3 collides on >= 1 band (pigeonhole); verification is exact.
+    <= max_hamming bits. Banding: the band count is DERIVED from max_hamming
+    — ``n_bands`` disjoint (64/n_bands)-bit bands guarantee (pigeonhole) that
+    any pair with Hamming <= n_bands - 1 collides on >= 1 band, so we pick the
+    smallest divisor of 64 with n_bands >= max_hamming + 1. Full recall at any
+    max_hamming <= 31 (n_bands=32 → 2-bit bands is the practical floor;
+    beyond that banding degenerates to all-pairs). Verification is exact.
     Same partition/cap scheme as the MinHash LSH stage."""
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
+    band_bits = 64 // n_bands
+    band_mask = np.uint64((1 << band_bits) - 1)
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = np.asarray(batch["simhash"], dtype=np.int64).view(np.uint64)
         keys = np.asarray(batch[key_col], dtype=np.int64)
         n = len(sig)
-        bands = np.empty((n, 4), dtype=np.uint64)
-        for b in range(4):
-            bands[:, b] = (sig >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        bands = np.empty((n, n_bands), dtype=np.uint64)
+        for b in range(n_bands):
+            bands[:, b] = (sig >> np.uint64(band_bits * b)) & band_mask
         with np.errstate(over="ignore"):
-            bucket = (bands ^ ((np.arange(4, dtype=np.uint64) + np.uint64(1)) * _MIX)) >> np.uint64(1)
+            bucket = (bands ^ ((np.arange(n_bands, dtype=np.uint64) + np.uint64(1)) * _MIX)) >> np.uint64(1)
             part = (bucket % np.uint64(num_partitions)).astype(np.int32)
         return pa.table(
             {
                 "bucket_part": pa.array(part.ravel(), pa.int32()),
                 "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
-                "doc_key": pa.array(np.repeat(keys, 4), pa.int64()),
-                "simhash": pa.array(np.repeat(sig.view(np.int64), 4), pa.int64()),
+                "doc_key": pa.array(np.repeat(keys, n_bands), pa.int64()),
+                "simhash": pa.array(np.repeat(sig.view(np.int64), n_bands), pa.int64()),
             }
         )
 

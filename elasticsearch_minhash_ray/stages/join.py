@@ -36,6 +36,13 @@ def broadcast_join_column(ds, lookup_ref, fk_col: str, out_col: str, drop_unmatc
     def add(batch: pa.Table) -> pa.Table:
         keys, vals = ray.get(lookup_ref)
         fk = np.asarray(batch[fk_col], dtype=np.int64)
+        if len(keys) == 0:
+            # empty lookup: every row is unmatched (clamped searchsorted
+            # would index keys[-1] of an empty array otherwise)
+            if drop_unmatched:
+                empty = batch.filter(pa.array(np.zeros(len(fk), dtype=bool)))
+                return empty.append_column(out_col, pa.array([], pa.string()))
+            return batch.append_column(out_col, pa.array([None] * len(fk)))
         pos = np.searchsorted(keys, fk)
         pos_c = np.minimum(pos, len(keys) - 1)
         hit = keys[pos_c] == fk

@@ -56,4 +56,4 @@ def test_sql_oracle_match(ray_session, con, name):
     ora_df = _canon(con.sql(entrymod.oracle_sql()[name]).df())
     assert list(ray_df.columns) == list(ora_df.columns), f"{name}: column names differ"
     assert len(ray_df) == len(ora_df), f"{name}: row counts differ"
-    pd.testing.assert_frame_equal(ray_df, ora_df, check_exact=True, check_dtype=False)
+    pd.testing.assert_frame_equal(ray_df, ora_df, check_exact=True, check_dtype=True)
