@@ -125,14 +125,18 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
     )
     salted = cfg.lsh.n_salts > 1
     if salted:
-        from ..stages.lsh import SaltHotBuckets, bucket_counts_to_driver
+        from ..stages.lsh import SaltHotBuckets, hot_buckets
 
         import ray
 
-        bands = bands.materialize()  # counted once, salted once
-        counts = bucket_counts_to_driver(bands)
+        # distributed heavy-hitter count: the driver pulls only the hot set
+        # (≤ rows/threshold buckets). Bands are recomputed for the salting
+        # pass rather than materialized — the input signatures are already
+        # materialized/checkpointed upstream, so the re-derivation is one
+        # cheap vectorized map over them instead of storing the n_bands×
+        # band table in the object store.
         thresh = cfg.lsh.hot_threshold or 2 * cfg.lsh.bucket_cap
-        hot = np.sort(counts.index.values[counts.values > thresh]).astype(np.int64)
+        hot = hot_buckets(bands, thresh, cfg.lsh.num_partitions)
         hot_ref = ray.put(hot)
         bands = bands.map_batches(
             SaltHotBuckets(hot_ref, cfg.lsh.n_salts, cfg.lsh.num_partitions),
@@ -146,10 +150,16 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
         edges = _link_salted_reps(edges, cfg, width)
     if not dedupe:
         return edges
+    return dedupe_edges_ds(edges, cfg.lsh.num_partitions)
+
+
+def dedupe_edges_ds(edges, num_partitions: int):
+    """Distributed distinct-(src,dst)-keep-max-sim over an edge Dataset (one
+    hash-partitioned shuffle; metric rows pass through summed)."""
     deduper = EdgeDeduper()
     return (
         edges.map_batches(
-            lambda b, n=cfg.lsh.num_partitions: add_edge_part(b, n), batch_format="pyarrow"
+            lambda b, n=num_partitions: add_edge_part(b, n), batch_format="pyarrow"
         )
         .groupby("edge_part")
         .map_groups(lambda g, d=deduper: d(g), batch_format="pyarrow")
@@ -315,10 +325,22 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     band_input, star_edges = sigs_out, None
     if cfg.collapse_exact:
         band_input, star_edges = collapse_exact_signatures(sigs_out, cfg)
-    if cfg.distributed_cc:
+    use_distributed = cfg.distributed_cc
+    raw_ds = None
+    if not use_distributed:
+        # cheap gate BEFORE anything touches the driver: count the (not yet
+        # deduped) candidate edges; above the driver budget, auto-switch to
+        # the distributed path instead of erroring (the raw count overstates
+        # true edges by ~n_bands, making the switch conservative)
+        raw_ds = build_edges(band_input, cfg, dedupe=False).materialize()
+        use_distributed = raw_ds.count() > cfg.max_driver_edges
+    if use_distributed:
         # scale path: edges never touch the driver; full distributed dedupe +
         # metrics as an extra (small) aggregation pass
-        edges_mat = build_edges(band_input, cfg).materialize()
+        if raw_ds is not None:
+            edges_mat = dedupe_edges_ds(raw_ds, cfg.lsh.num_partitions).materialize()
+        else:
+            edges_mat = build_edges(band_input, cfg).materialize()
         edges = edges_mat.map_batches(_edges_metric_filter, batch_format="pyarrow")
         metrics_tbl = edges_mat.map_batches(
             lambda b: _metrics_rows(b), batch_format="pyarrow"
@@ -326,7 +348,7 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
         dropped = int(metrics_tbl["dropped"].sum()) if len(metrics_tbl) else 0
         if star_edges is not None:
             edges = edges.union(star_edges)
-        clusters = cluster_edges(edges, cfg)
+        clusters = connected_components_distributed(edges, num_partitions=cfg.lsh.num_partitions)
         n_edges = edges.count()
     else:
         # driver CC pulls the edge table anyway — skip the distributed
@@ -334,7 +356,7 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
         # metrics, edge count and clusters from that single pull
         import ray.data as rd
 
-        raw = _collect(build_edges(band_input, cfg, dedupe=False).materialize())
+        raw = _collect(raw_ds)
         raw, dropped = split_edge_metrics(raw)
         edges_tbl = _dedupe_edges_table(raw)
         if star_edges is not None:

@@ -26,9 +26,22 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 def _stack(batch: pa.Table, col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a list/fixed_size_list column — zero-copy
+    flat-buffer reshape when row lengths are constant (the embedding case),
+    to_pylist only as the ragged fallback."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    t = arr.type
+    if pa.types.is_fixed_size_list(t):
+        vals = np.asarray(arr.values, dtype=np.float64)
+        return vals.reshape(len(arr), t.list_size)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offs = np.asarray(arr.offsets, dtype=np.int64)
+        lens = np.diff(offs)
+        if len(lens) and (lens == lens[0]).all() and lens[0] > 0:
+            vals = np.asarray(arr.values, dtype=np.float64)
+            return vals[offs[0] : offs[-1]].reshape(len(arr), int(lens[0]))
     return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
@@ -188,7 +201,12 @@ def ivf_topk(
 class HyperplaneLSHStage:
     """map_batches callable: sign-bit sketch of embeddings under ``n_bits``
     seeded random hyperplanes → band buckets (like simhash banding). State
-    (the projection matrix) built once per actor."""
+    (the projection matrix) built once per actor.
+
+    Emits ONLY (bucket_part, bucket, vec_id) band rows — 20 bytes/row. The
+    embedding itself never rides the band shuffle (it used to be repeated
+    n_bands× per row); verification re-attaches vectors in two co-partitioned
+    passes (see :func:`cosine_near_dup_edges_lsh`)."""
 
     def __init__(self, dim: int, n_bits: int = 32, n_bands: int = 4, seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 64):
         rng = np.random.default_rng(seed)
@@ -215,44 +233,73 @@ class HyperplaneLSHStage:
         with np.errstate(over="ignore"):
             bucket = (bands ^ ((np.arange(self.n_bands, dtype=np.uint64) + np.uint64(1)) * _MIX)) >> np.uint64(1)
             part = (bucket % np.uint64(self.num_partitions)).astype(np.int32)
-        # carry the normalized vector for exact verification inside the bucket
-        vecs = _normalize(m)
-        rep = np.repeat(np.arange(n), self.n_bands)
         return pa.table(
             {
                 "bucket_part": pa.array(part.ravel(), pa.int32()),
                 "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
                 "vec_id": pa.array(np.repeat(ids, self.n_bands), pa.int64()),
-                "vec": pa.array(vecs[rep].tolist(), pa.list_(pa.float64())),
             }
         )
 
 
-def cosine_near_dup_edges_lsh(ds, dim: int, threshold: float, n_bits: int = 32, n_bands: int = 4, seed: int = 17, num_partitions: int = 64, bucket_cap: int = 512):
-    """Scale path: hyperplane-LSH candidates + exact cosine verify within
-    buckets. Recall depends on (n_bits, n_bands) vs threshold — with 4 bands
-    of 8 bits, a pair at cos θ has band-collision prob (1-θ/π)^8 per band."""
-    stage = HyperplaneLSHStage(dim, n_bits, n_bands, seed, num_partitions=num_partitions)
+def _id_part(ids: np.ndarray, num_partitions: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ((ids.view(np.uint64) * _MIX) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def cosine_near_dup_edges_lsh(
+    ds,
+    dim: int,
+    threshold: float,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    seed: int = 17,
+    num_partitions: int = 64,
+    bucket_cap: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Scale path: hyperplane-LSH candidates + exact (float64) cosine verify.
+
+    Shuffle design (the 100-TB shape): the band shuffle moves 20-byte
+    (bucket, vec_id) rows — NOT the embedding — so its weight is independent
+    of dim and n_bands only multiplies the tiny key rows. Candidate pairs are
+    deduped FIRST (16-byte rows), then verified by attaching the two vectors
+    in two co-partitioned hash-join passes (vectors move exactly twice,
+    regardless of n_bands). Buckets over ``bucket_cap`` are truncated with a
+    dropped-pair METRIC row (a_id == -1, b_id = dropped count) — mirror of
+    the MinHash path's no-silent-caps rule; filter with
+    :func:`split_pair_metrics`.
+
+    Recall depends on (n_bits, n_bands) vs threshold — with 4 bands of 8
+    bits, a pair at cos θ has band-collision prob (1-θ/π)^8 per band."""
+    stage = HyperplaneLSHStage(
+        dim, n_bits, n_bands, seed, id_col=id_col, vec_col=vec_col, num_partitions=num_partitions
+    )
 
     def pair(batch: pa.Table) -> pa.Table:
         order = np.lexsort((np.asarray(batch["vec_id"]), np.asarray(batch["bucket"])))
         bucket = np.asarray(batch["bucket"])[order]
         ids = np.asarray(batch["vec_id"])[order]
-        vecs = _stack(batch, "vec")[order]
         starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
         ends = np.r_[starts[1:], len(bucket)]
         out_a, out_b = [], []
+        dropped = 0
         for s, e in zip(starts, ends):
-            m = min(e - s, bucket_cap)
+            full = e - s
+            m = min(full, bucket_cap)
+            if full > bucket_cap:
+                dropped += full * (full - 1) // 2 - m * (m - 1) // 2
             if m < 2:
                 continue
-            sub = vecs[s : s + m]
-            sims = sub @ sub.T
-            ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+            ii, jj = np.triu_indices(int(m), k=1)
             a, b = ids[s + ii], ids[s + jj]
             neq = a != b
             out_a.append(np.minimum(a[neq], b[neq]))
             out_b.append(np.maximum(a[neq], b[neq]))
+        if dropped:
+            out_a.append(np.array([-1], np.int64))
+            out_b.append(np.array([dropped], np.int64))
         if not out_a:
             return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
         return pa.table(
@@ -263,8 +310,13 @@ def cosine_near_dup_edges_lsh(ds, dim: int, threshold: float, n_bits: int = 32, 
         )
 
     def dedupe(batch: pa.Table) -> pa.Table:
-        arr = np.stack([np.asarray(batch["a_id"]), np.asarray(batch["b_id"])], axis=1)
-        arr = np.unique(arr, axis=0)
+        a = np.asarray(batch["a_id"], dtype=np.int64)
+        b = np.asarray(batch["b_id"], dtype=np.int64)
+        metric = a == -1  # dropped counts SUM, they are not pair keys
+        arr = np.unique(np.stack([a[~metric], b[~metric]], axis=1), axis=0)
+        d = int(b[metric].sum())
+        if d:
+            arr = np.concatenate([arr, np.array([[-1, d]], np.int64)])
         return pa.table({"a_id": pa.array(arr[:, 0]), "b_id": pa.array(arr[:, 1])})
 
     def add_part(batch: pa.Table, n=num_partitions) -> pa.Table:
@@ -274,7 +326,7 @@ def cosine_near_dup_edges_lsh(ds, dim: int, threshold: float, n_bits: int = 32, 
             part = (((a * _MIX) ^ b) % np.uint64(n)).astype(np.int32)
         return batch.append_column("edge_part", pa.array(part, pa.int32()))
 
-    return (
+    cand = (
         ds.map_batches(stage, batch_format="pyarrow")
         .groupby("bucket_part")
         .map_groups(pair, batch_format="pyarrow")
@@ -282,3 +334,127 @@ def cosine_near_dup_edges_lsh(ds, dim: int, threshold: float, n_bits: int = 32, 
         .groupby("edge_part")
         .map_groups(dedupe, batch_format="pyarrow")
     )
+
+    vec_type = pa.list_(pa.float64(), dim)
+
+    def vec_rows(batch: pa.Table, n=num_partitions) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        m = _normalize(_stack(batch, vec_col))
+        return pa.table(
+            {
+                "part": pa.array(_id_part(ids, n), pa.int32()),
+                "key": pa.array(ids, pa.int64()),
+                "other": pa.array(np.zeros(len(ids), np.int64), pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(m.ravel(), pa.float64()), dim),
+                "is_vec": pa.array(np.ones(len(ids), bool)),
+            }
+        )
+
+    def cand_rows_a(batch: pa.Table, n=num_partitions) -> pa.Table:
+        # join key = a_id (metric rows hash to one group and pass through)
+        a = np.asarray(batch["a_id"], dtype=np.int64)
+        b = np.asarray(batch["b_id"], dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array(_id_part(a, n), pa.int32()),
+                "key": pa.array(a, pa.int64()),
+                "other": pa.array(b, pa.int64()),
+                "vec": pa.array([None] * len(a), vec_type),
+                "is_vec": pa.array(np.zeros(len(a), bool)),
+            }
+        )
+
+    vecs = ds.map_batches(vec_rows, batch_format="pyarrow")
+
+    def attach(batch: pa.Table) -> pa.Table:
+        """Co-partitioned hash join: pair rows gain the vector of ``key``;
+        metric rows (key == -1) pass through with a null vector."""
+        is_vec = np.asarray(batch["is_vec"])
+        keys = np.asarray(batch["key"], dtype=np.int64)
+        vk = keys[is_vec]
+        vorder = np.argsort(vk)
+        vk = vk[vorder]
+        vmat = _stack(batch.filter(pa.array(is_vec)), "vec")[vorder] if is_vec.any() else np.zeros((0, dim))
+        pk = keys[~is_vec]
+        po = np.asarray(batch["other"], dtype=np.int64)[~is_vec]
+        metric = pk == -1
+        pos = np.searchsorted(vk, pk)
+        hit = (pos < len(vk)) & (vk[np.minimum(pos, max(len(vk) - 1, 0))] == pk) if len(vk) else np.zeros(len(pk), bool)
+        keep = hit | metric
+        pk, po, pos = pk[keep], po[keep], pos[keep]
+        m2 = metric[keep]
+        gathered = np.zeros((len(pk), dim))
+        if len(vk):
+            gathered[~m2] = vmat[pos[~m2]]
+        return pa.table(
+            {
+                "key": pa.array(pk, pa.int64()),
+                "other": pa.array(po, pa.int64()),
+                "vec": pa.FixedSizeListArray.from_arrays(pa.array(gathered.ravel(), pa.float64()), dim),
+                "is_metric": pa.array(m2),
+            }
+        )
+
+    joined_a = (
+        cand.map_batches(cand_rows_a, batch_format="pyarrow")
+        .union(vecs)
+        .groupby("part")
+        .map_groups(attach, batch_format="pyarrow")
+    )
+
+    def rekey_b(batch: pa.Table, n=num_partitions) -> pa.Table:
+        # second pass: join key = b_id, carried vector = vec_a
+        b = np.asarray(batch["other"], dtype=np.int64)
+        a = np.asarray(batch["key"], dtype=np.int64)
+        m = np.asarray(batch["is_metric"])
+        key = np.where(m, a, b)  # metric rows keep key=-1
+        return pa.table(
+            {
+                "part": pa.array(_id_part(key, n), pa.int32()),
+                "key": pa.array(key, pa.int64()),
+                "other": pa.array(np.where(m, b, a), pa.int64()),
+                "vec": batch["vec"].combine_chunks() if isinstance(batch["vec"], pa.ChunkedArray) else batch["vec"],
+                "is_vec": pa.array(np.zeros(len(a), bool)),
+            }
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        is_vec = np.asarray(batch["is_vec"])
+        keys = np.asarray(batch["key"], dtype=np.int64)
+        vk = keys[is_vec]
+        vorder = np.argsort(vk)
+        vk = vk[vorder]
+        vmat = _stack(batch.filter(pa.array(is_vec)), "vec")[vorder] if is_vec.any() else np.zeros((0, dim))
+        pk = keys[~is_vec]  # b_id (or -1 metric)
+        pa_id = np.asarray(batch["other"], dtype=np.int64)[~is_vec]  # a_id (or dropped count)
+        pvec = _stack(batch.filter(pa.array(~is_vec)), "vec") if (~is_vec).any() else np.zeros((0, dim))
+        metric = pk == -1
+        out_a = [pk[metric] * 0 - 1]  # -1 keys
+        out_b = [pa_id[metric]]  # dropped counts
+        if len(vk):
+            pos = np.searchsorted(vk, pk)
+            hit = (pos < len(vk)) & (vk[np.minimum(pos, len(vk) - 1)] == pk) & ~metric
+            sims = np.einsum("ij,ij->i", pvec[hit], vmat[pos[hit]])
+            ok = sims > threshold
+            out_a.append(np.minimum(pa_id[hit][ok], pk[hit][ok]))
+            out_b.append(np.maximum(pa_id[hit][ok], pk[hit][ok]))
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        o = np.lexsort((b, a))
+        return pa.table({"a_id": pa.array(a[o], pa.int64()), "b_id": pa.array(b[o], pa.int64())})
+
+    return (
+        joined_a.map_batches(rekey_b, batch_format="pyarrow")
+        .union(vecs)
+        .groupby("part")
+        .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def split_pair_metrics(pairs_table: pa.Table) -> tuple[pa.Table, int]:
+    """Split (a_id == -1) dropped-pair metric rows out of an edge table."""
+    import pyarrow.compute as pc
+
+    mask = pc.equal(pairs_table["a_id"], -1)
+    dropped = int(pc.sum(pc.if_else(mask, pairs_table["b_id"], 0)).as_py() or 0)
+    return pairs_table.filter(pc.invert(mask)), dropped

@@ -190,17 +190,44 @@ class SaltHotBuckets:
         )
 
 
-def bucket_counts_to_driver(bands) -> "np.ndarray":
-    """Exact per-bucket counts via per-block partial aggregation pulled to the
-    driver — bounded by the band space (n_bands * 2^band_bits keys), NOT the
-    row count, so this stays small at any corpus size for <=32-bit bands."""
+def hot_buckets(bands, hot_threshold: int, num_partitions: int = 64) -> np.ndarray:
+    """Distributed heavy-hitter pass: per-block partial bucket counts →
+    hash-partitioned distributed sum → filter count > hot_threshold → pull
+    ONLY the hot set. The driver never sees the full count table; what it
+    pulls is bounded by rows/hot_threshold (at most that many buckets can
+    exceed the threshold), independent of band width or corpus size.
+    Returns the sorted int64 hot-bucket array."""
 
     def partial(batch: pa.Table) -> pa.Table:
         b, c = np.unique(np.asarray(batch["bucket"], dtype=np.int64), return_counts=True)
-        return pa.table({"bucket": pa.array(b, pa.int64()), "cnt": pa.array(c, pa.int64())})
+        with np.errstate(over="ignore"):
+            part = ((b.view(np.uint64) * _HASH_MIX) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "cnt": pa.array(c, pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
 
-    df = bands.map_batches(partial, batch_format="pyarrow").to_pandas()
-    return df.groupby("bucket", sort=False)["cnt"].sum()
+    def hot_only(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["bucket", "cnt"]).to_pandas()
+        tot = df.groupby("bucket", as_index=False, sort=False)["cnt"].sum()
+        keep = tot[tot["cnt"] > hot_threshold]
+        return pa.table({"bucket": pa.array(keep["bucket"].to_numpy(np.int64), pa.int64())})
+
+    hot_tbls = (
+        bands.map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(hot_only, batch_format="pyarrow")
+        .to_arrow_refs()
+    )
+    import ray
+
+    parts = [np.asarray(t["bucket"], dtype=np.int64) for t in ray.get(hot_tbls) if t.num_columns > 0]
+    return np.sort(np.concatenate(parts)) if parts else np.array([], dtype=np.int64)
 
 
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -313,22 +340,13 @@ class BucketPairer:
         neq = doc_keys[ia] != doc_keys[ib]
         ia, ib = ia[neq], ib[neq]
         if self.lsh.verify_mode == "jaccard":
-            # exact n-gram Jaccard over sorted shingle-hash sets (carried on
-            # the band rows); candidate count is cap-bounded per bucket
-            sh = batch["shingles"].to_pylist()
-            sh = [np.asarray(sh[i], dtype=np.int64) for i in order]
-            sim = np.empty(len(ia), dtype=np.float64)
-            for j, (x, y) in enumerate(zip(ia, ib)):
-                a, b = sh[x], sh[y]
-                if len(a) == 0 or len(b) == 0:
-                    sim[j] = 1.0 if len(a) == len(b) else 0.0
-                    continue
-                # sets are sorted-unique (ShingleSetStage): membership via
-                # binary search, ~4x cheaper than intersect1d's re-sort
-                pos = np.searchsorted(a, b)
-                inter = int(np.count_nonzero(a[np.minimum(pos, len(a) - 1)] == b))
-                union = len(a) + len(b) - inter
-                sim[j] = inter / union
+            # exact n-gram Jaccard over sorted-unique shingle-hash sets,
+            # fully vectorized: flat Arrow list values + offsets (zero-copy),
+            # all pair elements tagged with a pair id, one lexsort — each
+            # value occurs at most once per side, so adjacent (pid, value)
+            # duplicates count the intersection. O(E log E) over E = total
+            # candidate elements (cap-bounded per bucket), no per-pair Python.
+            sim = _jaccard_pairs(batch["shingles"], order[ia], order[ib])
             ok = sim >= self.lsh.jaccard_threshold
         else:
             sim = compare_many(mat[ia], mat[ib], lens[ia], lens[ib], self.width)
@@ -370,6 +388,40 @@ class BucketPairer:
                 ),
             }
         )
+
+
+def _gather_ranges(starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Vectorized concatenation of index ranges [starts[i], starts[i]+lengths[i])."""
+    total = int(lengths.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    ids = np.repeat(np.arange(len(starts)), lengths)
+    cum = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    return starts[ids] + (np.arange(total, dtype=np.int64) - cum[ids])
+
+
+def _jaccard_pairs(shingles_col, xo: np.ndarray, yo: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for candidate pairs (xo[j], yo[j]) of rows in a
+    list<int64> column of sorted-unique shingle hashes. Zero-copy flat
+    values + offsets; one lexsort over all pair elements."""
+    arr = shingles_col
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.values, dtype=np.int64)
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    npairs = len(xo)
+    la = offs[xo + 1] - offs[xo]
+    lb = offs[yo + 1] - offs[yo]
+    idx = np.concatenate([_gather_ranges(offs[xo], la), _gather_ranges(offs[yo], lb)])
+    pids = np.concatenate([np.repeat(np.arange(npairs), la), np.repeat(np.arange(npairs), lb)])
+    vals = flat[idx]
+    o = np.lexsort((vals, pids))
+    v, p = vals[o], pids[o]
+    dup = (v[1:] == v[:-1]) & (p[1:] == p[:-1])
+    inter = np.bincount(p[1:][dup], minlength=npairs)
+    union = la + lb - inter
+    # both-empty → 1.0 (identical empty sets); one-empty → 0/positive = 0.0
+    return np.where(union == 0, 1.0, inter / np.maximum(union, 1))
 
 
 def _edges_table(src: np.ndarray, dst: np.ndarray, sim: np.ndarray, dropped: int) -> pa.Table:

@@ -129,6 +129,37 @@ def test_brute_force_topk_and_near_dup(ray_session):
     # LSH path finds the planted dup too (exact-dup pair always collides)
     lsh_pairs = cosine_near_dup_edges_lsh(ds, dim=16, threshold=0.99, num_partitions=4).to_pandas()
     assert (10, 50) in set(zip(lsh_pairs["a_id"], lsh_pairs["b_id"]))
+    assert (lsh_pairs["a_id"] != -1).all()  # no cap triggered → no metric rows
+
+
+def test_embedding_lsh_cap_emits_dropped_metric(ray_session):
+    """bucket_cap truncation must surface a dropped-pair count (no silent
+    caps) while still emitting the in-cap verified pairs."""
+    from elasticsearch_minhash_ray.stages.embed import (
+        cosine_near_dup_edges_lsh,
+        split_pair_metrics,
+    )
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16)
+    # 40 near-identical vectors → one giant LSH bucket in every band
+    mat = base + 1e-6 * rng.standard_normal((40, 16))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    edges = cosine_near_dup_edges_lsh(
+        rd.from_arrow(t), dim=16, threshold=0.99, num_partitions=4, bucket_cap=10
+    )
+    import ray
+
+    tbls = [t for t in ray.get(edges.to_arrow_refs()) if t.num_columns > 0]
+    pairs, dropped = split_pair_metrics(pa.concat_tables(tbls))
+    assert dropped > 0
+    assert pairs.num_rows > 0
+    assert (np.asarray(pairs["a_id"]) != -1).all()
 
 
 def test_multimodal_plumbing(ray_session):

@@ -124,14 +124,16 @@ def test_salted_repartitioning_same_clusters(ray_session, corpus, oracle):
     )
     res = near_dup_pipeline(ds, cfg)
     assert _cluster_partition(res.clusters) == oracle_parts
-    # prove the hot-bucket detection actually fires on the giant family
+    # prove the (distributed) hot-bucket detection actually fires on the
+    # giant family — the driver pulls only the hot set
     from elasticsearch_minhash_ray.pipelines.neardup import compute_signatures
-    from elasticsearch_minhash_ray.stages.lsh import BandStage, bucket_counts_to_driver
+    from elasticsearch_minhash_ray.stages.lsh import BandStage, hot_buckets
 
     sigs = compute_signatures(ds, cfg, keep_columns=("doc_key", "minhash_sig"))
     bands = sigs.map_batches(BandStage(lsh=cfg.lsh, cfg=CFG), batch_format="pyarrow")
-    counts = bucket_counts_to_driver(bands)
-    assert (counts.values > 2 * cfg.lsh.bucket_cap).sum() > 0
+    hot = hot_buckets(bands, 2 * cfg.lsh.bucket_cap, cfg.lsh.num_partitions)
+    assert len(hot) > 0
+    assert np.all(np.diff(hot) > 0)  # sorted unique (SaltHotBuckets binary-searches it)
 
 
 def test_collapse_exact_same_clusters(ray_session, corpus, oracle):
@@ -180,6 +182,21 @@ def test_distributed_cc_on_real_edges(ray_session, corpus, oracle):
     )
     res = near_dup_pipeline(ds, cfg)
     assert _cluster_partition(res.clusters.to_pandas()) == oracle_parts
+
+
+def test_auto_distributed_cc_over_edge_budget(ray_session, corpus, oracle):
+    """max_driver_edges below the candidate count must auto-switch to the
+    distributed path (no error) and produce identical clusters."""
+    _, oracle_parts = oracle
+    ds = rd.from_arrow(corpus.drop_columns(["doc_id", "doc_key", "content_sha256"]))
+    cfg = PipelineConfig(
+        minhash=CFG,
+        lsh=LSHConfig(num_partitions=16),
+        sig_concurrency=(1, 2),
+        max_driver_edges=100,  # way below the real candidate count
+    )
+    res = near_dup_pipeline(ds, cfg)
+    assert _cluster_partition(res.clusters) == oracle_parts
 
 
 def test_distributed_cc_long_chain(ray_session):
