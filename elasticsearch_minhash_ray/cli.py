@@ -30,7 +30,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-of-hash", type=int, default=128, help="k, reference 'size' param")
     p.add_argument("--bit", type=int, default=1, help="b, bits sampled per hash")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--tokenizer", default="standard", choices=["standard", "whitespace", "words", "code"])
+    p.add_argument(
+        "--tokenizer",
+        default="standard",
+        choices=["standard", "standard_regex", "whitespace", "words", "code"],
+    )
     p.add_argument("--shingle", type=int, default=1, help="w-shingle size before minhash")
     p.add_argument("--concurrency", type=int, default=None, help="max signature actors (default: cpus)")
 

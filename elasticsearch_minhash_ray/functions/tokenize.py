@@ -3,9 +3,11 @@
 The reference does not hard-code a tokenizer: the analyzer chain is ES index
 configuration with the ``minhash`` filter last (reference README.md:28-42,
 MinHashTokenFilterFactory.java:47-49). The documented/tested default is the ES
-``standard`` tokenizer (UAX#29 word segmentation, no lowercasing). We mirror
-that with a pluggable registry; on the golden fixture corpus (``"test N"``)
-``whitespace`` and ``standard`` are identical, which is all the fixtures pin.
+``standard`` tokenizer (UAX#29 word segmentation, no lowercasing) — mirrored
+faithfully by :mod:`.uax29` (Han/Hiragana per-char tokens, Katakana/Hangul
+runs, mid-letter/mid-number joins, max_token_length=255), registered here as
+``standard``. ``standard_regex`` keeps the previous ASCII-oriented regex
+approximation (identical on ASCII, cheaper; NOT reference-faithful on CJK).
 
 Tokenizers are pure functions ``str -> list[str]`` built once (compiled regex)
 per actor via :func:`get_tokenizer`; an optional ``shingle(n)`` wrapper mirrors
@@ -33,6 +35,13 @@ _WS_RE = re.compile(r"\S+")
 
 
 def tokenize_standard(text: str) -> list[str]:
+    """ES/Lucene ``standard`` tokenizer: UAX#29 word segmentation (see uax29.py)."""
+    from .uax29 import tokenize_uax29
+
+    return tokenize_uax29(text)
+
+
+def tokenize_standard_regex(text: str) -> list[str]:
     return _STANDARD_RE.findall(text)
 
 
@@ -50,6 +59,7 @@ def tokenize_code(text: str) -> list[str]:
 
 _REGISTRY: dict[str, Tokenizer] = {
     "standard": tokenize_standard,
+    "standard_regex": tokenize_standard_regex,
     "whitespace": tokenize_whitespace,
     "words": tokenize_words,
     "code": tokenize_code,
