@@ -355,6 +355,93 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     return edges.map_batches(drop_metric_rows, batch_format="pyarrow")
 
 
+def _q_ngram_jaccard_edges(sf_dir: str):
+    """Oracle-checked n-gram Jaccard near-dup EDGES: 'words' tokenizer +
+    3-gram shingles (both exactly replicable in SQL), MinHash-LSH candidates
+    (16 x 8-bit bands: catch prob ≥ 0.9999 at J = 0.8), exact set-Jaccard
+    verify at 0.8. Edge keys map back to documents.doc_id via the corpus
+    ``path`` column; the id map is pulled to the driver (oracle-scale only —
+    the scale path keeps doc_key throughout)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
+
+    cfg = _pipeline_cfg(
+        minhash=MinHashConfig(name="sig", tokenizer="words", shingle=3),
+        lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
+    )
+    res = near_dup_pipeline(_corpus(sf_dir), cfg)
+    edges = res.edges.to_pandas()
+    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
+    key2id = dict(zip(sigs["doc_key"], sigs["path"].astype(np.int64)))
+    a = edges["src"].map(key2id).to_numpy(np.int64)
+    b = edges["dst"].map(key2id).to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "a_id": np.minimum(a, b),
+            "b_id": np.maximum(a, b),
+            "jaccard": edges["sim"].round(9),
+        }
+    )
+
+
+_GOLDEN_CONFIGS = {
+    "cfg1": {},
+    "cfg2": {"seed": 1000},
+    "cfg3": {"num_of_hash": 32, "bit": 2, "seed": 1000},
+}
+# reference MinHashPluginTest.java:163-171 expected signatures
+_GOLDEN_SIGS = [
+    ("test 1", "cfg1", "Uji99jenq7da3aNKTYc8yQ=="),
+    ("test 1", "cfg2", "fUkN7K0iiMHp1MxiGXnIaw=="),
+    ("test 1", "cfg3", "W51pEPuK8tw="),
+    ("test 2", "cfg1", "AGB9/Yen+yf/lBvJKtMdQA=="),
+    ("test 2", "cfg2", "8ShNb6UVCgPh16yxOd2Lew=="),
+    ("test 2", "cfg3", "i11gJHsY/zw="),
+]
+
+
+def _q_minhash_golden(sf_dir: str):
+    """Hard oracle for the MinHash kernel: the 6 golden (content, config)
+    fixtures from the reference test run through the REAL SignatureStage and
+    are hash-compared against the hardcoded reference signatures
+    (MinHashPluginTest.java:163-171). Ignores sf_dir by design — the fixture
+    corpus IS the reference test's corpus."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray import MinHashConfig
+    from elasticsearch_minhash_ray.stages.signature import SignatureStage
+
+    cfgs = [MinHashConfig(name=n, **kw) for n, kw in _GOLDEN_CONFIGS.items()]
+    t = pa.table({"content": pa.array(["test 1", "test 2"], pa.string())})
+    stage_kw = {
+        "configs": cfgs,
+        "content_col": "content",
+        "encode": "base64",
+        "drop_content": False,  # the fixture content IS the output key
+    }
+    ds = rd.from_arrow(t).map_batches(
+        SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=1
+    )
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        contents, names, sigs = [], [], []
+        for row in batch.to_pylist():
+            for n in _GOLDEN_CONFIGS:
+                contents.append(row["content"])
+                names.append(n)
+                sigs.append(row[f"minhash_{n}_b64"])
+        return pa.table(
+            {
+                "content": pa.array(contents, pa.string()),
+                "cfg": pa.array(names, pa.string()),
+                "sig_b64": pa.array(sigs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")
+
+
 def _q_top_docs_by_len(sf_dir: str):
     """sort + limit operator coverage; deterministic tie-break on doc_id."""
     import pandas as pd
@@ -587,6 +674,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signature_collapse": _q_signature_collapse,
         "minhash_bit_strings": _q_minhash_bit_strings,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        # SQL-verifiable (round 2): edges against exact set-Jaccard in SQL,
+        # kernel against the reference's own golden signatures
+        "ngram_jaccard_edges": _q_ngram_jaccard_edges,
+        "minhash_golden": _q_minhash_golden,
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_region": _q_orders_by_region,
@@ -707,5 +798,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS a_id, b.vec_id AS b_id
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.35
+        """,
+        # exact n-gram Jaccard ≥ 0.8 over 'words' 3-gram shingles; candidate
+        # prefilter = pairs sharing ≥1 shingle (a superset of J ≥ 0.8 > 0,
+        # so the result is exact)
+        "ngram_jaccard_edges": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) = 0 THEN []
+                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(generate_series(1, len(t)-2),
+                                              i -> array_to_string(t[i:i+2], ' ')) END) AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+            )
+            SELECT cand.a AS a_id, cand.b AS b_id,
+                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 9) AS jaccard
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.a
+            JOIN sh sb ON sb.doc_id = cand.b
+            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                  (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+        """,
+        "minhash_golden": """
+            SELECT * FROM (VALUES
+                ('test 1', 'cfg1', 'Uji99jenq7da3aNKTYc8yQ=='),
+                ('test 1', 'cfg2', 'fUkN7K0iiMHp1MxiGXnIaw=='),
+                ('test 1', 'cfg3', 'W51pEPuK8tw='),
+                ('test 2', 'cfg1', 'AGB9/Yen+yf/lBvJKtMdQA=='),
+                ('test 2', 'cfg2', '8ShNb6UVCgPh16yxOd2Lew=='),
+                ('test 2', 'cfg3', 'i11gJHsY/zw=')
+            ) AS t(content, cfg, sig_b64)
         """,
     }
