@@ -86,3 +86,21 @@ def get_tokenizer(name: str, shingle_n: int = 1) -> Tokenizer:
     if shingle_n <= 1:
         return base
     return lambda text: shingle(base(text), shingle_n)
+
+
+def get_batch_tokenizer(name: str, shingle_n: int = 1):
+    """list[str|None] -> list[list[str]] batch tokenizer (None/empty → []).
+
+    The ``standard`` tokenizer gets the vectorized whole-batch UAX#29 path
+    (one codepoint array per batch — the hot-path form for map_batches
+    stages); others map the per-doc function."""
+    if name == "standard":
+        from .uax29 import tokenize_uax29_many
+
+        base_many = tokenize_uax29_many
+    else:
+        base = get_tokenizer(name)  # raises on unknown name
+        base_many = lambda texts: [base(t) if t else [] for t in texts]  # noqa: E731
+    if shingle_n <= 1:
+        return base_many
+    return lambda texts: [shingle(toks, shingle_n) for toks in base_many(texts)]

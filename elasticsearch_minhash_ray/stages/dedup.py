@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.simhash import hamming64, simhash64_docs
-from ..functions.tokenize import get_tokenizer
+from ..functions.tokenize import get_batch_tokenizer
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -85,11 +85,11 @@ class SimHashStage:
 
     def __init__(self, content_col: str = "content", tokenizer: str = "standard", shingle: int = 1):
         self.content_col = content_col
-        self.tok = get_tokenizer(tokenizer, shingle)
+        self.tok_many = get_batch_tokenizer(tokenizer, shingle)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.content_col].to_pylist()
-        sigs = simhash64_docs([self.tok(t) if t else [] for t in texts])
+        sigs = simhash64_docs(self.tok_many(texts))
         return batch.append_column("simhash", pa.array(sigs.view(np.int64), pa.int64()))
 
 

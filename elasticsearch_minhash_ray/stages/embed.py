@@ -203,12 +203,13 @@ class HyperplaneLSHStage:
     seeded random hyperplanes → band buckets (like simhash banding). State
     (the projection matrix) built once per actor.
 
-    Emits ONLY (bucket_part, bucket, vec_id) band rows — 20 bytes/row. The
-    embedding itself never rides the band shuffle (it used to be repeated
-    n_bands× per row); verification re-attaches vectors in two co-partitioned
-    passes (see :func:`cosine_near_dup_edges_lsh`)."""
+    By default emits ONLY (bucket_part, bucket, vec_id) band rows — 20
+    bytes/row; verification re-attaches vectors in two co-partitioned passes.
+    With ``carry_vec=True`` the normalized float64 vector rides each band row
+    instead (n_bands× duplication) for in-bucket verification — see
+    :func:`cosine_near_dup_edges_lsh` for when each shape wins."""
 
-    def __init__(self, dim: int, n_bits: int = 32, n_bands: int = 4, seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 64):
+    def __init__(self, dim: int, n_bits: int = 32, n_bands: int = 4, seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 64, carry_vec: bool = False):
         rng = np.random.default_rng(seed)
         self.proj = rng.standard_normal((dim, n_bits))
         self.n_bits = n_bits
@@ -217,6 +218,8 @@ class HyperplaneLSHStage:
         self.id_col = id_col
         self.vec_col = vec_col
         self.num_partitions = num_partitions
+        self.carry_vec = carry_vec
+        self.dim = dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _stack(batch, self.vec_col)
@@ -233,13 +236,17 @@ class HyperplaneLSHStage:
         with np.errstate(over="ignore"):
             bucket = (bands ^ ((np.arange(self.n_bands, dtype=np.uint64) + np.uint64(1)) * _MIX)) >> np.uint64(1)
             part = (bucket % np.uint64(self.num_partitions)).astype(np.int32)
-        return pa.table(
-            {
-                "bucket_part": pa.array(part.ravel(), pa.int32()),
-                "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
-                "vec_id": pa.array(np.repeat(ids, self.n_bands), pa.int64()),
-            }
-        )
+        cols = {
+            "bucket_part": pa.array(part.ravel(), pa.int32()),
+            "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
+            "vec_id": pa.array(np.repeat(ids, self.n_bands), pa.int64()),
+        }
+        if self.carry_vec:
+            vecs = _normalize(m)[np.repeat(np.arange(n), self.n_bands)]
+            cols["vec"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float64()), self.dim
+            )
+        return pa.table(cols)
 
 
 def _id_part(ids: np.ndarray, num_partitions: int) -> np.ndarray:
@@ -258,21 +265,40 @@ def cosine_near_dup_edges_lsh(
     bucket_cap: int = 512,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strategy: str = "auto",
 ):
-    """Scale path: hyperplane-LSH candidates + exact (float64) cosine verify.
+    """Hyperplane-LSH candidates + exact (float64) cosine verify.
 
-    Shuffle design (the 100-TB shape): the band shuffle moves 20-byte
-    (bucket, vec_id) rows — NOT the embedding — so its weight is independent
-    of dim and n_bands only multiplies the tiny key rows. Candidate pairs are
-    deduped FIRST (16-byte rows), then verified by attaching the two vectors
-    in two co-partitioned hash-join passes (vectors move exactly twice,
-    regardless of n_bands). Buckets over ``bucket_cap`` are truncated with a
-    dropped-pair METRIC row (a_id == -1, b_id = dropped count) — mirror of
-    the MinHash path's no-silent-caps rule; filter with
-    :func:`split_pair_metrics`.
+    Two shuffle shapes, picked by ``strategy`` (the 100-TB design decision):
+
+    - ``"join"``: the band shuffle moves 20-byte (bucket, vec_id) rows — NOT
+      the embedding — candidate pairs are deduped FIRST (16-byte rows), then
+      verified by attaching the two vectors in two co-partitioned hash-join
+      passes (vectors move exactly twice, regardless of n_bands). Wins when
+      bands are SELECTIVE (high-threshold near-dup at scale: candidates ≈
+      matches), because shuffle weight ∝ candidates, not dim.
+    - ``"inplace"``: the normalized float64 vector rides each band row
+      (n_bands× duplication) and buckets verify in place with one matmul —
+      no pair shuffle at all. Wins when bands are UNSELECTIVE (low
+      threshold / narrow bands): candidate pairs >> vectors, so shipping
+      pairs would dominate shipping vectors.
+    - ``"auto"``: byte-cost comparison — expected candidate-pair traffic
+      (48 B × n_bands × n / 2^band_bits per vector) vs vector duplication
+      (8 B × dim × n_bands per vector): inplace iff n / 2^band_bits > dim/6.
+
+    Both strategies truncate buckets over ``bucket_cap`` with a dropped-pair
+    METRIC row (a_id == -1, b_id = dropped count) — mirror of the MinHash
+    path's no-silent-caps rule; filter with :func:`split_pair_metrics`.
 
     Recall depends on (n_bits, n_bands) vs threshold — with 4 bands of 8
     bits, a pair at cos θ has band-collision prob (1-θ/π)^8 per band."""
+    if strategy == "auto":
+        n = ds.count()  # parquet metadata / block metadata — cheap
+        strategy = "inplace" if n / 2 ** (n_bits // n_bands) > dim / 6 else "join"
+    if strategy == "inplace":
+        return _lsh_edges_inplace(
+            ds, dim, threshold, n_bits, n_bands, seed, num_partitions, bucket_cap, id_col, vec_col
+        )
     stage = HyperplaneLSHStage(
         dim, n_bits, n_bands, seed, id_col=id_col, vec_col=vec_col, num_partitions=num_partitions
     )
@@ -448,6 +474,80 @@ def cosine_near_dup_edges_lsh(
         .union(vecs)
         .groupby("part")
         .map_groups(verify, batch_format="pyarrow")
+    )
+
+
+def _lsh_edges_inplace(
+    ds, dim, threshold, n_bits, n_bands, seed, num_partitions, bucket_cap, id_col, vec_col
+):
+    """In-bucket verification strategy: normalized float64 vectors ride the
+    band rows; each bucket verifies with one matmul; only VERIFIED pairs
+    (plus dropped-count metric rows) leave the bucket stage, then one
+    dedupe shuffle."""
+    stage = HyperplaneLSHStage(
+        dim, n_bits, n_bands, seed, id_col=id_col, vec_col=vec_col,
+        num_partitions=num_partitions, carry_vec=True,
+    )
+
+    def pair_verify(batch: pa.Table) -> pa.Table:
+        order = np.lexsort((np.asarray(batch["vec_id"]), np.asarray(batch["bucket"])))
+        bucket = np.asarray(batch["bucket"])[order]
+        ids = np.asarray(batch["vec_id"])[order]
+        vecs = _stack(batch, "vec")[order]
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        ends = np.r_[starts[1:], len(bucket)]
+        out_a, out_b = [], []
+        dropped = 0
+        for s, e in zip(starts, ends):
+            full = e - s
+            m = min(full, bucket_cap)
+            if full > bucket_cap:
+                dropped += full * (full - 1) // 2 - m * (m - 1) // 2
+            if m < 2:
+                continue
+            sub = vecs[s : s + m]
+            sims = sub @ sub.T
+            ii, jj = np.nonzero(np.triu(sims > threshold, k=1))
+            a, b = ids[s + ii], ids[s + jj]
+            neq = a != b
+            out_a.append(np.minimum(a[neq], b[neq]))
+            out_b.append(np.maximum(a[neq], b[neq]))
+        if dropped:
+            out_a.append(np.array([-1], np.int64))
+            out_b.append(np.array([dropped], np.int64))
+        if not out_a:
+            return pa.table({"a_id": pa.array([], pa.int64()), "b_id": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "a_id": pa.array(np.concatenate(out_a), pa.int64()),
+                "b_id": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a_id"], dtype=np.int64)
+        b = np.asarray(batch["b_id"], dtype=np.int64)
+        metric = a == -1
+        arr = np.unique(np.stack([a[~metric], b[~metric]], axis=1), axis=0)
+        d = int(b[metric].sum())
+        if d:
+            arr = np.concatenate([arr, np.array([[-1, d]], np.int64)])
+        return pa.table({"a_id": pa.array(arr[:, 0]), "b_id": pa.array(arr[:, 1])})
+
+    def add_part(batch: pa.Table, n=num_partitions) -> pa.Table:
+        a = np.asarray(batch["a_id"]).view(np.uint64)
+        b = np.asarray(batch["b_id"]).view(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (((a * _MIX) ^ b) % np.uint64(n)).astype(np.int32)
+        return batch.append_column("edge_part", pa.array(part, pa.int32()))
+
+    return (
+        ds.map_batches(stage, batch_format="pyarrow")
+        .groupby("bucket_part")
+        .map_groups(pair_verify, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("edge_part")
+        .map_groups(dedupe, batch_format="pyarrow")
     )
 
 

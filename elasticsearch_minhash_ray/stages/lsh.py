@@ -466,10 +466,10 @@ class ShingleSetStage:
     distinct shingle per row."""
 
     def __init__(self, content_col: str = "content", tokenizer: str = "standard", shingle_n: int = 3):
-        from ..functions.tokenize import get_tokenizer
+        from ..functions.tokenize import get_batch_tokenizer
 
         self.content_col = content_col
-        self.tok = get_tokenizer(tokenizer, shingle_n)
+        self.tok_many = get_batch_tokenizer(tokenizer, shingle_n)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -477,7 +477,7 @@ class ShingleSetStage:
         from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
 
         texts = batch[self.content_col].to_pylist()
-        toks = [self.tok(t) if t else [] for t in texts]
+        toks = self.tok_many(texts)
         flat: list[str] = []
         bounds = [0]
         for t in toks:

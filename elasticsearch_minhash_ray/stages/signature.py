@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.minhash import MinHasher, MinHashConfig, to_base64, to_bit_string
-from ..functions.tokenize import get_tokenizer
+from ..functions.tokenize import get_batch_tokenizer
 
 
 class SignatureStage:
@@ -45,9 +45,10 @@ class SignatureStage:
         self.encode = encode
         self.keep_columns = keep_columns
         self._hashers = [MinHasher(c) for c in configs]
-        # share tokenization across configs with identical analyzer settings
+        # share tokenization across configs with identical analyzer settings;
+        # batch tokenizers amortize the vectorized UAX#29 passes per BATCH
         self._tok_key = [(c.tokenizer, c.shingle) for c in configs]
-        self._tokenizers = {key: get_tokenizer(*key) for key in set(self._tok_key)}
+        self._tokenizers = {key: get_batch_tokenizer(*key) for key in set(self._tok_key)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         content = batch[self.content_col].to_pylist()
@@ -57,9 +58,8 @@ class SignatureStage:
             vals = [c if c is not None else cfg.null_value for c in content]
             valid = [i for i, v in enumerate(vals) if v is not None]
             if tkey not in token_cache:
-                tok = self._tokenizers[tkey]
                 # tokenize every row once per analyzer config (None-safe)
-                token_cache[tkey] = [tok(v) if v is not None else [] for v in vals]
+                token_cache[tkey] = self._tokenizers[tkey](vals)
             toks = token_cache[tkey]
             sigs = hasher.signatures([toks[i] for i in valid])
             col: list[bytes | None] = [None] * n

@@ -11,6 +11,20 @@ from elasticsearch_minhash_ray.functions.tokenize import get_tokenizer
 from elasticsearch_minhash_ray.functions.uax29 import tokenize_uax29
 
 
+def test_table_artifact_matches_builder():
+    """The committed _uax29_tables.npz must equal a fresh unicodedata build
+    (regenerate with functions/uax29.py:_build_tables + np.savez_compressed
+    if this fails after a Unicode data update)."""
+    import os
+
+    from elasticsearch_minhash_ray.functions import uax29
+
+    d = np.load(os.path.join(os.path.dirname(uax29.__file__), "_uax29_tables.npz"))
+    cls, word = uax29._build_tables()
+    assert np.array_equal(d["cls"], cls)
+    assert np.array_equal(d["word"], word)
+
+
 def test_es_docs_example():
     # the canonical example from the public ES standard-tokenizer docs
     assert tokenize_uax29(
