@@ -145,3 +145,51 @@ def test_incremental_file_shards(ray_session, tmp_path):
     n1 = pq.read_table(m1["clusters"]).num_rows
     n2 = pq.read_table(m2["clusters"]).num_rows
     assert n2 >= n1
+
+
+def test_checkpointed_jaccard_verify_mode(ray_session, corpus_path, tmp_path):
+    """verify_mode='jaccard' through the checkpointed path: the persisted
+    signature shards must carry the 'shingles' column so the edge stage can
+    verify (advisor finding round 1); clusters must equal the in-memory
+    pipeline's."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.pipelines.neardup import near_dup_pipeline
+    from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
+
+    cfg = PipelineConfig(
+        minhash=MinHashConfig(name="sig", shingle=3),
+        lsh=LSHConfig(num_partitions=8, verify_mode="jaccard", jaccard_threshold=0.7),
+        sig_concurrency=(1, 2),
+        num_shards=2,
+    )
+    out_dir = str(tmp_path / "jac")
+    manifest = run_checkpointed(corpus_path, out_dir, cfg)
+    # shards persisted the shingle sets
+    sig_tbl = pq.read_table(manifest["signatures"][0])
+    assert "shingles" in sig_tbl.schema.names
+    got = pq.read_table(manifest["clusters"]).to_pandas()
+    ref = near_dup_pipeline(read_parquet_auto(corpus_path), cfg).clusters
+    ref = ref if hasattr(ref, "to_pandas") else ref
+    ref = ref.to_pandas()
+    parts = lambda df: {  # noqa: E731
+        frozenset(g["doc_key"]) for _, g in df.groupby("cluster_id")
+    }
+    assert parts(got) == parts(ref)
+
+
+def test_collapse_exact_jaccard_rejected(ray_session, corpus_path):
+    """collapse_exact + jaccard verify is unsound (reps don't carry member
+    shingle sets) and must fail fast."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.pipelines.neardup import near_dup_pipeline
+    from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
+
+    cfg = PipelineConfig(
+        minhash=MinHashConfig(name="sig", shingle=3),
+        lsh=LSHConfig(num_partitions=8, verify_mode="jaccard"),
+        collapse_exact=True,
+    )
+    with pytest.raises(ValueError, match="bbit"):
+        near_dup_pipeline(read_parquet_auto(corpus_path), cfg)
