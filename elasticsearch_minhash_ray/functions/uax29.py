@@ -31,7 +31,22 @@ rare modifier-letter ALetter additions (Sk ranges) are classified Other.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
+
+# ASCII fast path: on pure-ASCII text the UAX#29 rules collapse exactly to
+# this regex — W+ runs (letters/digits/underscore; ExtendNumLet='_' joins by
+# WB13a/b) joined by single mid chars with the spec's flank constraints:
+# [.':] between LETTERS (MidNumLet/Single_Quote/MidLetter via WB6+WB7),
+# [.,;'] between DIGITS (MidNumLet/MidNum/Single_Quote via WB11+WB12).
+# Equivalence to the vectorized path is fuzz-pinned in tests.
+_ASCII_UAX29_RE = re.compile(
+    # tokens must contain >=1 alnum: a pure-underscore run (ExtendNumLet only)
+    # is a segment with no letter/digit and is dropped, like any punct segment
+    r"(?=_*[0-9A-Za-z])[0-9A-Za-z_]+"
+    r"(?:(?:(?<=[A-Za-z])[.':](?=[A-Za-z])|(?<=[0-9])[.,;'](?=[0-9]))[0-9A-Za-z_]+)*"
+)
 
 # word-break classes (table values)
 OTHER = 0
@@ -172,6 +187,8 @@ def tokenize_uax29(text: str, max_token_length: int = 255) -> list[str]:
     no lowercasing)."""
     if not text:
         return []
+    if text.isascii():  # C-speed check; code corpora are overwhelmingly ASCII
+        return _split_long(_ASCII_UAX29_RE.findall(text), max_token_length)
     o_start, o_end = _segments(text)
     out: list[str] = []
     for s, t in zip(o_start.tolist(), o_end.tolist()):
@@ -179,6 +196,18 @@ def tokenize_uax29(text: str, max_token_length: int = 255) -> list[str]:
             out.append(text[s:t])
         else:
             out.extend(text[p : min(p + max_token_length, t)] for p in range(s, t, max_token_length))
+    return out
+
+
+def _split_long(tokens: list[str], max_token_length: int) -> list[str]:
+    if all(len(t) <= max_token_length for t in tokens):
+        return tokens
+    out: list[str] = []
+    for t in tokens:
+        if len(t) <= max_token_length:
+            out.append(t)
+        else:
+            out.extend(t[p : p + max_token_length] for p in range(0, len(t), max_token_length))
     return out
 
 
@@ -195,6 +224,24 @@ def tokenize_uax29_many(texts: list[str | None], max_token_length: int = 255) ->
     out: list[list[str]] = [[] for _ in range(n_docs)]
     if not big:
         return out
+    if not big.isascii():
+        # mixed batch: regex the ASCII docs, batch the rest through the
+        # vectorized path (a zh slice must not drag every doc onto it)
+        non_ascii = [i for i, t in enumerate(clean) if t and not t.isascii()]
+        if len(non_ascii) < n_docs:
+            sub = tokenize_uax29_many([clean[i] for i in non_ascii], max_token_length)
+            for i, toks in zip(non_ascii, sub):
+                out[i] = toks
+            for i, t in enumerate(clean):
+                if t and t.isascii():
+                    out[i] = _split_long(_ASCII_UAX29_RE.findall(t), max_token_length)
+            return out
+    else:
+        # ASCII fast path (the common case for code); NUL can't join tokens
+        return [
+            _split_long(_ASCII_UAX29_RE.findall(t), max_token_length) if t else []
+            for t in clean
+        ]
     o_start, o_end = _segments(big)
     if len(o_start) == 0:
         return out

@@ -89,6 +89,37 @@ def test_registry_standard_is_uax29():
     assert legacy("中文 test") == ["中文", "test"]  # the documented approximation
 
 
+def test_ascii_fast_path_equals_vectorized():
+    """The ASCII regex fast path must produce exactly the vectorized UAX#29
+    result: fuzz over the full printable-ASCII + control-char space. The
+    vectorized path is forced by appending a non-ASCII NBSP sentinel
+    (class Other — never joins, never a token)."""
+    import random
+
+    from elasticsearch_minhash_ray.functions.uax29 import _segments
+
+    def vectorized(t):
+        segs = _segments(t)
+        return [t[s:e] for s, e in zip(*[x.tolist() for x in segs])]
+
+    random.seed(7)
+    alphabet = "abcZ019_.,;:'\"-+() \t\r\n/\\#!"
+    for _ in range(800):
+        t = "".join(random.choice(alphabet) for _ in range(random.randint(0, 60)))
+        assert tokenize_uax29(t) == vectorized(t), repr(t)
+    # targeted join/break cases
+    for t in ["a:b", "c3:p0", "1;2", "a;b", "1'2", "a'b", "a.1", "3.14", "x_y.z_w",
+              "_.a", "__", "a..b", "don't.stop,now;ok"]:
+        assert tokenize_uax29(t) == vectorized(t), repr(t)
+
+
+def test_mixed_batch_routes_both_paths():
+    from elasticsearch_minhash_ray.functions.uax29 import tokenize_uax29_many
+
+    texts = ["pure ascii text", "中文 mixed", None, "", "it's 1,000"]
+    assert tokenize_uax29_many(texts) == [tokenize_uax29(t) if t else [] for t in texts]
+
+
 def test_cjk_signature_matches_handverified_tokens():
     """Reference bit-parity precondition: the signature of CJK content under
     the default config equals the signature of its hand-verified UAX#29
