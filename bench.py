@@ -78,11 +78,13 @@ def run_flagship(corpus_path: str) -> dict:
     cfg = PipelineConfig(
         minhash=MinHashConfig(name="sig"),
         lsh=LSHConfig(num_partitions=64),
-        # half-eager pool: start cpus/2 signature actors in parallel at t0
-        # (autoscaling from 1 wasted ~30% of wall time at 32 cpus) while
-        # leaving cpu headroom for the read/band operators — a pool pinned to
-        # ALL cpus starves the rest of the pipeline and deadlocks it
-        sig_concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS),
+        # fixed full-width pool: all actors start at t0. The autoscaling
+        # (cpus/2, cpus) pool added 1.3-1.7x sig-stage variance at 8 cpus —
+        # scale-up hysteresis sometimes left it at the minimum — and the
+        # measured scheduling is clean because the signature output hits a
+        # materialize() barrier, so the only concurrent op is the read
+        # (measured: fixed 20.2s vs autoscaling 26.6s at 8 cpus, tie at 2)
+        sig_concurrency=(NUM_CPUS, NUM_CPUS),
     )
     t0 = time.perf_counter()
     corpus = read_parquet_auto(corpus_path)

@@ -14,6 +14,10 @@ Layering:
     state/      checkpoint / lineage for resumable runs
 """
 
+from ._malloc import tune_malloc
+
+tune_malloc()
+
 from .functions.minhash import MinHashConfig, MinHasher, compare, to_base64, to_bit_string
 from .pipelines.neardup import (
     LSHConfig,

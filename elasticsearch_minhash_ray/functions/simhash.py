@@ -50,9 +50,8 @@ def simhash64_docs(token_lists: list[list[str]]) -> np.ndarray:
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pairwise Hamming distance between uint64 simhash arrays (vectorized
-    byte-popcount LUT — same kernel style as minhash.compare_many)."""
-    from .minhash import _POPCNT
+    SWAR popcount — same kernel as minhash.compare_pairs)."""
+    from .minhash import popcount_u64_inplace
 
-    x = (a ^ b).view(np.uint64)
-    bytes_ = x.view(np.uint8).reshape(-1, 8)
-    return _POPCNT[bytes_].sum(axis=1, dtype=np.int64)
+    x = (a ^ b).view(np.uint64)  # fresh temp — safe to destroy in place
+    return popcount_u64_inplace(x).astype(np.int64)

@@ -30,7 +30,7 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from ..functions.minhash import MinHashConfig, compare_many
+from ..functions.minhash import MinHashConfig, compare_pairs, sig_u64
 from .signature import sig_matrix
 
 _HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -349,7 +349,10 @@ class BucketPairer:
             sim = _jaccard_pairs(batch["shingles"], order[ia], order[ib])
             ok = sim >= self.lsh.jaccard_threshold
         else:
-            sim = compare_many(mat[ia], mat[ib], lens[ia], lens[ib], self.width)
+            # u64 view + SWAR popcount: the partition's verify work is
+            # bandwidth-bound under task concurrency, so fewer/narrower
+            # gathers and fewer memory passes dominate wall time
+            sim = compare_pairs(sig_u64(mat), lens, ia, ib)
             ok = sim >= self.lsh.threshold
         a = doc_keys[ia[ok]]
         b = doc_keys[ib[ok]]
