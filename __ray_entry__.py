@@ -385,6 +385,32 @@ def _q_ngram_jaccard_edges(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard_cc(sf_dir: str):
+    """Oracle-checked connected components over the ngram_jaccard_edges
+    graph: every clustered doc labeled with the MIN doc_id of its component.
+    The SQL oracle reproduces the clustering with a recursive-CTE transitive
+    closure, so the CC operator (stages/cluster.py) itself sits under the
+    driver's value-hash check — not just the edge list it consumes."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
+
+    cfg = _pipeline_cfg(
+        minhash=MinHashConfig(name="sig", tokenizer="words", shingle=3),
+        lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
+    )
+    res = near_dup_pipeline(_corpus(sf_dir), cfg)
+    cl = res.clusters.to_pandas()
+    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
+    key2id = dict(zip(sigs["doc_key"], sigs["path"].astype(np.int64)))
+    doc_id = cl["doc_key"].map(key2id).astype(np.int64)
+    # relabel each component by its min doc_id: cluster_id is min doc_key,
+    # and doc_key order need not match doc_id order
+    lab = pd.DataFrame({"doc_id": doc_id, "c": cl["cluster_id"]})
+    lab["cluster_id"] = lab.groupby("c")["doc_id"].transform("min")
+    return lab[["doc_id", "cluster_id"]].sort_values("doc_id").reset_index(drop=True)
+
+
 _GOLDEN_CONFIGS = {
     "cfg1": {},
     "cfg2": {"seed": 1000},
@@ -677,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-verifiable (round 2): edges against exact set-Jaccard in SQL,
         # kernel against the reference's own golden signatures
         "ngram_jaccard_edges": _q_ngram_jaccard_edges,
+        "ngram_jaccard_cc": _q_ngram_jaccard_cc,
         "minhash_golden": _q_minhash_golden,
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
@@ -685,6 +712,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "events_daily": _q_events_daily,
     }
+
+
+# shared CTE chain for the n-gram Jaccard oracles: 'words' tokenization,
+# 3-gram shingling, shared-shingle candidate pairs, exact set-Jaccard >= 0.8
+_NGRAM_JACCARD_CTES = """toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(t) = 0 THEN []
+                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                          ELSE list_transform(generate_series(1, len(t)-2),
+                                              i -> array_to_string(t[i:i+2], ' ')) END) AS s
+              FROM toks
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+            ),
+            jedges AS (
+              SELECT cand.a, cand.b,
+                     round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 9) AS jaccard
+              FROM cand
+              JOIN sh sa ON sa.doc_id = cand.a
+              JOIN sh sb ON sb.doc_id = cand.b
+              WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+                    (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -802,32 +860,24 @@ def oracle_sql() -> dict[str, str]:
         # exact n-gram Jaccard ≥ 0.8 over 'words' 3-gram shingles; candidate
         # prefilter = pairs sharing ≥1 shingle (a superset of J ≥ 0.8 > 0,
         # so the result is exact)
-        "ngram_jaccard_edges": """
-            WITH toks AS (
-              SELECT doc_id, regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+') AS t
-              FROM documents
+        "ngram_jaccard_edges": f"""
+            WITH {_NGRAM_JACCARD_CTES}
+            SELECT a AS a_id, b AS b_id, jaccard FROM jedges
+        """,
+        "ngram_jaccard_cc": f"""
+            WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+            und AS (
+              SELECT a AS s, b AS d FROM jedges
+              UNION ALL
+              SELECT b, a FROM jedges
             ),
-            sh AS (
-              SELECT doc_id,
-                     list_distinct(CASE WHEN len(t) = 0 THEN []
-                          WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                          ELSE list_transform(generate_series(1, len(t)-2),
-                                              i -> array_to_string(t[i:i+2], ' ')) END) AS s
-              FROM toks
-            ),
-            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-            cand AS (
-              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+            reach(s, d) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
             )
-            SELECT cand.a AS a_id, cand.b AS b_id,
-                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-                         (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 9) AS jaccard
-            FROM cand
-            JOIN sh sa ON sa.doc_id = cand.a
-            JOIN sh sb ON sb.doc_id = cand.b
-            WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
-                  (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+            SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+            FROM reach GROUP BY s ORDER BY doc_id
         """,
         "minhash_golden": """
             SELECT * FROM (VALUES
