@@ -91,7 +91,14 @@ def run_flagship(corpus_path: str) -> dict:
     res = near_dup_pipeline(corpus, cfg)
     n_clustered = _consume(res.clusters)
     sec = time.perf_counter() - t0
-    return {"sec": sec, "n_edges": res.metrics["n_edges"], "n_clustered": n_clustered}
+    return {
+        "sec": sec,
+        "n_edges": res.metrics["n_edges"],
+        "n_clustered": n_clustered,
+        "stages": {
+            k: res.metrics[k] for k in ("sig_sec", "edges_sec", "cluster_sec") if k in res.metrics
+        },
+    }
 
 
 def main_default() -> None:
@@ -194,10 +201,13 @@ def main_scaling() -> None:
     finally:
         ray.shutdown()
 
-    runs = []
-    for cpus in pair:
-        best = None
-        for _rep in range(reps):  # best-of-N: the sandbox VM is noisy (±20%)
+    # best-of-N per point with the points INTERLEAVED (2,8,2,8,...): the
+    # sandbox VM's noise comes in multi-minute phases of hypervisor steal, so
+    # consecutive reps of one point can all land in a bad phase — interleaving
+    # gives each point a sample from each phase
+    best: dict[int, dict] = {}
+    for _rep in range(reps):
+        for cpus in pair:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--_worker", str(cpus), BENCH_CORPUS],
                 capture_output=True,
@@ -210,10 +220,12 @@ def main_scaling() -> None:
                 sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
                 raise RuntimeError(f"scaling worker (cpus={cpus}) failed")
             r = json.loads(line[-1][len("WORKER_RESULT ") :])
-            if best is None or r["sec"] < best["sec"]:
-                best = r
-        best["files_per_sec"] = round(BENCH_DOCS / best["sec"], 1)
-        runs.append(best)
+            if cpus not in best or r["sec"] < best[cpus]["sec"]:
+                best[cpus] = r
+    runs = []
+    for cpus in pair:
+        best[cpus]["files_per_sec"] = round(BENCH_DOCS / best[cpus]["sec"], 1)
+        runs.append(best[cpus])
     ratio = pair[1] / pair[0]
     eff = (runs[1]["files_per_sec"] / runs[0]["files_per_sec"]) / ratio
     ceiling = _hardware_ceiling(*pair)

@@ -307,6 +307,8 @@ def cluster_edges(edges, cfg: PipelineConfig):
 def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupResult:
     """In-memory (non-checkpointed) flagship pipeline; returns lazy Datasets
     plus a materialized clusters table (small: nodes-with-edges only)."""
+    import time as _time
+
     cfg = cfg or PipelineConfig()
     if cfg.collapse_exact and cfg.lsh.verify_mode == "jaccard":
         # collapse keeps only (doc_key, signature) per distinct signature;
@@ -316,17 +318,20 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     sig_cols = (*cfg.keep_columns, f"minhash_{cfg.minhash.name}")
     if cfg.lsh.verify_mode == "jaccard":
         sig_cols = (*sig_cols, "shingles")
+    _t0 = _time.perf_counter()
     # materialize boundary after the actor-pool stage: on small cpu budgets
     # the pinned signature actors otherwise starve the downstream band/sort
     # tasks of cpus and the whole pipeline crawls (measured 119s -> 76s at
     # num_cpus=2, 39s -> 31s at 8, on the 600k-doc bench corpus); the sort
     # shuffle right after would materialize the band rows anyway
     sigs_out = compute_signatures(corpus_ds, cfg, keep_columns=sig_cols).materialize()
+    _t_sig = _time.perf_counter()
     band_input, star_edges = sigs_out, None
     if cfg.collapse_exact:
         band_input, star_edges = collapse_exact_signatures(sigs_out, cfg)
     use_distributed = cfg.distributed_cc
     raw_ds = None
+    _t_edges = _t_sig  # set properly on each branch below
     if not use_distributed:
         # cheap gate BEFORE anything touches the driver: count the (not yet
         # deduped) candidate edges; above the driver budget, auto-switch to
@@ -334,6 +339,7 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
         # true edges by ~n_bands, making the switch conservative)
         raw_ds = build_edges(band_input, cfg, dedupe=False).materialize()
         use_distributed = raw_ds.count() > cfg.max_driver_edges
+        _t_edges = _time.perf_counter()
     if use_distributed:
         # scale path: edges never touch the driver; full distributed dedupe +
         # metrics as an extra (small) aggregation pass
@@ -341,6 +347,7 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
             edges_mat = dedupe_edges_ds(raw_ds, cfg.lsh.num_partitions).materialize()
         else:
             edges_mat = build_edges(band_input, cfg).materialize()
+        _t_edges = _time.perf_counter()
         edges = edges_mat.map_batches(_edges_metric_filter, batch_format="pyarrow")
         metrics_tbl = edges_mat.map_batches(
             lambda b: _metrics_rows(b), batch_format="pyarrow"
@@ -365,7 +372,14 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
         clusters = connected_components_driver(edges_tbl, cfg.max_driver_edges)
         n_edges = edges_tbl.num_rows
         edges = rd.from_arrow(edges_tbl)
-    metrics = {"dropped_pairs": dropped, "n_edges": n_edges}
+    metrics = {
+        "dropped_pairs": dropped,
+        "n_edges": n_edges,
+        # per-stage wall times (observability; bench surfaces these)
+        "sig_sec": round(_t_sig - _t0, 3),
+        "edges_sec": round(_t_edges - _t_sig, 3),
+        "cluster_sec": round(_time.perf_counter() - _t_edges, 3),
+    }
     return NearDupResult(signatures=sigs_out, edges=edges, clusters=clusters, metrics=metrics)
 
 

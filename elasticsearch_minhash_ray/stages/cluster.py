@@ -24,7 +24,6 @@ are excluded unless the caller unions them in.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 _MIX = np.uint64(0x2545F4914F6CDD1D)
@@ -123,6 +122,8 @@ def _init_labels(batch: pa.Table, num_partitions: int) -> pa.Table:
     """Directed edge block → partial (node, label=min neighbor∪self) rows."""
     src = np.asarray(batch["src"], dtype=np.int64)
     dst = np.asarray(batch["dst"], dtype=np.int64)
+    import pandas as pd  # lazy: keeps pandas out of every worker's package import
+
     node = np.r_[src, dst]
     nbr = np.r_[dst, src]
     df = pd.DataFrame({"node": node, "label": np.minimum(node, nbr)})

@@ -30,8 +30,8 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
-from ..functions.minhash import MinHashConfig, compare_pairs, sig_u64
-from .signature import sig_matrix
+from ..functions.minhash import MinHashConfig, PairComparer, sig_u64
+from .signature import SigMatrixBuilder, sig_matrix
 
 _HASH_MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -262,6 +262,10 @@ class BucketPairer:
         self.emit_reps = emit_reps
         if emit_reps and lsh.verify_mode == "jaccard":
             raise ValueError("n_salts > 1 currently supports verify_mode='bbit' only")
+        # scratch-buffered kernels: buffers stay empty on the driver (pickled
+        # small) and grow once inside each worker, then persist across tasks
+        self._sigb = SigMatrixBuilder()
+        self._cmp = PairComparer()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -276,7 +280,7 @@ class BucketPairer:
         )
         buckets = batch["bucket"].to_numpy(zero_copy_only=False)[order]
         doc_keys = batch["doc_key"].to_numpy(zero_copy_only=False)[order]
-        mat, lens = sig_matrix(batch["sig"], self.width)
+        mat, lens = self._sigb(batch["sig"], self.width)
         mat, lens = mat[order], lens[order]
         # bucket boundaries
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
@@ -349,10 +353,10 @@ class BucketPairer:
             sim = _jaccard_pairs(batch["shingles"], order[ia], order[ib])
             ok = sim >= self.lsh.jaccard_threshold
         else:
-            # u64 view + SWAR popcount: the partition's verify work is
-            # bandwidth-bound under task concurrency, so fewer/narrower
-            # gathers and fewer memory passes dominate wall time
-            sim = compare_pairs(sig_u64(mat), lens, ia, ib)
+            # u64 view + tiled SWAR popcount in persistent scratch: the
+            # verify work is bandwidth/page-fault-bound under task
+            # concurrency, so narrow gathers + warm reused pages dominate
+            sim = self._cmp(sig_u64(mat), lens, ia, ib)
             ok = sim >= self.lsh.threshold
         a = doc_keys[ia[ok]]
         b = doc_keys[ib[ok]]

@@ -88,6 +88,61 @@ class SignatureStage:
         return batch
 
 
+class SigMatrixBuilder:
+    """Scratch-buffered :func:`sig_matrix` for hot per-partition callers
+    (BucketPairer). Same output; all large intermediates live in grown
+    per-instance buffers so long-lived workers reuse warm pages instead of
+    faulting fresh ones every call (see PairComparer's rationale in
+    functions/minhash.py). The returned matrix is a VIEW into the scratch —
+    valid until the next call; callers copy (e.g. ``mat[order]``) before
+    holding on to it."""
+
+    def __init__(self):
+        self._cap = 0
+        self._width = -1
+
+    def _ensure(self, n: int, width: int) -> None:
+        if n > self._cap or width != self._width:
+            cap = max(n, self._cap, 1024)
+            self._idx = np.empty((cap, width), np.int64)
+            self._valid = np.empty((cap, width), bool)
+            self._mat = np.empty((cap, width), np.uint8)
+            self._lens = np.empty(cap, np.int64)
+            self._cap, self._width = cap, width
+
+    def __call__(
+        self, sig_col: pa.ChunkedArray | pa.Array, width: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        n = len(sig_col)
+        if n == 0:
+            return np.zeros((0, width), np.uint8), np.empty(0, np.int64)
+        self._ensure(n, width)
+        lens = self._lens[:n]
+        off0 = sig_col.offset
+        buffers = sig_col.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int32)[off0 : off0 + n + 1].astype(np.int64)
+        data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+        lengths = offsets[1:] - offsets[:-1]
+        np.copyto(lens, lengths)
+        if sig_col.null_count:
+            lens[np.asarray(sig_col.is_null())] = -1
+        # gather-with-clamp instead of the triple-index scatter: one (n, width)
+        # take from the data buffer + one mask multiply, all in scratch
+        idx, valid, mat = self._idx[:n], self._valid[:n], self._mat[:n]
+        col = np.arange(width, dtype=np.int64)
+        np.add(offsets[:-1, None], col[None, :], out=idx)
+        np.less(col[None, :], np.minimum(lengths, width)[:, None], out=valid)
+        np.minimum(idx, max(len(data) - 1, 0), out=idx)
+        if len(data):
+            np.take(data, idx, out=mat)
+        else:
+            mat.fill(0)
+        np.multiply(mat, valid, out=mat)
+        return mat, lens
+
+
 def sig_matrix(sig_col: pa.ChunkedArray | pa.Array, width: int) -> tuple[np.ndarray, np.ndarray]:
     """Zero-pad a (possibly truncated) binary signature column to a fixed-width
     uint8 matrix + stored-length vector — the transient padding used by the

@@ -205,3 +205,49 @@ def test_signature_properties(tokens, k, b, seed):
     h2 = MinHasher(cfg, cache_tokens=1000)
     assert h2.signatures([tokens])[0] == sig
     assert h2.signatures([tokens])[0] == sig  # warm-cache path
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n=st.integers(2, 400),
+    width=st.sampled_from([4, 5, 8, 16]),
+    seed=st.integers(0, 1000),
+)
+def test_scratch_kernels_match_plain(n, width, seed):
+    """PairComparer / SigMatrixBuilder (worker-persistent scratch buffers)
+    are drop-in equal to compare_pairs / sig_matrix for arbitrary widths,
+    truncation, nulls and empties — including repeated calls that reuse and
+    regrow the buffers."""
+    import pyarrow as pa
+
+    from elasticsearch_minhash_ray.functions.minhash import (
+        PairComparer,
+        compare_pairs,
+        sig_u64,
+    )
+    from elasticsearch_minhash_ray.stages.signature import SigMatrixBuilder, sig_matrix
+
+    rng = np.random.default_rng(seed)
+    vals = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.08:
+            vals.append(None)
+        elif r < 0.16:
+            vals.append(b"")
+        elif r < 0.3:
+            vals.append(rng.integers(0, 256, int(rng.integers(1, width))).astype(np.uint8).tobytes())
+        else:
+            vals.append(rng.integers(0, 256, width).astype(np.uint8).tobytes())
+    col = pa.array(vals, pa.binary())
+    builder = SigMatrixBuilder()
+    comparer = PairComparer(tile=64)  # tiny tile -> exercises tiling
+    for arr in (col, col.slice(1)):  # second call reuses buffers, offset view
+        m1, l1 = sig_matrix(arr, width)
+        m2, l2 = builder(arr, width)
+        assert np.array_equal(m1, m2) and np.array_equal(l1, l2)
+        mat = np.ascontiguousarray(m2)
+        ia, ib = np.triu_indices(len(l2), k=1)
+        want = compare_pairs(sig_u64(mat), l2.copy(), ia, ib)
+        got = comparer(sig_u64(mat), l2.copy(), ia, ib)
+        assert np.array_equal(want, got)
