@@ -69,6 +69,10 @@ class PipelineConfig:
     shard_by: str = "hash"
     distributed_cc: bool = False
     max_driver_edges: int = 50_000_000
+    # checkpointed-mode edges layout: <= this many rows -> one deterministic
+    # data.parquet; above it -> hash-sharded part=K/ files written worker-side
+    # (the driver never holds edge rows either way)
+    edges_rows_per_shard: int = 5_000_000
     keep_columns: tuple[str, ...] = ("doc_id", "doc_key", "content_sha256", "repo", "path", "commit", "lang")
 
 
@@ -504,30 +508,30 @@ def run_checkpointed(
     edges_dir = os.path.join(out_dir, "edges")
     if not ckpt.is_complete(edges_dir, fp):
         sig_ds = read_parquet_auto([os.path.join(d, "data.parquet") for d in shard_dirs])
-        edges_all = build_edges(sig_ds, cfg)
-        tbl = _collect(edges_all)
-        tbl = tbl.drop_columns([c for c in ("edge_part",) if c in tbl.schema.names])
-        edges_tbl, dropped = split_edge_metrics(tbl)
-        ckpt.write_sorted_single_file(
-            edges_tbl, edges_dir, ["src", "dst"], fp, stage="edges", dropped_pairs=dropped
+        edges_all = build_edges(sig_ds, cfg).map_batches(
+            # empty groups surface as zero-column blocks — pass them through,
+            # write_edges_checkpoint skips them
+            lambda b: b.select(["src", "dst", "sim"]) if b.num_columns else b,
+            batch_format="pyarrow",
         )
+        # driver-bounded write: single file below edges_rows_per_shard,
+        # hash-sharded part=K/ layout above it — never a driver pull
+        ckpt.write_edges_checkpoint(edges_all, edges_dir, fp, cfg.edges_rows_per_shard)
 
     clusters_dir = os.path.join(out_dir, "clusters")
     if not ckpt.is_complete(clusters_dir, fp):
-        import pyarrow.parquet as pq
-
-        edges_tbl = pq.read_table(os.path.join(edges_dir, "data.parquet"))
+        ed = read_parquet_auto(ckpt.edges_files(edges_dir))
         if cfg.distributed_cc:
-            ed = rd.from_arrow(edges_tbl)
             clusters = _collect(cluster_edges(ed, cfg))
         else:
-            clusters = connected_components_driver(edges_tbl, cfg.max_driver_edges)
+            # streams batches off the checkpoint files; max_driver_edges guard
+            clusters = connected_components_driver(ed, cfg.max_driver_edges)
         ckpt.write_sorted_single_file(clusters, clusters_dir, ["doc_key"], fp, stage="clusters")
 
     return {
         "fingerprint": fp,
         "signatures": [os.path.join(d, "data.parquet") for d in shard_dirs],
-        "edges": os.path.join(edges_dir, "data.parquet"),
+        "edges": ckpt.edges_files(edges_dir),
         "clusters": os.path.join(clusters_dir, "data.parquet"),
         "lineage": {
             "edges": ckpt.read_lineage(edges_dir),

@@ -108,3 +108,120 @@ def write_sorted_shard_remote(ds, stage_dir: str, sort_keys: list[str], fp: str,
         return len(table)
 
     return ray.get(_write.remote(stage_dir, sort_keys, fp, meta, *refs))
+
+
+def edges_files(stage_dir: str) -> list[str]:
+    """Data files of an edges checkpoint, single-file or sharded layout."""
+    single = os.path.join(stage_dir, "data.parquet")
+    if os.path.exists(single):
+        return [single]
+    parts = sorted(
+        d for d in os.listdir(stage_dir) if d.startswith("part=")
+    ) if os.path.isdir(stage_dir) else []
+    return [os.path.join(stage_dir, d, "data.parquet") for d in parts]
+
+
+def write_edges_checkpoint(
+    edges_ds, stage_dir: str, fp: str, rows_per_shard: int = 5_000_000
+) -> tuple[list[str], int]:
+    """Deterministic, driver-bounded edges checkpoint.
+
+    Small edge sets (<= rows_per_shard) keep the legacy single
+    ``data.parquet``; larger sets write hash-sharded ``part=K/data.parquet``
+    files, each concatenated + sorted by (src, dst) inside ONE worker task —
+    the driver never holds edge rows, and the output is partitioned so a
+    downstream consumer (or a resumed cluster job) streams it. Shard
+    assignment is a content hash of (src, dst), so resumed and uninterrupted
+    runs produce byte-identical trees regardless of block arrival order.
+
+    Metric rows (src == -1, dst = dropped-pair count) are excluded from the
+    data files; their sum lands on the stage lineage as ``dropped_pairs``.
+    Returns (data file paths, dropped_pairs).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mat = edges_ds.materialize()
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        if "src" not in batch.schema.names:  # zero-column empty-group block
+            return pa.table({"dropped": pa.array([0], pa.int64()), "rows": pa.array([0], pa.int64())})
+        mask = pc.equal(batch["src"], -1)
+        d = pc.sum(pc.if_else(mask, batch["dst"], 0)).as_py() or 0
+        return pa.table({"dropped": pa.array([int(d)], pa.int64()),
+                         "rows": pa.array([batch.num_rows - (pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)], pa.int64())})
+
+    mtbl = mat.map_batches(metrics, batch_format="pyarrow").to_pandas()
+    dropped = int(mtbl["dropped"].sum()) if len(mtbl) else 0
+    n = int(mtbl["rows"].sum()) if len(mtbl) else 0
+    shards = max(1, -(-n // rows_per_shard))
+
+    def plain(batch: pa.Table) -> pa.Table:
+        if "src" not in batch.schema.names:  # zero-column empty-group block
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+        return batch.filter(pc.not_equal(batch["src"], -1)).select(["src", "dst", "sim"])
+
+    if shards == 1:
+        import ray
+
+        refs = mat.map_batches(plain, batch_format="pyarrow").to_arrow_refs()
+
+        @ray.remote
+        def _write(stage_dir, fp, dropped, *tables):
+            tables = [t for t in tables if t.num_columns > 0]
+            table = pa.concat_tables(tables) if tables else pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
+            write_sorted_single_file(table, stage_dir, ["src", "dst"], fp, dropped_pairs=dropped)
+            return len(table)
+
+        ray.get(_write.remote(stage_dir, fp, dropped, *refs))
+        return [os.path.join(stage_dir, "data.parquet")], dropped
+
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def shard_of(batch: pa.Table) -> pa.Table:
+        batch = plain(batch)
+        src = np.asarray(batch["src"], dtype=np.int64).view(np.uint64)
+        dst = np.asarray(batch["dst"], dtype=np.int64).view(np.uint64)
+        with np.errstate(over="ignore"):
+            k = (((src * _MIX) ^ dst) % np.uint64(shards)).astype(np.int32)
+        return batch.append_column("eshard", pa.array(k, pa.int32()))
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        k = int(batch["eshard"][0].as_py())
+        sub = batch.select(["src", "dst", "sim"])
+        sub = sub.take(pc.sort_indices(sub, sort_keys=[("src", "ascending"), ("dst", "ascending")]))
+        d = os.path.join(stage_dir, f"part={k}")
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, "data.parquet.tmp")
+        pq.write_table(sub, tmp)
+        os.replace(tmp, os.path.join(d, "data.parquet"))
+        return pa.table({"shard": pa.array([k], pa.int32()), "rows": pa.array([sub.num_rows], pa.int64())})
+
+    written = (
+        mat.map_batches(shard_of, batch_format="pyarrow")
+        .groupby("eshard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # empty shards (no rows hashed to them) get explicit empty files so the
+    # tree is a function of content, not of which hashes occurred
+    present = set(written["shard"]) if len(written) else set()
+    import pyarrow.parquet as pq
+
+    empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
+    for k in range(shards):
+        if k not in present:
+            d = os.path.join(stage_dir, f"part={k}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, "data.parquet.tmp")
+            pq.write_table(empty, tmp)
+            os.replace(tmp, os.path.join(d, "data.parquet"))
+    mark_complete(stage_dir, fp, dropped_pairs=dropped, rows=n, shards=shards)
+    return edges_files(stage_dir), dropped

@@ -193,3 +193,41 @@ def test_collapse_exact_jaccard_rejected(ray_session, corpus_path):
     )
     with pytest.raises(ValueError, match="bbit"):
         near_dup_pipeline(read_parquet_auto(corpus_path), cfg)
+
+
+def test_sharded_edges_checkpoint(ray_session, corpus_path, tmp_path):
+    """Above edges_rows_per_shard the edges checkpoint switches to the
+    hash-sharded part=K/ layout (driver never holds edge rows): clusters
+    must equal the single-file run's, the tree must be byte-deterministic
+    across runs, and dropped_pairs must still land on the lineage."""
+    import dataclasses
+
+    single = run_checkpointed(corpus_path, str(tmp_path / "single"), CFG)
+    cfg = dataclasses.replace(CFG, edges_rows_per_shard=50)  # force sharding
+    a = run_checkpointed(corpus_path, str(tmp_path / "a"), cfg)
+    b = run_checkpointed(corpus_path, str(tmp_path / "b"), cfg)
+
+    assert len(a["edges"]) > 1 and all("part=" in p for p in a["edges"])
+    # deterministic tree
+    ha = {os.path.relpath(p, str(tmp_path / "a")): _file_hash(p) for p in a["edges"]}
+    hb = {os.path.relpath(p, str(tmp_path / "b")): _file_hash(p) for p in b["edges"]}
+    assert ha == hb
+    # same edge set as the single-file layout
+    import pandas as pd
+
+    def edge_df(paths):
+        return (
+            pd.concat([pq.read_table(p).to_pandas() for p in paths])
+            .sort_values(["src", "dst"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(edge_df(a["edges"]), edge_df(single["edges"]))
+    # identical clusters + lineage metrics
+    assert _file_hash(a["clusters"]) == _file_hash(single["clusters"])
+    lin = json.load(open(str(tmp_path / "a" / "edges" / "_lineage.json")))
+    assert "dropped_pairs" in lin and lin["shards"] > 1
+    # resume skips the completed sharded stage
+    m = os.path.getmtime(a["edges"][0])
+    run_checkpointed(corpus_path, str(tmp_path / "a"), cfg)
+    assert os.path.getmtime(a["edges"][0]) == m
