@@ -385,6 +385,59 @@ def _q_ngram_jaccard_edges(sf_dir: str):
     )
 
 
+def _q_decontaminate(sf_dir: str):
+    """Oracle-checked train/test decontamination: docs whose 3-gram shingle
+    sets overlap the reference ('test') set — here the docs with doc_id < 50,
+    a deterministic eval-set stand-in. The ref set broadcasts once via
+    ray.put; each actor resolves it in __init__ (the broadcast-small-side
+    pattern — no shuffle join). Docs with no shingles are excluded (the SQL
+    side has no rows for them)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from elasticsearch_minhash_ray.stages.text import DecontaminateStage, reference_shingles
+
+    ref_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 50)],
+    )
+    ref = ray.put(reference_shingles(ref_tbl["text"].to_pylist()))
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.filter(expr="doc_id >= 50")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["n_shingles"], 0))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "overlap": pc.round(batch["overlap"], 9),
+                "contaminated": batch["contaminated"],
+            }
+        )
+
+    return (
+        ds.map_batches(
+            DecontaminateStage,
+            fn_constructor_kwargs={"ref": ref, "threshold": 0.5},
+            batch_format="pandas",
+            concurrency=(1, 4),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def _q_token_df(sf_dir: str):
+    """Oracle-checked token document-frequency (IDF table builder): distinct
+    tokens per doc → combiner partial counts → groupby(token) sum →
+    total-order top-200 (df desc, token asc)."""
+    from elasticsearch_minhash_ray.stages.text import token_df_topk
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["text"])
+    return token_df_topk(ds, k=200)
+
+
 def _q_ngram_jaccard_cc(sf_dir: str):
     """Oracle-checked connected components over the ngram_jaccard_edges
     graph: every clustered doc labeled with the MIN doc_id of its component.
@@ -704,6 +757,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernel against the reference's own golden signatures
         "ngram_jaccard_edges": _q_ngram_jaccard_edges,
         "ngram_jaccard_cc": _q_ngram_jaccard_cc,
+        "decontaminate": _q_decontaminate,
+        "token_df": _q_token_df,
         "minhash_golden": _q_minhash_golden,
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
@@ -714,9 +769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-# shared CTE chain for the n-gram Jaccard oracles: 'words' tokenization,
-# 3-gram shingling, shared-shingle candidate pairs, exact set-Jaccard >= 0.8
-_NGRAM_JACCARD_CTES = """toks AS (
+# shared CTE chain: 'words' tokenization + 3-gram shingling + per-doc
+# shingle exploding — base for the n-gram Jaccard and decontamination oracles
+_NGRAM_BASE_CTES = """toks AS (
               SELECT doc_id, regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+') AS t
               FROM documents
             ),
@@ -728,7 +783,10 @@ _NGRAM_JACCARD_CTES = """toks AS (
                                               i -> array_to_string(t[i:i+2], ' ')) END) AS s
               FROM toks
             ),
-            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh)"""
+
+# candidate pairs + exact set-Jaccard >= 0.8 on top of the base
+_NGRAM_JACCARD_CTES = f"""{_NGRAM_BASE_CTES},
             cand AS (
               SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
               FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
@@ -878,6 +936,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "decontaminate": f"""
+            WITH {_NGRAM_BASE_CTES},
+            refset AS (SELECT DISTINCT g FROM ex WHERE doc_id < 50),
+            scored AS (
+              SELECT d.doc_id, CAST(count(r.g) AS DOUBLE) / count(*) AS o
+              FROM ex d LEFT JOIN refset r ON d.g = r.g
+              WHERE d.doc_id >= 50
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, round(o, 9) AS overlap, o >= 0.5 AS contaminated FROM scored
+        """,
+        "token_df": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+'))) AS token
+              FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS df
+            FROM toks GROUP BY token
+            ORDER BY df DESC, token LIMIT 200
         """,
         "minhash_golden": """
             SELECT * FROM (VALUES
