@@ -188,7 +188,7 @@ def tokenize_uax29(text: str, max_token_length: int = 255) -> list[str]:
     if not text:
         return []
     if text.isascii():  # C-speed check; code corpora are overwhelmingly ASCII
-        return _split_long(_ASCII_UAX29_RE.findall(text), max_token_length)
+        return _ascii_tokens(text, max_token_length)
     o_start, o_end = _segments(text)
     out: list[str] = []
     for s, t in zip(o_start.tolist(), o_end.tolist()):
@@ -199,9 +199,18 @@ def tokenize_uax29(text: str, max_token_length: int = 255) -> list[str]:
     return out
 
 
+def _ascii_tokens(text: str, max_token_length: int) -> list[str]:
+    toks = _ASCII_UAX29_RE.findall(text)
+    # overlong prefilter via C-driven max(map(len, ...)): ~15% of tokenize
+    # cost. (A regex probe for long runs on the raw text measured 4x slower —
+    # bounded repetition rescans; and cProfile wildly inflates generator
+    # alternatives, so trust wall-clock, not profiles, here.)
+    if max(map(len, toks), default=0) > max_token_length:
+        return _split_long(toks, max_token_length)
+    return toks
+
+
 def _split_long(tokens: list[str], max_token_length: int) -> list[str]:
-    if all(len(t) <= max_token_length for t in tokens):
-        return tokens
     out: list[str] = []
     for t in tokens:
         if len(t) <= max_token_length:
@@ -234,14 +243,11 @@ def tokenize_uax29_many(texts: list[str | None], max_token_length: int = 255) ->
                 out[i] = toks
             for i, t in enumerate(clean):
                 if t and t.isascii():
-                    out[i] = _split_long(_ASCII_UAX29_RE.findall(t), max_token_length)
+                    out[i] = _ascii_tokens(t, max_token_length)
             return out
     else:
         # ASCII fast path (the common case for code); NUL can't join tokens
-        return [
-            _split_long(_ASCII_UAX29_RE.findall(t), max_token_length) if t else []
-            for t in clean
-        ]
+        return [_ascii_tokens(t, max_token_length) if t else [] for t in clean]
     o_start, o_end = _segments(big)
     if len(o_start) == 0:
         return out
