@@ -291,6 +291,13 @@ def _link_salted_reps(mixed, cfg: PipelineConfig, width: int):
 def split_edge_metrics(edges_table: pa.Table) -> tuple[pa.Table, int]:
     import pyarrow.compute as pc
 
+    if "src" not in edges_table.schema.names:
+        # empty corpus: every group was empty, _collect produced a
+        # zero-column table — normalize to the typed empty edge table
+        empty = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+        )
+        return empty, 0
     mask = pc.equal(edges_table["src"], -1)
     dropped = int(pc.sum(pc.if_else(mask, edges_table["dst"], 0)).as_py() or 0)
     return edges_table.filter(pc.invert(mask)), dropped
