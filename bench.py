@@ -50,6 +50,8 @@ HEADLINE = [
     "ann_topk",
     "embedding_near_dup_lsh",
     "simhash_near_dup",
+    "decontaminate",
+    "token_df",
     "docs_by_lang",
     "events_by_type",
     "orders_by_region",
