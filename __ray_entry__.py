@@ -438,6 +438,51 @@ def _q_token_df(sf_dir: str):
     return token_df_topk(ds, k=200)
 
 
+def _q_multimodal_features(sf_dir: str):
+    """Rows-only (no SQL oracle — feature extraction is model scoring): the
+    multimodal decode plumbing over driver testdata. Documents become a media
+    table (payload = utf-8 text bytes, kind cycled image/audio/video, JSON
+    meta with n_frames for videos); MediaDecodeStage (actor pool, per-actor
+    'model' state, deterministic fake decoder — the container has no codecs,
+    stages/multimodal.py documents the stub) emits fixed-size float32
+    feature vectors; video rows additionally fan out sampled frame indices."""
+    import json
+
+    from elasticsearch_minhash_ray.stages.multimodal import FrameSampleStage, MediaDecodeStage
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        kinds = np.array(["image", "audio", "video"], dtype=object)[ids % 3]
+        texts = batch["text"].to_pylist()
+        payloads = [(t or "").encode() for t in texts]
+        metas = [
+            json.dumps({"n_frames": 16}) if k == "video" else "{}" for k in kinds
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    feats = media.map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"feature_dim": 64},
+        batch_format="pyarrow",
+        batch_size=256,  # payloads are large in real corpora — small batches
+        concurrency=(1, 4),
+    ).select_columns(["media_id", "kind", "features"])
+    # drive the frame-sampling branch too (its row count is asserted in
+    # tests; here it just has to execute against real data)
+    media.map_batches(FrameSampleStage(), batch_format="pyarrow").count()
+    return feats
+
+
 def _q_ngram_jaccard_cc(sf_dir: str):
     """Oracle-checked connected components over the ngram_jaccard_edges
     graph: every clustered doc labeled with the MIN doc_id of its component.
@@ -759,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_cc": _q_ngram_jaccard_cc,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
+        "multimodal_features": _q_multimodal_features,
         "minhash_golden": _q_minhash_golden,
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
