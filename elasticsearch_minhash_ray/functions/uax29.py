@@ -97,7 +97,11 @@ def _build_tables() -> tuple[np.ndarray, np.ndarray]:
     cls[np.isin(cats, ["Mn", "Mc", "Me"])] = EXT
     cls[cats == "Cf"] = FMT
     cls[cats == "Zs"] = WSS
-    word = np.isin(cats, ["Lu", "Ll", "Lt", "Lm", "Lo", "Nl", "Nd", "No"])
+    # NOTE deliberately excludes "No" (superscripts/fractions like 2-super,
+    # 1/2-vulgar): their UAX#29 WB class is Other, and Lucene's standard
+    # tokenizer emits no token for them — including them diverged signatures
+    # from the reference on such docs (caught in round-2 review)
+    word = np.isin(cats, ["Lu", "Ll", "Lt", "Lm", "Lo", "Nl", "Nd"])
 
     # WB property overrides (public UCD WordBreakProperty.txt, major ranges)
     _set(cls, [0x00A0, 0x2007, 0x202F], OTHER)  # Zs but not WSegSpace

@@ -456,7 +456,10 @@ def run_checkpointed(
             for f in os.listdir(corpus_path)
             if f.endswith(".parquet")
         )
-        sig_base = ckpt.fingerprint(cfg.minhash, "sig-v1")
+        # verify_mode is part of the shard CONTENT (jaccard persists the
+        # 'shingles' column) — omitting it would reuse bbit shards for a
+        # jaccard run and crash the edge stage on the missing column
+        sig_base = ckpt.fingerprint(cfg.minhash, cfg.lsh.verify_mode, "sig-v1")
         # per-file fingerprint covers (config, name, size, mtime_ns) so an
         # in-place edit that preserves byte size still invalidates the shard;
         # appended files leave existing shards valid (incremental ingest)

@@ -167,6 +167,8 @@ def _label_checksum(labels) -> tuple[int, int]:
         return pa.table({"n": pa.array([len(n)], pa.int64()), "h": pa.array([h.view(np.int64)], pa.int64())})
 
     parts = labels.map_batches(part, batch_format="pyarrow").to_pandas()
+    if "n" not in parts.columns:  # zero-block label set
+        return 0, 0
     with np.errstate(over="ignore"):
         return int(parts["n"].sum()), int(np.sum(parts["h"].to_numpy().view(np.uint64), dtype=np.uint64))
 
@@ -182,6 +184,14 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
     # every round pays per-block shuffle overhead; size the block count to
     # the edge count (tiny graphs in 1 block, ~1M edges per block at scale)
     n_edges = edges.count()
+    if n_edges == 0:
+        # empty/edge-free corpus: the label machinery below assumes non-empty
+        # blocks; the result is the typed empty cluster set
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"doc_key": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        )
     nblocks = max(1, min(num_partitions, n_edges // 1_000_000 + 1))
     edges = edges.repartition(nblocks)
 

@@ -293,7 +293,10 @@ def cosine_near_dup_edges_lsh(
     Recall depends on (n_bits, n_bands) vs threshold — with 4 bands of 8
     bits, a pair at cos θ has band-collision prob (1-θ/π)^8 per band."""
     if strategy == "auto":
-        n = ds.count()  # parquet metadata / block metadata — cheap
+        # metadata-cheap for a plain read; for a TRANSFORMED upstream this
+        # executes the pipeline once — materialize upstream (or pass an
+        # explicit strategy) to avoid paying it twice
+        n = ds.count()
         strategy = "inplace" if n / 2 ** (n_bits // n_bands) > dim / 6 else "join"
     if strategy == "inplace":
         return _lsh_edges_inplace(
@@ -390,7 +393,10 @@ def cosine_near_dup_edges_lsh(
             }
         )
 
-    vecs = ds.map_batches(vec_rows, batch_format="pyarrow")
+    # materialized ONCE: both join passes union these rows — without the
+    # barrier the upstream dataset (possibly a whole embedding-compute
+    # pipeline) would re-execute for each pass
+    vecs = ds.map_batches(vec_rows, batch_format="pyarrow").materialize()
 
     def attach(batch: pa.Table) -> pa.Table:
         """Co-partitioned hash join: pair rows gain the vector of ``key``;

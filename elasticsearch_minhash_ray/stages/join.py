@@ -38,11 +38,13 @@ def broadcast_join_column(ds, lookup_ref, fk_col: str, out_col: str, drop_unmatc
         fk = np.asarray(batch[fk_col], dtype=np.int64)
         if len(keys) == 0:
             # empty lookup: every row is unmatched (clamped searchsorted
-            # would index keys[-1] of an empty array otherwise)
+            # would index keys[-1] of an empty array otherwise). The out_col
+            # keeps the VALUE dtype so the schema matches non-degenerate runs.
+            typ = pa.string() if vals.dtype == object else pa.from_numpy_dtype(vals.dtype)
             if drop_unmatched:
                 empty = batch.filter(pa.array(np.zeros(len(fk), dtype=bool)))
-                return empty.append_column(out_col, pa.array([], pa.string()))
-            return batch.append_column(out_col, pa.array([None] * len(fk)))
+                return empty.append_column(out_col, pa.array([], typ))
+            return batch.append_column(out_col, pa.array([None] * len(fk), typ))
         pos = np.searchsorted(keys, fk)
         pos_c = np.minimum(pos, len(keys) - 1)
         hit = keys[pos_c] == fk

@@ -473,34 +473,21 @@ class ShingleSetStage:
     distinct shingle per row."""
 
     def __init__(self, content_col: str = "content", tokenizer: str = "standard", shingle_n: int = 3):
-        from ..functions.tokenize import get_batch_tokenizer
-
         self.content_col = content_col
-        self.tok_many = get_batch_tokenizer(tokenizer, shingle_n)
+        self.tokenizer = tokenizer
+        self.shingle_n = shingle_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
+        # shared kernel with DecontaminateStage — one implementation to keep
+        # jaccard-verify and decontamination shingles bit-identical
+        from .text import shingle_hash_sets
 
-        from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
-
-        texts = batch[self.content_col].to_pylist()
-        toks = self.tok_many(texts)
-        flat: list[str] = []
-        bounds = [0]
-        for t in toks:
-            flat.extend(t)
-            bounds.append(len(flat))
-        if flat:
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-            H = hash_tokens_many_seeds(list(uniques), seeds_u64(0, 1))[:, 0]
-        lists = []
-        for d in range(len(toks)):
-            lo, hi = bounds[d], bounds[d + 1]
-            if lo == hi:
-                lists.append([])
-            else:
-                lists.append(np.unique(H[codes[lo:hi]]).tolist())
-        return batch.append_column("shingles", pa.array(lists, pa.list_(pa.int64())))
+        sets = shingle_hash_sets(
+            batch[self.content_col].to_pylist(), self.tokenizer, self.shingle_n
+        )
+        return batch.append_column(
+            "shingles", pa.array([s.tolist() for s in sets], pa.list_(pa.int64()))
+        )
 
 
 def add_edge_part(batch: pa.Table, num_partitions: int) -> pa.Table:

@@ -138,9 +138,27 @@ def write_edges_checkpoint(
     data files; their sum lands on the stage lineage as ``dropped_pairs``.
     Returns (data file paths, dropped_pairs).
     """
+    import shutil
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
+
+    # a prior (differently-fingerprinted) run may have left the OTHER layout
+    # behind — a stale data.parquet next to new part=K dirs, or more part=K
+    # dirs than this run writes. Clean them first so edges_files() can never
+    # mix runs; the lineage marker goes first, so an interrupt mid-clean just
+    # re-runs this stage.
+    if os.path.isdir(stage_dir):
+        lp = lineage_path(stage_dir)
+        if os.path.exists(lp):
+            os.remove(lp)
+        single = os.path.join(stage_dir, "data.parquet")
+        if os.path.exists(single):
+            os.remove(single)
+        for d in os.listdir(stage_dir):
+            if d.startswith("part="):
+                shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
 
     mat = edges_ds.materialize()
 

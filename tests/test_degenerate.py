@@ -79,3 +79,16 @@ def test_flagship_whitespace_only_docs(ray_session):
     cl = cl.to_pandas()
     assert len(cl) == 5  # the five empty docs cluster; 'x = 1' is a singleton
     assert cl["cluster_id"].nunique() == 1
+
+
+def test_flagship_empty_corpus_distributed_cc(ray_session):
+    """The scale configuration (distributed_cc=True) must survive an empty
+    corpus too — round-2 review caught a KeyError in the label checksum."""
+    import dataclasses
+
+    import ray.data as rd
+
+    cfg = dataclasses.replace(CFG, distributed_cc=True)
+    res = near_dup_pipeline(rd.from_arrow(_corpus_table([])), cfg)
+    assert _rows(res.clusters) == 0
+    assert res.metrics["n_edges"] == 0

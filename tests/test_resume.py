@@ -231,3 +231,33 @@ def test_sharded_edges_checkpoint(ray_session, corpus_path, tmp_path):
     m = os.path.getmtime(a["edges"][0])
     run_checkpointed(corpus_path, str(tmp_path / "a"), cfg)
     assert os.path.getmtime(a["edges"][0]) == m
+
+
+def test_edges_layout_switch_cleans_stale_files(ray_session, corpus_path, tmp_path):
+    """Re-running into the same out_dir with a config whose edges layout
+    differs (single-file -> sharded) must remove the stale data.parquet —
+    otherwise edges_files() would serve the OLD edge set to the cluster
+    stage (round-2 review finding)."""
+    import dataclasses
+
+    from elasticsearch_minhash_ray.state import checkpoint as ckpt
+
+    out = str(tmp_path / "switch")
+    m1 = run_checkpointed(corpus_path, out, CFG)
+    assert [p for p in m1["edges"] if p.endswith("edges/data.parquet")]
+    # same fp + different layout preference -> checkpoint correctly REUSED
+    same_fp = dataclasses.replace(CFG, edges_rows_per_shard=50)
+    assert run_checkpointed(corpus_path, out, same_fp)["edges"] == m1["edges"]
+    # changed fp (config change) + sharded layout -> stale single file gone
+    cfg2 = dataclasses.replace(
+        CFG,
+        lsh=dataclasses.replace(CFG.lsh, threshold=0.94),
+        edges_rows_per_shard=50,
+    )
+    m2 = run_checkpointed(corpus_path, out, cfg2)
+    files = ckpt.edges_files(os.path.join(out, "edges"))
+    assert all("part=" in p for p in files) and len(files) > 1
+    assert not os.path.exists(os.path.join(out, "edges", "data.parquet"))
+    # the rebuilt sharded edges equal a fresh cfg2 run elsewhere
+    fresh = run_checkpointed(corpus_path, str(tmp_path / "fresh"), cfg2)
+    assert _file_hash(m2["clusters"]) == _file_hash(fresh["clusters"])
