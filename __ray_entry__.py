@@ -438,6 +438,18 @@ def _q_token_df(sf_dir: str):
     return token_df_topk(ds, k=200)
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Oracle-checked deterministic stratified sampling: keep 10% of 'en'
+    docs and 30% of every other language, decided per row by a Knuth
+    multiplicative hash of doc_id (stages/sample.py) — reproducible under
+    resharding/resume, no RNG state; the SQL twin is the identical integer
+    expression."""
+    from elasticsearch_minhash_ray.stages.sample import hash_sample
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", pct={"en": 10}, strata_col="lang", default_pct=30)
+
+
 def _q_multimodal_features(sf_dir: str):
     """Rows-only (no SQL oracle — feature extraction is model scoring): the
     multimodal decode plumbing over driver testdata. Documents become a media
@@ -805,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
+        "stratified_sample": _q_stratified_sample,
         "minhash_golden": _q_minhash_golden,
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
@@ -993,6 +1006,11 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id
             )
             SELECT doc_id, round(o, 9) AS overlap, o >= 0.5 AS contaminated FROM scored
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100
+                  < CASE WHEN lang = 'en' THEN 10 ELSE 30 END
         """,
         "token_df": """
             WITH toks AS (

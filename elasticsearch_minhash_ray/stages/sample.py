@@ -1,0 +1,51 @@
+"""Deterministic hash-based sampling — reproducible corpus subsetting.
+
+Training-data pipelines sample by a HASH of a stable key, not by RNG state:
+the decision for a row never depends on partitioning, ordering, resharding or
+resume, so a re-run (or an incremental run over a grown corpus) keeps exactly
+the same rows. Knuth multiplicative hash over the key, bucketed 0..99; a row
+survives iff its bucket < its stratum's percentage.
+
+The arithmetic is chosen to be exactly reproducible in SQL (DuckDB BIGINT has
+no wraparound, so the product must stay < 2^63: key * 2654435761 holds for
+keys < ~3.5e9; for wider keys pre-fold with % 2**32 first — both sides the
+same way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = 2654435761  # 2^32 / golden ratio
+
+
+def hash_bucket(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Bucket 0..99 per key; int64 arithmetic mirrors the SQL expression
+    ``((key + salt) * 2654435761) % 4294967296 % 100`` exactly."""
+    k = keys.astype(np.int64) + np.int64(salt)
+    return ((k * np.int64(_KNUTH)) % np.int64(4294967296)) % np.int64(100)
+
+
+def hash_sample(
+    ds, key_col: str, pct, strata_col: str | None = None, salt: int = 0, default_pct: int = 0
+):
+    """Keep ~pct% of rows, decided per row by :func:`hash_bucket` of
+    ``key_col``. ``pct`` is either a number (uniform) or a dict
+    ``{stratum value: pct}`` applied over ``strata_col``; strata not in the
+    dict get ``default_pct``. Stateless map_batches filter: streams,
+    shuffles nothing, and is stable under resharding/resume."""
+    if isinstance(pct, dict) and strata_col is None:
+        raise ValueError("per-stratum pct requires strata_col")
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch[key_col], dtype=np.int64)
+        b = hash_bucket(keys, salt)
+        if isinstance(pct, dict):
+            strata = batch[strata_col].to_pylist()
+            limit = np.fromiter((pct.get(s, default_pct) for s in strata), np.int64, len(strata))
+        else:
+            limit = np.int64(pct)
+        return batch.filter(pa.array(b < limit))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
