@@ -422,7 +422,7 @@ def _q_decontaminate(sf_dir: str):
             DecontaminateStage,
             fn_constructor_kwargs={"ref": ref, "threshold": 0.5},
             batch_format="pandas",
-            concurrency=(1, 4),
+            concurrency=(2, 8),
         )
         .map_batches(finish, batch_format="pyarrow")
     )
