@@ -456,10 +456,12 @@ def run_checkpointed(
             for f in os.listdir(corpus_path)
             if f.endswith(".parquet")
         )
-        # verify_mode is part of the shard CONTENT (jaccard persists the
-        # 'shingles' column) — omitting it would reuse bbit shards for a
-        # jaccard run and crash the edge stage on the missing column
-        sig_base = ckpt.fingerprint(cfg.minhash, cfg.lsh.verify_mode, "sig-v1")
+        # verify_mode and keep_columns are part of the shard CONTENT (jaccard
+        # persists 'shingles'; keep_columns selects the persisted schema) —
+        # omitting either would silently reuse shards with the wrong columns
+        sig_base = ckpt.fingerprint(
+            cfg.minhash, cfg.lsh.verify_mode, cfg.keep_columns, "sig-v1"
+        )
         # per-file fingerprint covers (config, name, size, mtime_ns) so an
         # in-place edit that preserves byte size still invalidates the shard;
         # appended files leave existing shards valid (incremental ingest)

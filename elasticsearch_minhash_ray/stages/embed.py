@@ -293,9 +293,11 @@ def cosine_near_dup_edges_lsh(
     Recall depends on (n_bits, n_bands) vs threshold — with 4 bands of 8
     bits, a pair at cos θ has band-collision prob (1-θ/π)^8 per band."""
     if strategy == "auto":
-        # metadata-cheap for a plain read; for a TRANSFORMED upstream this
-        # executes the pipeline once — materialize upstream (or pass an
-        # explicit strategy) to avoid paying it twice
+        # auto needs the row count AND then feeds the chosen pass — pin the
+        # input once so a transformed upstream (e.g. an embedding-compute
+        # pipeline) is not executed twice. At extreme scale pass an explicit
+        # strategy instead to keep the input fully streaming.
+        ds = ds.materialize()
         n = ds.count()
         strategy = "inplace" if n / 2 ** (n_bits // n_bands) > dim / 6 else "join"
     if strategy == "inplace":

@@ -36,11 +36,13 @@ def broadcast_join_column(ds, lookup_ref, fk_col: str, out_col: str, drop_unmatc
     def add(batch: pa.Table) -> pa.Table:
         keys, vals = ray.get(lookup_ref)
         fk = np.asarray(batch[fk_col], dtype=np.int64)
+        # out_col is ALWAYS typed from the lookup values: an all-miss (or
+        # empty-lookup) batch must not degrade to a null-typed column and
+        # break schema unification against matched batches
+        typ = pa.string() if vals.dtype == object else pa.from_numpy_dtype(vals.dtype)
         if len(keys) == 0:
             # empty lookup: every row is unmatched (clamped searchsorted
-            # would index keys[-1] of an empty array otherwise). The out_col
-            # keeps the VALUE dtype so the schema matches non-degenerate runs.
-            typ = pa.string() if vals.dtype == object else pa.from_numpy_dtype(vals.dtype)
+            # would index keys[-1] of an empty array otherwise)
             if drop_unmatched:
                 empty = batch.filter(pa.array(np.zeros(len(fk), dtype=bool)))
                 return empty.append_column(out_col, pa.array([], typ))
@@ -54,6 +56,6 @@ def broadcast_join_column(ds, lookup_ref, fk_col: str, out_col: str, drop_unmatc
             out = out[hit]
         elif not hit.all():
             out = np.where(hit, out, None)
-        return batch.append_column(out_col, pa.array(out))
+        return batch.append_column(out_col, pa.array(out, typ))
 
     return ds.map_batches(add, batch_format="pyarrow")

@@ -20,10 +20,24 @@ import pyarrow as pa
 _KNUTH = 2654435761  # 2^32 / golden ratio
 
 
+_KEY_MAX = (2**63 - 1) // _KNUTH  # product must fit SQL BIGINT (no wraparound)
+
+
 def hash_bucket(keys: np.ndarray, salt: int = 0) -> np.ndarray:
     """Bucket 0..99 per key; int64 arithmetic mirrors the SQL expression
-    ``((key + salt) * 2654435761) % 4294967296 % 100`` exactly."""
+    ``((key + salt) * 2654435761) % 4294967296 % 100`` exactly.
+
+    Keys must be in [0, 2^63/2654435761): numpy's % is floored while SQL's
+    follows the dividend sign, so negatives would silently diverge from the
+    oracle, and larger keys would wrap in numpy where SQL errors — both are
+    rejected rather than mis-sampled. For wider key spaces pre-fold with
+    ``% 2**32`` on BOTH sides."""
     k = keys.astype(np.int64) + np.int64(salt)
+    if len(k) and (k.min() < 0 or k.max() > _KEY_MAX):
+        raise ValueError(
+            f"hash_bucket keys+salt must be in [0, {_KEY_MAX}] to mirror SQL "
+            "BIGINT arithmetic exactly; pre-fold wider keys with % 2**32"
+        )
     return ((k * np.int64(_KNUTH)) % np.int64(4294967296)) % np.int64(100)
 
 
@@ -39,6 +53,13 @@ def hash_sample(
         raise ValueError("per-stratum pct requires strata_col")
 
     def pick(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if col.null_count:
+            # SQL NULL arithmetic makes NULL-key rows fail the < comparison —
+            # drop them the same way instead of hashing a garbage sentinel
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.is_valid(col))
         keys = np.asarray(batch[key_col], dtype=np.int64)
         b = hash_bucket(keys, salt)
         if isinstance(pct, dict):

@@ -185,3 +185,49 @@ def test_multimodal_plumbing(ray_session):
     frames = rd.from_arrow(media).map_batches(FrameSampleStage(n_samples=3), batch_format="pyarrow").to_pandas()
     assert (frames.groupby("media_id").size() <= 3).all()
     assert frames["frame_idx"].min() == 0
+
+
+def test_hash_sample_guards_and_null_keys(ray_session):
+    """Round-2 review: null keys drop (SQL NULL semantics), negative or
+    over-range keys raise instead of silently diverging from the oracle."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.sample import hash_bucket, hash_sample
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, None, 4], pa.int64()), "s": ["a", "b", "c", "d"]})
+    )
+    out = hash_sample(ds, "k", pct=100).to_pandas()
+    assert len(out) == 3 and out["k"].notna().all()  # null row dropped even at 100%
+    with _pytest.raises(ValueError, match="mirror SQL"):
+        hash_bucket(np.array([-5]))
+    with _pytest.raises(ValueError, match="mirror SQL"):
+        hash_bucket(np.array([2**62]))
+
+
+def test_broadcast_join_all_miss_batch_keeps_value_dtype(ray_session):
+    """Round-2 review: an all-miss batch must emit the lookup VALUE dtype for
+    out_col (not null type), so schemas unify across batches."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.join import broadcast_join_column, broadcast_lookup
+
+    lookup = broadcast_lookup(pd.DataFrame({"k": [100], "v": ["hit"]}), "k", "v")
+    # two blocks: one all-miss, one with a hit
+    ds = rd.from_arrow(pa.table({"fk": pa.array([1, 2], pa.int64())})).union(
+        rd.from_arrow(pa.table({"fk": pa.array([100], pa.int64())}))
+    )
+    kept = broadcast_join_column(ds, lookup, "fk", "v").to_pandas()
+    assert list(kept["v"]) == ["hit"]
+    import ray
+
+    full = broadcast_join_column(ds, lookup, "fk", "v", drop_unmatched=False)
+    blocks = ray.get(full.to_arrow_refs())
+    for b in blocks:
+        assert b.schema.field("v").type == pa.string(), b.schema
+    t = pa.concat_tables(blocks)  # unifies only if types agree
+    assert t.num_rows == 3 and t["v"].null_count == 2
