@@ -438,6 +438,15 @@ def _q_token_df(sf_dir: str):
     return token_df_topk(ds, k=200)
 
 
+def _q_line_dedup_stats(sf_dir: str):
+    """Oracle-checked intra-document repetition stats: per doc, line count
+    and distinct-line count (the 'repetitive document' curation signal)."""
+    from elasticsearch_minhash_ray.stages.text import line_dedup_stats
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return line_dedup_stats(ds)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Oracle-checked deterministic stratified sampling: keep 10% of 'en'
     docs and 30% of every other language, decided per row by a Knuth
@@ -818,6 +827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
         "stratified_sample": _q_stratified_sample,
+        "line_dedup_stats": _q_line_dedup_stats,
         "minhash_golden": _q_minhash_golden,
         # SQL-verifiable
         "top_docs_by_len": _q_top_docs_by_len,
@@ -1006,6 +1016,13 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id
             )
             SELECT doc_id, round(o, 9) AS overlap, o >= 0.5 AS contaminated FROM scored
+        """,
+        "line_dedup_stats": """
+            SELECT doc_id,
+                   CAST(len(ls) AS BIGINT) AS n_lines,
+                   CAST(len(list_distinct(ls)) AS BIGINT) AS n_unique_lines
+            FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS ls
+                  FROM documents)
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

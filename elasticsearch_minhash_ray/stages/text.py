@@ -171,3 +171,27 @@ def token_df_topk(ds, k: int = 200, text_col: str = "text"):
         .sort(["df", "token"], descending=[True, False])
         .limit(k)
     )
+
+
+def line_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Intra-document repetition stats — the standard 'repetitive doc'
+    curation signal: per doc, the number of lines and of DISTINCT lines
+    (empty split segments count, matching SQL string_split semantics).
+    Embarrassingly parallel map_batches; no shuffle."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        n_lines = np.empty(len(batch), np.int64)
+        n_unique = np.empty(len(batch), np.int64)
+        for i, t in enumerate(batch[text_col]):
+            parts = (t or "").split("\n")
+            n_lines[i] = len(parts)
+            n_unique[i] = len(set(parts))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "n_lines": n_lines,
+                "n_unique_lines": n_unique,
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pandas")
