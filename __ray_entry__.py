@@ -872,6 +872,39 @@ _NGRAM_JACCARD_CTES = f"""{_NGRAM_BASE_CTES},
             )"""
 
 
+def _lang_id_sql() -> str:
+    """SQL twin of functions/text_stats.lang_id_scores: lowercase word
+    tokens joined against the SAME stopword table; winner = the
+    alphabetically-first language with the max hit count, hits >= 2, else
+    'unknown' (the Python loop's strict-greater-than over sorted langs)."""
+    from elasticsearch_minhash_ray.functions.text_stats import _STOPWORDS
+
+    rows = ", ".join(
+        f"('{l}', '{w}')" for l in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[l])
+    )
+    return f"""
+        WITH stop(lang, word) AS (SELECT * FROM (VALUES {rows})),
+        tok0 AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+')) AS w0
+          FROM documents
+        ),
+        toks AS (SELECT doc_id, lower(w0) AS w FROM tok0),
+        hits AS (
+          SELECT t.doc_id, s.lang, count(*) AS cnt
+          FROM toks t JOIN stop s ON t.w = s.word
+          GROUP BY t.doc_id, s.lang
+        ),
+        best AS (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rn
+          FROM hits WHERE cnt >= 2
+        )
+        SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+        FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "exact_dedup_groups": """
@@ -1017,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(o, 9) AS overlap, o >= 0.5 AS contaminated FROM scored
         """,
+        "lang_id": _lang_id_sql(),
         "line_dedup_stats": """
             SELECT doc_id,
                    CAST(len(ls) AS BIGINT) AS n_lines,

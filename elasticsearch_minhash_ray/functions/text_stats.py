@@ -57,8 +57,9 @@ _word_re = re.compile(TOKEN_RE)
 
 def lang_id_scores(text: str) -> str:
     """Tiny deterministic stopword-voting language ID (heuristic; 'unknown'
-    when no stopword list reaches 2 hits). Not SQL-expressible → rows-only
-    oracle."""
+    when no stopword list reaches 2 hits). SQL twin: __ray_entry__
+    _lang_id_sql (stopword join + windowed argmax, tie → alphabetically
+    first language)."""
     toks = [w.lower() for w in _word_re.findall(text or "")]
     if not toks:
         return "unknown"
