@@ -447,6 +447,26 @@ def _q_line_dedup_stats(sf_dir: str):
     return line_dedup_stats(ds)
 
 
+def _q_substring_spans(sf_dir: str):
+    """Oracle-checked exact-substring dedup (Lee-et-al. repeated-span family):
+    maximal merged spans of >= 20 consecutive word tokens occurring >= 2 times
+    corpus-wide. SQL twin: k-gram string groupby HAVING count >= 2 → covered
+    positions → gaps-and-islands merge."""
+    from elasticsearch_minhash_ray.stages.substring import substring_dedup_spans
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return substring_dedup_spans(ds, k=20, num_partitions=16)
+
+
+def _q_substring_stats(sf_dir: str):
+    """Oracle-checked per-doc rollup of the substring-dedup spans: span count
+    and duplicated-token count (the trim/drop curation signal)."""
+    from elasticsearch_minhash_ray.stages.substring import substring_dedup_stats
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return substring_dedup_stats(ds, k=20, num_partitions=16)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Oracle-checked deterministic stratified sampling: keep 10% of 'en'
     docs and 30% of every other language, decided per row by a Knuth
@@ -826,6 +846,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
+        "substring_spans": _q_substring_spans,
+        "substring_stats": _q_substring_stats,
         "stratified_sample": _q_stratified_sample,
         "line_dedup_stats": _q_line_dedup_stats,
         "minhash_golden": _q_minhash_golden,
@@ -869,6 +891,32 @@ _NGRAM_JACCARD_CTES = f"""{_NGRAM_BASE_CTES},
               JOIN sh sb ON sb.doc_id = cand.b
               WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
                     (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.8
+            )"""
+
+
+# exact-substring dedup twin (k = 20 word tokens): duplicated k-grams by
+# exact string groupby, covered token positions, gaps-and-islands span merge.
+# The Ray side fingerprints grams with a 64-bit rolling hash — equality holds
+# when no fingerprint collision occurs (~1e-10 at this scale).
+_SUBSTRING_SPAN_CTES = """toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+19], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(t)-19)) AS s(i)
+              WHERE len(t) >= 20
+            ),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            occ AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS p
+                    FROM occ, UNNEST(generate_series(0, 19)) AS u(j)),
+            isl AS (SELECT doc_id, p,
+                           p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+                    FROM cov),
+            spans AS (
+              SELECT doc_id, min(p) AS span_start, max(p) + 1 AS span_end
+              FROM isl GROUP BY doc_id, grp
             )"""
 
 
@@ -1049,6 +1097,16 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id
             )
             SELECT doc_id, round(o, 9) AS overlap, o >= 0.5 AS contaminated FROM scored
+        """,
+        "substring_spans": f"""
+            WITH {_SUBSTRING_SPAN_CTES}
+            SELECT doc_id, span_start, span_end FROM spans
+        """,
+        "substring_stats": f"""
+            WITH {_SUBSTRING_SPAN_CTES}
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id
         """,
         "lang_id": _lang_id_sql(),
         "line_dedup_stats": """

@@ -1,0 +1,229 @@
+"""Exact-substring (repeated-span) dedup — the Lee-et-al.-style operator
+family ("Deduplicating Training Data Makes Language Models Better", ACL 2022):
+find every span of >= k consecutive tokens that occurs >= 2 times anywhere in
+the corpus (cross-doc OR repeated within one doc) and report the merged
+duplicated spans per document. This is the substring-level complement to the
+document-level MinHash/SimHash near-dup pipelines (no reference file to cite:
+the ES plugin's scope ends at per-doc signatures; this operator is mandated by
+the target's curation brief).
+
+Scale design — the distributed hash alternative to a monolithic suffix array:
+
+1. map_batches: tokenize (``[0-9A-Za-z_]+`` word tokens, SQL-parity with the
+   repo's other oracles), murmur3-hash each DISTINCT token once per batch
+   (factorize pattern), then combine every k consecutive token hashes with a
+   fixed-base polynomial rolling hash (Horner, k strided multiply-adds over
+   one flat per-batch buffer; windows crossing doc boundaries masked out) →
+   one uint64 gram fingerprint per token position. No Python loop over rows.
+2. ONE int32 hash-partition exchange keyed on the gram fingerprint
+   (~20 B/row: gram, doc, pos). Per partition (vectorized sort + run-length):
+   keep positions whose gram occurs >= 2 times globally — all occurrences of
+   a fingerprint land in the same partition, so the count is exact.
+3. Second int32 exchange keyed on doc id — per doc: sort positions, merge
+   overlapping/adjacent [pos, pos+k) windows into maximal spans (vectorized
+   diff > k island detection).
+
+At 100 TB step 2 is the cost: ~20 B per input token crosses the wire — the
+price every hash-based substring dedup pays (a distributed suffix array moves
+the same order of bytes), and there is no smaller sufficient statistic
+because a gram seen once in a block may still be duplicated globally. A
+combiner CAN drop nothing but CAN pre-dedupe within-batch duplicate
+(gram,doc,pos) rows — those don't exist — so step 1 emits exactly one row per
+token position. Step 3 carries only duplicated occurrences (proportional to
+corpus duplication, typically orders of magnitude smaller). Fingerprints are
+64-bit: at 100 TB (~2e13 tokens) expect a handful of birthday collisions,
+each of which can only ADD a false duplicated span (conservative for
+curation); an exact mode would re-verify spans against content, which the
+per-doc span output makes a local join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
+from ..functions.tokenize import get_batch_tokenizer
+
+_POLY_BASE = np.uint64(0x100000001B3)  # FNV-1a prime; any odd 64-bit const works
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+_OCC_SCHEMA = pa.schema(
+    [("gram", pa.int64()), ("doc_id", pa.int64()), ("pos", pa.int64()), ("part", pa.int32())]
+)
+_DOCPOS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64()), ("doc_part", pa.int32())])
+_SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("span_start", pa.int64()), ("span_end", pa.int64())])
+
+
+class GramStage:
+    """map_batches callable: docs → one (gram fingerprint, doc_id, pos) row
+    per token position (pos is the 0-based word-token index). Stateful setup
+    (tokenizer closure, hash seed) happens once per actor."""
+
+    def __init__(self, k: int, text_col: str = "text", id_col: str = "doc_id",
+                 tokenizer: str = "words", num_partitions: int = 64):
+        if k < 2:
+            raise ValueError(f"k must be >= 2, got {k}")
+        self.k = k
+        self.text_col = text_col
+        self.id_col = id_col
+        self.tok_many = get_batch_tokenizer(tokenizer, 1)
+        self.num_partitions = num_partitions
+        self.seed = seeds_u64(0, 1)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        k = self.k
+        toks = self.tok_many(list(batch[self.text_col]))
+        ids = batch[self.id_col].to_numpy()
+        counts = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        flat: list[str] = []
+        for t in toks:
+            flat.extend(t)
+        n = len(flat)
+        if n < k:
+            return _OCC_SCHEMA.empty_table()
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        H = hash_tokens_many_seeds(list(uniques), self.seed)[:, 0].view(np.uint64)[codes]
+        doc_idx = np.repeat(np.arange(len(toks)), counts)
+        doc_starts = np.r_[0, np.cumsum(counts)][:-1]
+        m = n - k + 1
+        with np.errstate(over="ignore"):
+            acc = np.zeros(m, np.uint64)
+            for j in range(k):
+                acc = acc * _POLY_BASE + H[j : m + j]
+        valid = doc_idx[:m] == doc_idx[k - 1 : n]
+        if not valid.any():
+            return _OCC_SCHEMA.empty_table()
+        gram = acc[valid]
+        d_idx = doc_idx[:m][valid]
+        pos = np.flatnonzero(valid) - doc_starts[d_idx]
+        with np.errstate(over="ignore"):
+            part = ((gram * _MIX) % np.uint64(self.num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "gram": pa.array(gram.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[d_idx], pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+
+def _dup_occurrences(batch: pa.Table, num_partitions: int) -> pa.Table:
+    """Per gram-partition: keep occurrences of fingerprints with global
+    count >= 2; key the survivors for the per-doc exchange."""
+    g = np.asarray(batch["gram"])
+    if len(g) == 0:
+        return _DOCPOS_SCHEMA.empty_table()
+    order = np.argsort(g, kind="stable")
+    gs = g[order]
+    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    counts = np.diff(np.r_[starts, len(gs)])
+    keep = order[np.repeat(counts >= 2, counts)]
+    if len(keep) == 0:
+        return _DOCPOS_SCHEMA.empty_table()
+    doc = np.asarray(batch["doc_id"])[keep]
+    pos = np.asarray(batch["pos"])[keep]
+    with np.errstate(over="ignore"):
+        part = ((doc.view(np.uint64) * _MIX) % np.uint64(num_partitions)).astype(np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "doc_part": pa.array(part, pa.int32()),
+        }
+    )
+
+
+def _merge_spans(batch: pa.Table, k: int) -> pa.Table:
+    """Per doc-partition: merge each doc's duplicated [pos, pos+k) windows
+    into maximal half-open spans (vectorized island detection)."""
+    doc = np.asarray(batch["doc_id"])
+    if len(doc) == 0:
+        return _SPAN_SCHEMA.empty_table()
+    pos = np.asarray(batch["pos"])
+    order = np.lexsort((pos, doc))
+    doc, pos = doc[order], pos[order]
+    brk = np.r_[True, (doc[1:] != doc[:-1]) | (pos[1:] > pos[:-1] + k)]
+    s_idx = np.flatnonzero(brk)
+    e_idx = np.r_[s_idx[1:], len(pos)] - 1
+    return pa.table(
+        {
+            "doc_id": pa.array(doc[s_idx], pa.int64()),
+            "span_start": pa.array(pos[s_idx], pa.int64()),
+            "span_end": pa.array(pos[e_idx] + k, pa.int64()),
+        }
+    )
+
+
+def substring_dedup_spans(
+    ds,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    num_partitions: int = 64,
+):
+    """Dataset of documents → Dataset (doc_id, span_start, span_end): the
+    maximal merged token spans (0-based, half-open) duplicated >= 2 times
+    corpus-wide at granularity k. Docs with no duplicated span emit nothing."""
+    gram = GramStage(k, text_col, id_col, tokenizer, num_partitions)
+    return (
+        ds.map_batches(gram, batch_format="pandas")
+        .groupby("part")
+        .map_groups(lambda b: _dup_occurrences(b, num_partitions), batch_format="pyarrow")
+        .groupby("doc_part")
+        .map_groups(lambda b: _merge_spans(b, k), batch_format="pyarrow")
+    )
+
+
+def substring_dedup_stats(
+    ds,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    num_partitions: int = 64,
+):
+    """Per-doc rollup of :func:`substring_dedup_spans`: (doc_id, n_spans,
+    dup_tokens). dup_tokens counts token positions covered by >= 1 duplicated
+    window — the quantity a curation policy thresholds on (e.g. drop or trim
+    docs that are mostly duplicated text)."""
+    spans = substring_dedup_spans(ds, k, text_col, id_col, tokenizer, num_partitions)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.empty:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_spans": pa.array([], pa.int64()),
+                 "dup_tokens": pa.array([], pa.int64())}
+            )
+        df["len"] = df["span_end"] - df["span_start"]
+        agg = df.groupby("doc_id", as_index=False, sort=False).agg(
+            n_spans=("span_start", "size"), dup_tokens=("len", "sum")
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    # spans of one doc are already co-partitioned (doc_part exchange), but a
+    # map_groups output block is not guaranteed to stay one block through the
+    # next stage — re-key tiny rollup rows and sum (combiner → small groupby).
+    def add_part(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch["doc_id"])
+        with np.errstate(over="ignore"):
+            part = ((doc.view(np.uint64) * _MIX) % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("doc_part", pa.array(part, pa.int32()))
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        agg = df.groupby("doc_id", as_index=False, sort=False).agg(
+            n_spans=("n_spans", "sum"), dup_tokens=("dup_tokens", "sum")
+        )
+        return pa.Table.from_pandas(agg[["doc_id", "n_spans", "dup_tokens"]], preserve_index=False)
+
+    return (
+        spans.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("doc_part")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -1,0 +1,129 @@
+"""Exact-substring (repeated-span) dedup tests: planted spans, within-doc
+repeats, merge semantics, and degenerate inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from elasticsearch_minhash_ray.stages.substring import (
+    GramStage,
+    substring_dedup_spans,
+    substring_dedup_stats,
+)
+
+
+def _words(rng, n, vocab=5000):
+    return " ".join(f"w{rng.integers(vocab)}" for _ in range(n))
+
+
+def _spans_df(docs, k, **kw):
+    ds = rd.from_pandas(pd.DataFrame(docs))
+    out = substring_dedup_spans(ds, k=k, num_partitions=8, **kw).to_pandas()
+    out = out.reindex(columns=["doc_id", "span_start", "span_end"])
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
+def test_planted_cross_doc_span(ray_session):
+    rng = np.random.default_rng(7)
+    shared = _words(rng, 30)  # 30-token span planted in docs 1 and 2
+    docs = [
+        {"doc_id": 1, "text": _words(rng, 40) + " " + shared + " " + _words(rng, 15)},
+        {"doc_id": 2, "text": _words(rng, 5) + " " + shared},
+        {"doc_id": 3, "text": _words(rng, 60)},  # clean
+    ]
+    out = _spans_df(docs, k=20)
+    # doc 1: span at tokens [40, 70); doc 2: [5, 35); doc 3: nothing
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "span_start": 40, "span_end": 70},
+        {"doc_id": 2, "span_start": 5, "span_end": 35},
+    ]
+
+
+def test_within_doc_repeat_counts(ray_session):
+    rng = np.random.default_rng(8)
+    rep = _words(rng, 25)
+    # the span occurs twice inside ONE doc -> occurrences >= 2 must trigger
+    docs = [{"doc_id": 1, "text": rep + " " + _words(rng, 30) + " " + rep}]
+    out = _spans_df(docs, k=20)
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "span_start": 0, "span_end": 25},
+        {"doc_id": 1, "span_start": 55, "span_end": 80},
+    ]
+
+
+def test_adjacent_windows_merge(ray_session):
+    rng = np.random.default_rng(9)
+    shared = _words(rng, 50)  # one long shared run -> ONE merged span, not 31
+    docs = [
+        {"doc_id": 1, "text": shared},
+        {"doc_id": 2, "text": _words(rng, 10) + " " + shared + " " + _words(rng, 10)},
+    ]
+    out = _spans_df(docs, k=20)
+    assert out.to_dict("records") == [
+        {"doc_id": 1, "span_start": 0, "span_end": 50},
+        {"doc_id": 2, "span_start": 10, "span_end": 60},
+    ]
+
+
+def test_short_and_empty_docs(ray_session):
+    docs = [
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "only five words right here"},  # < k tokens
+        {"doc_id": 4, "text": "only five words right here"},
+    ]
+    out = _spans_df(docs, k=20)
+    assert len(out) == 0
+    ds = rd.from_pandas(pd.DataFrame(docs))
+    stats = substring_dedup_stats(ds, k=20, num_partitions=8).to_pandas()
+    assert len(stats) == 0
+
+
+def test_stats_match_spans(ray_session):
+    rng = np.random.default_rng(10)
+    shared_a, shared_b = _words(rng, 22), _words(rng, 28)
+    docs = [
+        {"doc_id": 1, "text": shared_a + " " + _words(rng, 30) + " " + shared_b},
+        {"doc_id": 2, "text": shared_a},
+        {"doc_id": 3, "text": shared_b + " " + _words(rng, 12)},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(docs))
+    spans = substring_dedup_spans(ds, k=20, num_partitions=8).to_pandas()
+    stats = (
+        substring_dedup_stats(ds, k=20, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    expect = (
+        spans.assign(length=spans.span_end - spans.span_start)
+        .groupby("doc_id", as_index=False)
+        .agg(n_spans=("span_start", "size"), dup_tokens=("length", "sum"))
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert stats.astype("int64").equals(expect.astype("int64"))
+    assert set(stats.doc_id) == {1, 2, 3}
+    assert stats.set_index("doc_id").loc[1, "n_spans"] == 2
+
+
+def test_gram_stage_rejects_bad_k():
+    with pytest.raises(ValueError):
+        GramStage(k=1)
+
+
+def test_gram_stage_boundary_mask():
+    """Windows never cross document boundaries: two docs that concatenate
+    into a duplicated token stream must NOT produce a gram."""
+    stage = GramStage(k=4, num_partitions=8)
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a b", "c d a b c d"]}
+    )
+    out = stage(batch)
+    # doc 1 has 2 tokens < k -> nothing; doc 2 has 6 tokens -> 3 windows
+    assert out.num_rows == 3
+    assert out["doc_id"].to_pylist() == [2, 2, 2]
+    assert out["pos"].to_pylist() == [0, 1, 2]
