@@ -71,6 +71,38 @@ def lang_id_scores(text: str) -> str:
     return best
 
 
+def lang_id_batch(texts: pd.Series) -> np.ndarray:
+    """Vectorized batch twin of :func:`lang_id_scores` (identical winner
+    semantics, pinned by test_lang_id_batch_matches_scalar): lowercase +
+    findall run as pandas C kernels, stopword membership is ONE factorize of
+    the batch's flat token array + set lookups over DISTINCT tokens only,
+    per-doc hit counts come from bincount — no Python loop over rows."""
+    from itertools import chain
+
+    t = texts.fillna("").str.lower()
+    toks = t.str.findall(TOKEN_RE)
+    n_docs = len(toks)
+    langs = sorted(_STOPWORDS)
+    counts = np.fromiter((len(x) for x in toks), np.int64, n_docs)
+    total = int(counts.sum())
+    out = np.full(n_docs, "unknown", dtype=object)
+    if total == 0:
+        return out
+    flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+    doc_idx = np.repeat(np.arange(n_docs), counts)
+    codes, uniques = pd.factorize(flat, sort=False)
+    hits = np.empty((n_docs, len(langs)), np.int64)
+    for j, lang in enumerate(langs):
+        stop = _STOPWORDS[lang]
+        member = np.fromiter((u in stop for u in uniques), bool, len(uniques))
+        hits[:, j] = np.bincount(doc_idx[member[codes]], minlength=n_docs)
+    best = hits.max(axis=1)
+    win = hits.argmax(axis=1)  # first max = alphabetically-first lang
+    ok = best >= 2
+    out[ok] = np.asarray(langs, dtype=object)[win[ok]]
+    return out
+
+
 _FP_BASE = np.uint64(1099511628211)  # FNV-ish multiplier
 
 
@@ -108,3 +140,68 @@ def doc_fingerprint(text: str, k: int = 8, w: int = 4) -> int:
         # XOR-fold mixed picks: position-independent combine of the winnowed set
         mixed = (picks ^ (picks >> np.uint64(33))) * _FP_BASE
         return int(np.bitwise_xor.reduce(mixed) >> np.uint64(1))
+
+
+def _xor_fold_by_doc(values: np.ndarray, doc: np.ndarray, n_docs: int) -> np.ndarray:
+    """XOR-aggregate ``values`` by (sorted, nondecreasing) doc index."""
+    out = np.zeros(n_docs, np.uint64)
+    if len(values):
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        out[doc[starts]] = np.bitwise_xor.reduceat(values, starts)
+    return out
+
+
+def doc_fingerprint_batch(texts: pd.Series, k: int = 8, w: int = 4) -> np.ndarray:
+    """Vectorized batch twin of :func:`doc_fingerprint` — bit-identical output
+    (pinned by test_fingerprint_batch_matches_scalar). One concatenated uint8
+    buffer for the batch; k-gram rolling hashes via Horner over the flat
+    buffer with doc-boundary masking; winnowing minima via one
+    sliding_window_view; XOR-folds via reduceat on the sorted doc index. The
+    only per-doc Python work left is the utf-8 encode of each string."""
+    vals = texts.fillna("") if isinstance(texts, pd.Series) else [t or "" for t in texts]
+    enc = [t.encode("utf-8") for t in vals]
+    lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
+    out = np.zeros(len(enc), np.uint64)
+    with np.errstate(over="ignore"):
+        # --- short docs (1..k bytes): FNV-fold, vectorized ACROSS docs ---
+        short = np.flatnonzero((lens > 0) & (lens <= k))
+        if len(short):
+            sflat = np.frombuffer(b"".join(enc[i] for i in short), np.uint8).astype(np.uint64)
+            slens = lens[short]
+            sstart = np.r_[0, np.cumsum(slens)][:-1]
+            h = np.full(len(short), np.uint64(14695981039346656037))
+            for j in range(int(slens.max())):
+                live = slens > j
+                h[live] = (h[live] ^ sflat[sstart[live] + j]) * _FP_BASE
+            out[short] = h >> np.uint64(1)
+        # --- long docs (> k bytes): flat window hashes + winnow + fold ---
+        long = np.flatnonzero(lens > k)
+        if len(long):
+            flat = np.frombuffer(b"".join(enc[i] for i in long), np.uint8).astype(np.uint64)
+            counts = lens[long]
+            n = len(flat)
+            m = n - k + 1
+            doc_idx = np.repeat(np.arange(len(long)), counts)
+            weights_msb = _FP_BASE  # Horner == sum_j byte[i+j] * BASE^(k-1-j)
+            acc = np.zeros(m, np.uint64)
+            for j in range(k):
+                acc = acc * weights_msb + flat[j : m + j]
+            valid = doc_idx[:m] == doc_idx[k - 1 : n]
+            flat_h = acc[valid]
+            h_doc = doc_idx[:m][valid]
+            h_counts = counts - k + 1  # all >= 1 since counts > k
+            mh = len(flat_h)
+            fold = np.zeros(len(long), np.uint64)
+            # docs with few windows (<= w): picks = every window hash
+            few = h_counts[h_doc] <= w
+            pf = flat_h[few]
+            fold ^= _xor_fold_by_doc((pf ^ (pf >> np.uint64(33))) * _FP_BASE, h_doc[few], len(long))
+            # docs with > w windows: picks = sliding min of width w
+            if mh >= w:
+                sw = np.lib.stride_tricks.sliding_window_view(flat_h, w).min(axis=1)
+                dw = h_doc[: mh - w + 1]
+                ok = (dw == h_doc[w - 1 : mh]) & (h_counts[dw] > w)
+                ps = sw[ok]
+                fold ^= _xor_fold_by_doc((ps ^ (ps >> np.uint64(33))) * _FP_BASE, dw[ok], len(long))
+            out[long] = fold >> np.uint64(1)
+    return out.view(np.int64)

@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.text_stats import doc_fingerprint, lang_id_scores, quality_stats_frame
+from ..functions.text_stats import doc_fingerprint_batch, lang_id_batch, quality_stats_frame
 
 
 class TextStatsStage:
@@ -33,7 +33,7 @@ class LangIdStage:
         self.text_col = text_col
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["lang_pred"] = [lang_id_scores(t) for t in batch[self.text_col].fillna("")]
+        batch["lang_pred"] = lang_id_batch(batch[self.text_col])
         return batch
 
 
@@ -45,11 +45,7 @@ class FingerprintStage:
         self.k = k
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch["fingerprint"] = np.fromiter(
-            (doc_fingerprint(t, self.k) for t in batch[self.text_col].fillna("")),
-            dtype=np.int64,
-            count=len(batch),
-        )
+        batch["fingerprint"] = doc_fingerprint_batch(batch[self.text_col], self.k)
         return batch
 
 
@@ -130,13 +126,20 @@ class DecontaminateStage:
             list(batch[self.text_col]), self.tokenizer, self.shingle_n
         )
         ref = self.ref
+        lens = np.fromiter((len(s) for s in sets), np.int64, len(sets))
         overlap = np.zeros(len(sets), np.float64)
-        for i, s in enumerate(sets):
-            if len(s) and len(ref):
-                pos = np.searchsorted(ref, s)
-                pos[pos == len(ref)] = len(ref) - 1
-                overlap[i] = np.count_nonzero(ref[pos] == s) / len(s)
-        batch["n_shingles"] = np.fromiter((len(s) for s in sets), np.int64, len(sets))
+        nz = lens > 0
+        if len(ref) and nz.any():
+            # ONE flat searchsorted over the batch's concatenated shingle
+            # hashes + per-doc hit sums via reduceat (segments are contiguous
+            # because empty docs occupy no space in the flat buffer)
+            flat = np.concatenate([s for s in sets if len(s)])
+            pos = np.searchsorted(ref, flat)
+            pos[pos == len(ref)] = len(ref) - 1
+            hit = (ref[pos] == flat).astype(np.int64)
+            starts = np.r_[0, np.cumsum(lens)][:-1][nz]
+            overlap[nz] = np.add.reduceat(hit, starts) / lens[nz]
+        batch["n_shingles"] = lens
         batch["overlap"] = overlap
         batch["contaminated"] = overlap >= self.threshold
         return batch

@@ -231,3 +231,36 @@ def test_broadcast_join_all_miss_batch_keeps_value_dtype(ray_session):
         assert b.schema.field("v").type == pa.string(), b.schema
     t = pa.concat_tables(blocks)  # unifies only if types agree
     assert t.num_rows == 3 and t["v"].null_count == 2
+
+
+def test_fingerprint_batch_matches_scalar():
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.functions.text_stats import doc_fingerprint_batch
+
+    rng = np.random.default_rng(42)
+    texts = ["", None, "a", "short", "exactly8", "nine char",
+             "hello world " * 3, "über café 中文 \U0001f600" * 5]
+    for _ in range(200):
+        n = rng.integers(0, 120)
+        texts.append("".join(chr(rng.integers(32, 1000)) for _ in range(n)))
+    batch = doc_fingerprint_batch(pd.Series(texts, dtype=object))
+    scalar = np.array([doc_fingerprint(t or "") for t in texts], np.int64)
+    assert np.array_equal(batch, scalar)
+
+
+def test_lang_id_batch_matches_scalar():
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.functions.text_stats import lang_id_batch
+
+    rng = np.random.default_rng(43)
+    texts = ["the cat and the dog is here", "der hund und die katze ist",
+             "", None, "xyz abc", "THE AND OF TO in is", "la la la"]
+    vocab = ["the", "and", "der", "und", "le", "la", "el", "es", "is",
+             "foo", "bar", "of", "to", "y", "et"]
+    for _ in range(300):
+        texts.append(" ".join(rng.choice(vocab, rng.integers(0, 30))))
+    batch = lang_id_batch(pd.Series(texts, dtype=object))
+    scalar = np.array([lang_id_scores(t or "") for t in texts], object)
+    assert np.array_equal(batch, scalar)
