@@ -667,6 +667,79 @@ def _q_ann_topk_ivf(sf_dir: str):
     return ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=4)
 
 
+def _q_ann_topk_ivf_exact(sf_dir: str):
+    """Oracle-checked IVF top-k in EXACT mode (n_probe = n_lists → every list
+    probed → identical result set to brute force): pins the IVF machinery
+    (centroid fit, probe routing, masked scoring, top-k merge) under the same
+    SQL oracle as ann_topk. The approximate query (ann_topk_ivf) stays
+    rows-only by design."""
+    from elasticsearch_minhash_ray.stages.embed import ivf_topk
+
+    q, qids = _ann_queries(sf_dir)
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    top = ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=8)
+    import pyarrow.compute as pc
+
+    return top.set_column(
+        top.schema.get_field_index("cos_sim"), "cos_sim", pc.round(top["cos_sim"], 9)
+    )
+
+
+def _q_minhash_bit_strings_golden(sf_dir: str):
+    """Hard oracle for the O8 bit-string encoding: the 6 golden fixtures
+    through the REAL SignatureStage with bit_string=true, compared against
+    bit strings derived (stdlib base64 + documented LSB-first byte order,
+    MinHashFieldMapper.java:272-274) from the reference's golden base64
+    signatures — independent of this package's encoder."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray import MinHashConfig
+    from elasticsearch_minhash_ray.stages.signature import SignatureStage
+
+    cfgs = [MinHashConfig(name=n, bit_string=True, **kw) for n, kw in _GOLDEN_CONFIGS.items()]
+    t = pa.table({"content": pa.array(["test 1", "test 2"], pa.string())})
+    stage_kw = {
+        "configs": cfgs,
+        "content_col": "content",
+        "encode": "auto",
+        "drop_content": False,
+    }
+    ds = rd.from_arrow(t).map_batches(
+        SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=1
+    )
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        contents, names, sigs = [], [], []
+        for row in batch.to_pylist():
+            for n in _GOLDEN_CONFIGS:
+                contents.append(row["content"])
+                names.append(n)
+                sigs.append(row[f"minhash_{n}_bits"])
+        return pa.table(
+            {
+                "content": pa.array(contents, pa.string()),
+                "cfg": pa.array(names, pa.string()),
+                "sig_bits": pa.array(sigs, pa.string()),
+            }
+        )
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")
+
+
+def _golden_bit_string_values() -> str:
+    """VALUES rows for the bit-string golden oracle, derived from the
+    reference's base64 signatures with ONLY stdlib base64 + the documented
+    LSB-first bit order (no package imports — the oracle stays independent)."""
+    import base64 as _b64
+
+    rows = []
+    for content, cfg, sig_b64 in _GOLDEN_SIGS:
+        raw = _b64.b64decode(sig_b64)
+        bits = "".join(format(byte, "08b")[::-1] for byte in raw)
+        rows.append(f"('{content}', '{cfg}', '{bits}')")
+    return ", ".join(rows)
+
+
 def _q_orders_by_region(sf_dir: str):
     """Broadcast (map-side) join: orders ⨝ customer→nation→region collapsed to
     a custkey→region lookup on the driver, ray.put once, read per task — the
@@ -839,6 +912,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signature_collapse": _q_signature_collapse,
         "minhash_bit_strings": _q_minhash_bit_strings,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        # SQL-verifiable (round 3): IVF pinned in exact mode, bit strings
+        # pinned against reference-derived golden values
+        "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
+        "minhash_bit_strings_golden": _q_minhash_bit_strings_golden,
         # SQL-verifiable (round 2): edges against exact set-Jaccard in SQL,
         # kernel against the reference's own golden signatures
         "ngram_jaccard_edges": _q_ngram_jaccard_edges,
@@ -1130,6 +1207,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "ann_topk_ivf_exact": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC,
+                                                   e.vec_id ASC) AS rn
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+        """,
+        "minhash_bit_strings_golden": f"""
+            SELECT * FROM (VALUES {_golden_bit_string_values()})
+            AS t(content, cfg, sig_bits)
         """,
         "minhash_golden": """
             SELECT * FROM (VALUES
