@@ -57,6 +57,11 @@ class MinHashConfig:
     null_value: str | None = None
     bit_string: bool = False
     name: str = "minhash"
+    # analyzer-chain members around the tokenizer (reference README.md:28-42:
+    # any char_filter/filter chain may precede the final minhash filter);
+    # applied char_filters -> tokenize -> filters -> shingle
+    char_filters: tuple = ()
+    filters: tuple = ()
 
     def __post_init__(self):
         if self.num_of_hash < 1:
@@ -65,6 +70,13 @@ class MinHashConfig:
             raise ValueError(f"bit must be in [1, 63], got {self.bit}")
         if self.shingle < 1:
             raise ValueError(f"shingle must be >= 1, got {self.shingle}")
+        # frozen dataclass: coerce list args to hashable tuples + fail fast
+        # on unknown filter names (before any actor ships)
+        object.__setattr__(self, "char_filters", tuple(self.char_filters))
+        object.__setattr__(self, "filters", tuple(self.filters))
+        from .tokenize import resolve_filters
+
+        resolve_filters(self.char_filters, self.filters)
 
     @property
     def sig_bits(self) -> int:
@@ -77,7 +89,11 @@ class MinHashConfig:
     def config_hash(self) -> str:
         import hashlib
 
-        key = f"{self.num_of_hash}|{self.bit}|{self.seed}|{self.tokenizer}|{self.shingle}|{self.null_value}|{self.bit_string}"
+        key = (
+            f"{self.num_of_hash}|{self.bit}|{self.seed}|{self.tokenizer}|{self.shingle}"
+            f"|{self.null_value}|{self.bit_string}|{','.join(self.char_filters)}"
+            f"|{','.join(self.filters)}"
+        )
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 

@@ -45,9 +45,10 @@ class SignatureStage:
         self.encode = encode
         self.keep_columns = keep_columns
         self._hashers = [MinHasher(c) for c in configs]
-        # share tokenization across configs with identical analyzer settings;
-        # batch tokenizers amortize the vectorized UAX#29 passes per BATCH
-        self._tok_key = [(c.tokenizer, c.shingle) for c in configs]
+        # share tokenization across configs with identical analyzer settings
+        # (tokenizer + shingle + the full filter chain); batch tokenizers
+        # amortize the vectorized UAX#29 passes per BATCH
+        self._tok_key = [(c.tokenizer, c.shingle, c.char_filters, c.filters) for c in configs]
         self._tokenizers = {key: get_batch_tokenizer(*key) for key in set(self._tok_key)}
 
     def __call__(self, batch: pa.Table) -> pa.Table:

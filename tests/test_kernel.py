@@ -251,3 +251,53 @@ def test_scratch_kernels_match_plain(n, width, seed):
         want = compare_pairs(sig_u64(mat), l2.copy(), ia, ib)
         got = comparer(sig_u64(mat), l2.copy(), ia, ib)
         assert np.array_equal(want, got)
+
+
+# -- analyzer-chain filters (reference README.md:28-42: any char_filter /
+# filter chain may precede the final minhash filter) ------------------------
+
+
+def test_analyzer_filters_reach_golden():
+    """Hand-verified via the golden fixtures: each chain normalizes its input
+    to exactly the 'test 1' token stream, so the signature must equal the
+    reference's golden base64 for cfg1."""
+    from elasticsearch_minhash_ray.functions.minhash import MinHashConfig, MinHasher, to_base64
+    from elasticsearch_minhash_ray.functions.tokenize import get_tokenizer
+
+    want = "Uji99jenq7da3aNKTYc8yQ=="
+    cases = [
+        ("Test 1", (), ("lowercase",)),
+        ("<b>test</b> 1", ("html_strip",), ()),
+        ("tést 1", ("asciifolding",), ()),   # tést -> test (char filter)
+        ("Tést 1", (), ("asciifolding", "lowercase")),  # token filters
+        ("the test and 1 of", (), ("stop",)),      # stopwords removed
+    ]
+    for text, cfs, tfs in cases:
+        cfg = MinHashConfig(char_filters=cfs, filters=tfs)
+        tok = get_tokenizer(cfg.tokenizer, cfg.shingle, cfg.char_filters, cfg.filters)
+        got = to_base64(MinHasher(cfg).signatures([tok(text)])[0])
+        assert got == want, (text, cfs, tfs, got)
+
+
+def test_analyzer_filters_batch_matches_scalar():
+    from elasticsearch_minhash_ray.functions.tokenize import get_batch_tokenizer, get_tokenizer
+
+    texts = ["The <I>Quick</i> Fox", "tést &amp; TÜV", "", "the of and"]
+    for cfs, tfs in [(("html_strip",), ("lowercase", "stop")),
+                     (("asciifolding",), ("uppercase",)),
+                     ((), ("trim", "length"))]:
+        scalar = get_tokenizer("standard", 1, cfs, tfs)
+        many = get_batch_tokenizer("standard", 1, cfs, tfs)
+        assert many(texts) == [scalar(t) if t else [] for t in texts]
+
+
+def test_filters_affect_config_hash_and_validate():
+    from elasticsearch_minhash_ray.functions.minhash import MinHashConfig
+
+    base = MinHashConfig()
+    assert MinHashConfig(filters=("lowercase",)).config_hash() != base.config_hash()
+    assert MinHashConfig(filters=["lowercase"]).filters == ("lowercase",)  # list coerced
+    with pytest.raises(ValueError):
+        MinHashConfig(filters=("nope",))
+    with pytest.raises(ValueError):
+        MinHashConfig(char_filters=("nope",))
