@@ -4,9 +4,9 @@ Layout per checkpointed stage::
 
     <out_dir>/<stage>/              e.g. signatures/shard=3/
         *.parquet                   stage output
-        _lineage.json               written LAST, atomically (tmp+rename) —
-                                    its presence with a matching fingerprint
-                                    marks the partition complete
+        _lineage.json               written LAST, atomically — its presence
+                                    with a matching fingerprint marks the
+                                    partition complete
 
 A restarted run calls :func:`is_complete` per stage/shard and skips finished
 work; fingerprints cover the full pipeline config + the caller-supplied input
@@ -19,9 +19,16 @@ one (FIXTURES.md F-RESUME). The shard is the parallel unit — sizing shards
 (``num_shards``) keeps single-file writes small while the rest of the
 pipeline runs at full width.
 
-Paths use the local filesystem API (os.makedirs / os.replace atomic publish);
-on a multi-node cluster point ``out_dir`` at shared storage (NFS) or swap the
-writers for pyarrow.fs-based ones — the lineage protocol is unchanged.
+Filesystem routing: every path goes through ``pyarrow.fs`` — plain paths use
+LocalFileSystem, URIs (``s3://…``, ``hdfs://…``, ``file://…``) resolve via
+``FileSystem.from_uri``, so ``ray job submit … --output s3://bucket/run1``
+works as README advertises. Publish protocol per FS class:
+
+- local: write ``*.tmp`` then rename (``fs.move`` == atomic ``os.replace``);
+- object stores (no atomic rename): data files are written directly under
+  their final names and the ``_lineage.json`` marker is written LAST with a
+  single PUT (atomic on S3-class stores). Readers only trust a stage dir
+  whose lineage fingerprint matches, so a torn run is simply re-done.
 """
 
 from __future__ import annotations
@@ -29,6 +36,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import posixpath
 import time
 from dataclasses import asdict, is_dataclass
 from typing import Any
@@ -44,47 +52,86 @@ def fingerprint(*parts: Any) -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:24]
 
 
+# ---------------------------------------------------------------------------
+# filesystem routing
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(path: str):
+    """(filesystem, fs-internal path, atomic_rename) for a path or URI."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        f, p = pafs.FileSystem.from_uri(path)
+        local = isinstance(f, pafs.LocalFileSystem)
+        return f, p, local
+    return pafs.LocalFileSystem(), os.path.abspath(path), True
+
+
+def _join(base: str, *parts: str) -> str:
+    # fs-internal paths are always /-separated (posix even on local)
+    return posixpath.join(base, *parts)
+
+
 def lineage_path(stage_dir: str) -> str:
-    return os.path.join(stage_dir, "_lineage.json")
+    return _join(stage_dir, "_lineage.json")
+
+
+def _write_bytes(f, path: str, data: bytes, atomic_rename: bool) -> None:
+    """Publish a small file: tmp+rename where rename is atomic, single direct
+    write (one PUT) where it is not."""
+    if atomic_rename:
+        tmp = path + ".tmp"
+        with f.open_output_stream(tmp) as out:
+            out.write(data)
+        f.move(tmp, path)
+    else:
+        with f.open_output_stream(path) as out:
+            out.write(data)
+
+
+def _write_parquet(f, table, path: str, atomic_rename: bool) -> None:
+    import pyarrow.parquet as pq
+
+    if atomic_rename:
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp, filesystem=f)
+        f.move(tmp, path)
+    else:
+        pq.write_table(table, path, filesystem=f)
 
 
 def is_complete(stage_dir: str, fp: str) -> bool:
-    try:
-        with open(lineage_path(stage_dir)) as f:
-            return json.load(f).get("fingerprint") == fp
-    except (FileNotFoundError, json.JSONDecodeError):
-        return False
+    lin = read_lineage(stage_dir)
+    return lin is not None and lin.get("fingerprint") == fp
 
 
 def mark_complete(stage_dir: str, fp: str, **meta: Any) -> None:
-    os.makedirs(stage_dir, exist_ok=True)
+    f, p, atomic = _fs_for(stage_dir)
+    f.create_dir(p, recursive=True)
     payload = {"fingerprint": fp, "finished_at": time.time(), **meta}
-    tmp = lineage_path(stage_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(payload, f, indent=2)
-    os.replace(tmp, lineage_path(stage_dir))  # atomic publish
+    _write_bytes(f, _join(p, "_lineage.json"), json.dumps(payload, indent=2).encode(), atomic)
 
 
 def read_lineage(stage_dir: str) -> dict | None:
+    f, p, _ = _fs_for(stage_dir)
     try:
-        with open(lineage_path(stage_dir)) as f:
-            return json.load(f)
-    except (FileNotFoundError, json.JSONDecodeError):
+        with f.open_input_stream(_join(p, "_lineage.json")) as s:
+            return json.loads(s.read())
+    except (FileNotFoundError, OSError, json.JSONDecodeError):
         return None
 
 
 def write_sorted_single_file(table, stage_dir: str, sort_keys: list[str], fp: str, **meta: Any):
     """Deterministic shard write: sort by stable keys, one parquet file,
-    then atomically publish the lineage marker."""
+    then publish the lineage marker LAST."""
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    os.makedirs(stage_dir, exist_ok=True)
+    f, p, atomic = _fs_for(stage_dir)
+    f.create_dir(p, recursive=True)
     if len(table) and sort_keys:
         table = table.take(pc.sort_indices(table, sort_keys=[(k, "ascending") for k in sort_keys]))
-    tmp = os.path.join(stage_dir, "data.parquet.tmp")
-    pq.write_table(table, tmp)
-    os.replace(tmp, os.path.join(stage_dir, "data.parquet"))
+    _write_parquet(f, table, _join(p, "data.parquet"), atomic)
     mark_complete(stage_dir, fp, rows=len(table), **meta)
 
 
@@ -111,14 +158,33 @@ def write_sorted_shard_remote(ds, stage_dir: str, sort_keys: list[str], fp: str,
 
 
 def edges_files(stage_dir: str) -> list[str]:
-    """Data files of an edges checkpoint, single-file or sharded layout."""
-    single = os.path.join(stage_dir, "data.parquet")
-    if os.path.exists(single):
-        return [single]
+    """Data files of an edges checkpoint, single-file or sharded layout.
+    Returned paths are readable by ``read_parquet_auto`` (original URI scheme
+    preserved for remote stores)."""
+    from pyarrow import fs as pafs
+
+    f, p, _ = _fs_for(stage_dir)
+    prefix = ""
+    if "://" in stage_dir:
+        scheme = stage_dir.split("://", 1)[0]
+        if scheme != "file":
+            prefix = scheme + "://"
+
+    def ext(fs_path: str) -> str:
+        return prefix + fs_path if prefix else fs_path
+
+    single = _join(p, "data.parquet")
+    if f.get_file_info(single).type == pafs.FileType.File:
+        return [ext(single)]
+    if f.get_file_info(p).type != pafs.FileType.Directory:
+        return []
+    infos = f.get_file_info(pafs.FileSelector(p, recursive=False))
     parts = sorted(
-        d for d in os.listdir(stage_dir) if d.startswith("part=")
-    ) if os.path.isdir(stage_dir) else []
-    return [os.path.join(stage_dir, d, "data.parquet") for d in parts]
+        posixpath.basename(i.path)
+        for i in infos
+        if i.type == pafs.FileType.Directory and posixpath.basename(i.path).startswith("part=")
+    )
+    return [ext(_join(p, d, "data.parquet")) for d in parts]
 
 
 def write_edges_checkpoint(
@@ -138,27 +204,28 @@ def write_edges_checkpoint(
     data files; their sum lands on the stage lineage as ``dropped_pairs``.
     Returns (data file paths, dropped_pairs).
     """
-    import shutil
-
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
+    from pyarrow import fs as pafs
+
+    f, p, atomic = _fs_for(stage_dir)
 
     # a prior (differently-fingerprinted) run may have left the OTHER layout
     # behind — a stale data.parquet next to new part=K dirs, or more part=K
     # dirs than this run writes. Clean them first so edges_files() can never
     # mix runs; the lineage marker goes first, so an interrupt mid-clean just
     # re-runs this stage.
-    if os.path.isdir(stage_dir):
-        lp = lineage_path(stage_dir)
-        if os.path.exists(lp):
-            os.remove(lp)
-        single = os.path.join(stage_dir, "data.parquet")
-        if os.path.exists(single):
-            os.remove(single)
-        for d in os.listdir(stage_dir):
-            if d.startswith("part="):
-                shutil.rmtree(os.path.join(stage_dir, d), ignore_errors=True)
+    if f.get_file_info(p).type == pafs.FileType.Directory:
+        lp = _join(p, "_lineage.json")
+        if f.get_file_info(lp).type == pafs.FileType.File:
+            f.delete_file(lp)
+        single = _join(p, "data.parquet")
+        if f.get_file_info(single).type == pafs.FileType.File:
+            f.delete_file(single)
+        for i in f.get_file_info(pafs.FileSelector(p, recursive=False)):
+            if i.type == pafs.FileType.Directory and posixpath.basename(i.path).startswith("part="):
+                f.delete_dir(i.path)
 
     mat = edges_ds.materialize()
 
@@ -197,7 +264,7 @@ def write_edges_checkpoint(
             return len(table)
 
         ray.get(_write.remote(stage_dir, fp, dropped, *refs))
-        return [os.path.join(stage_dir, "data.parquet")], dropped
+        return edges_files(stage_dir), dropped
 
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -210,16 +277,13 @@ def write_edges_checkpoint(
         return batch.append_column("eshard", pa.array(k, pa.int32()))
 
     def write_shard(batch: pa.Table) -> pa.Table:
-        import pyarrow.parquet as pq
-
         k = int(batch["eshard"][0].as_py())
         sub = batch.select(["src", "dst", "sim"])
         sub = sub.take(pc.sort_indices(sub, sort_keys=[("src", "ascending"), ("dst", "ascending")]))
-        d = os.path.join(stage_dir, f"part={k}")
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, "data.parquet.tmp")
-        pq.write_table(sub, tmp)
-        os.replace(tmp, os.path.join(d, "data.parquet"))
+        sf, sp, satomic = _fs_for(stage_dir)
+        d = _join(sp, f"part={k}")
+        sf.create_dir(d, recursive=True)
+        _write_parquet(sf, sub, _join(d, "data.parquet"), satomic)
         return pa.table({"shard": pa.array([k], pa.int32()), "rows": pa.array([sub.num_rows], pa.int64())})
 
     written = (
@@ -231,15 +295,11 @@ def write_edges_checkpoint(
     # empty shards (no rows hashed to them) get explicit empty files so the
     # tree is a function of content, not of which hashes occurred
     present = set(written["shard"]) if len(written) else set()
-    import pyarrow.parquet as pq
-
     empty = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())})
     for k in range(shards):
         if k not in present:
-            d = os.path.join(stage_dir, f"part={k}")
-            os.makedirs(d, exist_ok=True)
-            tmp = os.path.join(d, "data.parquet.tmp")
-            pq.write_table(empty, tmp)
-            os.replace(tmp, os.path.join(d, "data.parquet"))
+            d = _join(p, f"part={k}")
+            f.create_dir(d, recursive=True)
+            _write_parquet(f, empty, _join(d, "data.parquet"), atomic)
     mark_complete(stage_dir, fp, dropped_pairs=dropped, rows=n, shards=shards)
     return edges_files(stage_dir), dropped
