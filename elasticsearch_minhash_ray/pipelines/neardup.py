@@ -341,7 +341,7 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     if cfg.collapse_exact:
         band_input, star_edges = collapse_exact_signatures(sigs_out, cfg)
     use_distributed = cfg.distributed_cc
-    raw_ds = None
+    raw_ds, raw_count = None, None
     _t_edges = _t_sig  # set properly on each branch below
     if not use_distributed:
         # cheap gate BEFORE anything touches the driver: count the (not yet
@@ -349,7 +349,8 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
         # the distributed path instead of erroring (the raw count overstates
         # true edges by ~n_bands, making the switch conservative)
         raw_ds = build_edges(band_input, cfg, dedupe=False).materialize()
-        use_distributed = raw_ds.count() > cfg.max_driver_edges
+        raw_count = raw_ds.count()
+        use_distributed = raw_count > cfg.max_driver_edges
         _t_edges = _time.perf_counter()
     if use_distributed:
         # scale path: edges never touch the driver; full distributed dedupe +
@@ -368,15 +369,25 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
             edges = edges.union(star_edges)
         clusters = connected_components_distributed(edges, num_partitions=cfg.lsh.num_partitions)
         n_edges = edges.count()
+        edge_path = "distributed"
     else:
-        # driver CC pulls the edge table anyway — skip the distributed
-        # pair-dedup shuffle (one whole sort barrier) and compute dedupe,
-        # metrics, edge count and clusters from that single pull
+        # driver CC pulls the edge table anyway — for SMALL candidate sets
+        # skip the distributed pair-dedup shuffle (one whole sort barrier)
+        # and dedupe on the single pull; when the raw count is near the
+        # driver budget, dedupe DISTRIBUTED first so the pull shrinks by
+        # ~n_bands (multi-band rediscoveries collapse before shipping)
         import ray.data as rd
 
-        raw = _collect(raw_ds)
-        raw, dropped = split_edge_metrics(raw)
-        edges_tbl = _dedupe_edges_table(raw)
+        if raw_count > cfg.max_driver_edges // 4:
+            edge_path = "driver-pull-prededuped"
+            raw = _collect(dedupe_edges_ds(raw_ds, cfg.lsh.num_partitions))
+            raw, dropped = split_edge_metrics(raw)
+            edges_tbl = raw.select(["src", "dst", "sim"])
+        else:
+            edge_path = "driver-pull"
+            raw = _collect(raw_ds)
+            raw, dropped = split_edge_metrics(raw)
+            edges_tbl = _dedupe_edges_table(raw)
         if star_edges is not None:
             parts = [t for t in (edges_tbl, _collect(star_edges)) if t.num_columns > 0]
             edges_tbl = pa.concat_tables(parts) if parts else edges_tbl
@@ -386,7 +397,9 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     metrics = {
         "dropped_pairs": dropped,
         "n_edges": n_edges,
+        "edge_path": edge_path,
         # per-stage wall times (observability; bench surfaces these)
+        "raw_candidates": raw_count if raw_ds is not None else None,
         "sig_sec": round(_t_sig - _t0, 3),
         "edges_sec": round(_t_edges - _t_sig, 3),
         "cluster_sec": round(_time.perf_counter() - _t_edges, 3),

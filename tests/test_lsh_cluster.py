@@ -215,3 +215,22 @@ def test_distributed_cc_long_chain(ray_session):
     ).to_pandas()
     assert len(out) == n
     assert (out["cluster_id"] == 0).all()
+
+
+def test_prededuped_driver_pull_same_result(ray_session, corpus, oracle):
+    """max_driver_edges // 4 < raw candidate count <= max_driver_edges routes
+    through the distributed-dedupe-then-pull path; clusters, edge count and
+    dropped-pair metrics must equal the plain single-pull path."""
+    _, oracle_parts = oracle
+    ds = rd.from_arrow(corpus.drop_columns(["doc_id", "doc_key", "content_sha256"]))
+    base = dict(minhash=CFG, lsh=LSHConfig(num_partitions=16), sig_concurrency=(1, 2))
+    plain = near_dup_pipeline(ds, PipelineConfig(**base))
+    assert plain.metrics["edge_path"] == "driver-pull"
+    raw = plain.metrics["raw_candidates"]
+    assert raw and raw > plain.metrics["n_edges"]  # multi-band rediscovery real
+    # budget = 2 * raw satisfies budget // 4 < raw <= budget → pre-dedupe path
+    pre = near_dup_pipeline(ds, PipelineConfig(**base, max_driver_edges=2 * raw))
+    assert pre.metrics["edge_path"] == "driver-pull-prededuped"
+    assert _cluster_partition(pre.clusters) == _cluster_partition(plain.clusters) == oracle_parts
+    assert pre.metrics["n_edges"] == plain.metrics["n_edges"]
+    assert pre.metrics["dropped_pairs"] == plain.metrics["dropped_pairs"]
