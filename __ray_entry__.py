@@ -54,6 +54,18 @@ def _pipeline_cfg(**kw):
     return PipelineConfig(minhash=mh, lsh=lsh, sig_concurrency=(1, 8), **kw)
 
 
+def _final_reduce(ds, final):
+    """Final step of the two-stage (combiner → reduce) aggregation for
+    LOW-CARDINALITY keys: the per-batch partials leave at most
+    ``n_keys × n_blocks`` tiny rows, so one coalesced block re-aggregated in
+    a single task is cheaper than a sort-based ``groupby().map_groups`` —
+    and avoids Ray's empty sort partitions, which emit schema-less empty
+    pandas blocks (the ``PandasBlockSchema(names=[])`` unification warning).
+    Only for finals whose group count is small (≤ ~10k); per-user /
+    per-doc groupings keep the shuffling ``groupby``."""
+    return ds.repartition(1).map_batches(final, batch_format="pandas", batch_size=None)
+
+
 # --------------------------------------------------------------------------
 # driver contract
 # --------------------------------------------------------------------------
@@ -126,11 +138,9 @@ def _q_docs_by_lang(sf_dir: str):
             total_tokens=("total_tokens", "sum"),
         )
 
-    return (
-        _docs(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(partial, batch_format="pandas")
-        .groupby("lang")
-        .map_groups(final, batch_format="pandas")
+    return _final_reduce(
+        _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(partial, batch_format="pandas"),
+        final,
     )
 
 
@@ -156,11 +166,7 @@ def _q_events_by_type(sf_dir: str):
         out["total_value_cents"] = (out.pop("total_value") * 100).round().astype("int64")
         return out
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("event_type")
-        .map_groups(final, batch_format="pandas")
-    )
+    return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 def _ann_queries(sf_dir: str, nq: int = 5):
@@ -772,11 +778,7 @@ def _q_orders_by_region(sf_dir: str):
         out["total_price_cents"] = (out.pop("total_price") * 100).round().astype("int64")
         return out
 
-    return (
-        joined.map_batches(partial, batch_format="pandas")
-        .groupby("r_name")
-        .map_groups(final, batch_format="pandas")
-    )
+    return _final_reduce(joined.map_batches(partial, batch_format="pandas"), final)
 
 
 def _q_events_daily(sf_dir: str):
@@ -799,11 +801,7 @@ def _q_events_daily(sf_dir: str):
         out["total_value_cents"] = (out.pop("total_value") * 100).round().astype("int64")
         return out
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["event_type", "day"])
-        .map_groups(final, batch_format="pandas")
-    )
+    return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 def _q_pricing_summary(sf_dir: str):
@@ -815,10 +813,9 @@ def _q_pricing_summary(sf_dir: str):
 
     import pandas as pd
     import pyarrow.compute as pc
-    import ray.data as rd
 
     cutoff = datetime.datetime(1998, 9, 2)
-    ds = rd.read_parquet(
+    ds = read_parquet_auto(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
         filter=(pc.field("l_shipdate") <= pc.scalar(cutoff)),
@@ -842,11 +839,7 @@ def _q_pricing_summary(sf_dir: str):
         out["sum_base_price_cents"] = (out.pop("sum_base_price") * 100).round().astype("int64")
         return out
 
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(final, batch_format="pandas")
-    )
+    return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
 
 
 def _q_user_sessions(sf_dir: str):

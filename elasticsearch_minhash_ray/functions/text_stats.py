@@ -151,16 +151,40 @@ def _xor_fold_by_doc(values: np.ndarray, doc: np.ndarray, n_docs: int) -> np.nda
     return out
 
 
+# Per-chunk byte budget for the flat fingerprint buffers. The kernel makes
+# ~10 full passes over flat uint64 temporaries (~8 bytes per input byte each);
+# capping a chunk at 256 KB of input keeps every temporary ~2 MB (L2/L3-hot)
+# AND under glibc's mmap threshold, so malloc recycles the buffers between
+# chunks. One whole-batch allocation goes to fresh mmap pages every call
+# inside a Ray worker — measured 1.44 s cold vs 0.09 s chunked on 5k docs
+# (first-touch page faults dominate), vs 0.43 s for the per-doc scalar loop.
+_FP_CHUNK_BYTES = 256 << 10
+
+
 def doc_fingerprint_batch(texts: pd.Series, k: int = 8, w: int = 4) -> np.ndarray:
     """Vectorized batch twin of :func:`doc_fingerprint` — bit-identical output
-    (pinned by test_fingerprint_batch_matches_scalar). One concatenated uint8
-    buffer for the batch; k-gram rolling hashes via Horner over the flat
-    buffer with doc-boundary masking; winnowing minima via one
-    sliding_window_view; XOR-folds via reduceat on the sorted doc index. The
-    only per-doc Python work left is the utf-8 encode of each string."""
+    (pinned by test_fingerprint_batch_matches_scalar). Concatenated uint8
+    buffer per byte-bounded chunk (see _FP_CHUNK_BYTES); k-gram rolling hashes
+    via Horner over the flat buffer with doc-boundary masking; winnowing
+    minima via one sliding_window_view; XOR-folds via reduceat on the sorted
+    doc index. The only per-doc Python work left is the utf-8 encode."""
     vals = texts.fillna("") if isinstance(texts, pd.Series) else [t or "" for t in texts]
     enc = [t.encode("utf-8") for t in vals]
     lens = np.fromiter((len(b) for b in enc), np.int64, len(enc))
+    n_docs = len(enc)
+    if n_docs == 0:
+        return np.zeros(0, np.int64)
+    # split on doc boundaries at ~_FP_CHUNK_BYTES of cumulative input
+    chunk_id = np.cumsum(lens) // _FP_CHUNK_BYTES
+    bounds = np.flatnonzero(np.r_[True, chunk_id[1:] != chunk_id[:-1]])
+    bounds = np.r_[bounds, n_docs]
+    out = np.empty(n_docs, np.int64)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        out[s:e] = _doc_fingerprint_chunk(enc[s:e], lens[s:e], k, w)
+    return out
+
+
+def _doc_fingerprint_chunk(enc: list, lens: np.ndarray, k: int, w: int) -> np.ndarray:
     out = np.zeros(len(enc), np.uint64)
     with np.errstate(over="ignore"):
         # --- short docs (1..k bytes): FNV-fold, vectorized ACROSS docs ---

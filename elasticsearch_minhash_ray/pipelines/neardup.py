@@ -26,6 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.minhash import MinHashConfig
+from ..grouping import map_part_groups
 from ..sources.corpus import prepare_batch, read_parquet_auto
 from ..stages.cluster import (
     connected_components_distributed,
@@ -147,9 +148,7 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
             batch_format="pyarrow",
         )
     pairer = BucketPairer(cfg.lsh, width, emit_reps=salted)
-    edges = bands.groupby("bucket_part").map_groups(
-        lambda g, p=pairer: p(g), batch_format="pyarrow"
-    )
+    edges = map_part_groups(bands, "bucket_part", pairer)
     if salted:
         edges = _link_salted_reps(edges, cfg, width)
     if not dedupe:
@@ -161,12 +160,12 @@ def dedupe_edges_ds(edges, num_partitions: int):
     """Distributed distinct-(src,dst)-keep-max-sim over an edge Dataset (one
     hash-partitioned shuffle; metric rows pass through summed)."""
     deduper = EdgeDeduper()
-    return (
+    return map_part_groups(
         edges.map_batches(
             lambda b, n=num_partitions: add_edge_part(b, n), batch_format="pyarrow"
-        )
-        .groupby("edge_part")
-        .map_groups(lambda g, d=deduper: d(g), batch_format="pyarrow")
+        ),
+        "edge_part",
+        deduper,
     )
 
 

@@ -89,6 +89,45 @@ def auto_num_blocks(total_bytes: int, cpus: int | None = None) -> int:
     return int(max(min_blocks, min(cpus * 2, max_blocks)))
 
 
+def _first_parquet_file(path: str) -> str | None:
+    import os
+
+    if os.path.isfile(path):
+        return path
+    if os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+    return None
+
+
+def _stripped_schema(paths: list, columns: list[str] | None = None) -> "pa.Schema | None":
+    """File schema with key-value metadata removed.
+
+    pandas-written parquet carries a ``b'pandas'`` metadata blob; pyarrow's
+    ``Schema.__hash__`` raises on it (dict inside), which makes Ray's
+    block-schema dedup fall back with a per-task warning and the slow
+    unification path. Passing an explicit metadata-free schema to
+    ``read_parquet`` keeps block schemas hashable (and identical across
+    files). Best-effort: any failure returns None and the reader behaves
+    as before."""
+    import pyarrow.parquet as pq
+
+    try:
+        f = _first_parquet_file(paths[0]) if paths else None
+        if f is None:
+            return None
+        schema = pq.read_schema(f).remove_metadata()
+        if columns is not None:
+            # ray prunes blocks to `columns`; the declared schema must match
+            schema = pa.schema([schema.field(c) for c in columns])
+        hash(schema)  # what Ray needs to work
+        return schema
+    except Exception:
+        return None
+
+
 def read_parquet_auto(path, columns: list[str] | None = None, **kwargs):
     """``ray.data.read_parquet`` with column pruning and data-sized blocks."""
     import ray.data as rd
@@ -96,6 +135,10 @@ def read_parquet_auto(path, columns: list[str] | None = None, **kwargs):
     paths = path if isinstance(path, list) else [path]
     total = sum(_path_bytes(p) for p in paths)
     kwargs.setdefault("override_num_blocks", auto_num_blocks(total))
+    if "schema" not in kwargs:
+        schema = _stripped_schema(paths, columns)
+        if schema is not None:
+            kwargs["schema"] = schema
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 

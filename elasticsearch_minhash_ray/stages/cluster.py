@@ -26,6 +26,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .._arrow import table_from_pandas
+
 _MIX = np.uint64(0x2545F4914F6CDD1D)
 _MIX2 = np.uint64(0x9E3779B97F4A7C15)
 
@@ -140,7 +142,7 @@ def _init_labels(batch: pa.Table, num_partitions: int) -> pa.Table:
 def _min_label_per_node(batch: pa.Table) -> pa.Table:
     df = batch.select(["node", "label", "part"]).to_pandas()
     agg = df.groupby("node", as_index=False, sort=False).agg({"label": "min", "part": "first"})
-    return pa.Table.from_pandas(agg[["node", "label", "part"]], preserve_index=False)
+    return table_from_pandas(agg[["node", "label", "part"]])
 
 
 def _propagate_group(batch: pa.Table) -> pa.Table:

@@ -23,6 +23,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .._arrow import table_from_pandas
+
 from ..functions.simhash import hamming64, simhash64_docs
 from ..functions.tokenize import get_batch_tokenizer
 
@@ -47,7 +49,7 @@ def exact_dedup_groups(ds, key_col: str = "content_sha256", id_col: str = "doc_i
             n_dups=(id_col, "size"), rep=(id_col, "min")
         )
         agg["part"] = _hash_part_str(agg[key_col], num_partitions)
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -55,7 +57,7 @@ def exact_dedup_groups(ds, key_col: str = "content_sha256", id_col: str = "doc_i
             n_dups=("n_dups", "sum"), rep=("rep", "min")
         )
         agg = agg.rename(columns={"rep": f"rep_{id_col}"})
-        return pa.Table.from_pandas(agg[[key_col, "n_dups", f"rep_{id_col}"]], preserve_index=False)
+        return table_from_pandas(agg[[key_col, "n_dups", f"rep_{id_col}"]])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -183,7 +185,7 @@ def simhash_near_dup_edges(
     def dedupe(batch: pa.Table) -> pa.Table:
         df = batch.select(["src", "dst", "hamming"]).to_pandas()
         out = df.groupby(["src", "dst"], as_index=False, sort=False)["hamming"].min()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     def add_part(batch: pa.Table, n=num_partitions) -> pa.Table:
         s = np.asarray(batch["src"]).view(np.uint64)

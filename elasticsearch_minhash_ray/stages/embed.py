@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from .._arrow import table_from_pandas
+
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
@@ -80,7 +82,7 @@ def brute_force_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int = 10
     cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "cos_sim", "vec_id"], ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return table_from_pandas(top)
 
 
 def cosine_near_dup_edges_brute(ds, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"):
@@ -195,7 +197,7 @@ def ivf_topk(
     cand = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     cand = cand.sort_values(["query_id", "cos_sim", "vec_id"], ascending=[True, False, True])
     top = cand.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(top, preserve_index=False)
+    return table_from_pandas(top)
 
 
 class HyperplaneLSHStage:

@@ -30,6 +30,8 @@ from dataclasses import dataclass
 import numpy as np
 import pyarrow as pa
 
+from .._arrow import table_from_pandas
+
 from ..functions.minhash import MinHashConfig, PairComparer, sig_u64
 from .signature import SigMatrixBuilder, sig_matrix
 
@@ -213,17 +215,18 @@ def hot_buckets(bands, hot_threshold: int, num_partitions: int = 64) -> np.ndarr
     def hot_only(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64())})
         df = batch.select(["bucket", "cnt"]).to_pandas()
         tot = df.groupby("bucket", as_index=False, sort=False)["cnt"].sum()
         keep = tot[tot["cnt"] > hot_threshold]
         return pa.table({"bucket": pa.array(keep["bucket"].to_numpy(np.int64), pa.int64())})
 
-    hot_tbls = (
-        bands.map_batches(partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(hot_only, batch_format="pyarrow")
-        .to_arrow_refs()
-    )
+    from ..grouping import map_part_groups
+
+    hot_tbls = map_part_groups(
+        bands.map_batches(partial, batch_format="pyarrow"), "part", hot_only
+    ).to_arrow_refs()
     import ray
 
     parts = [np.asarray(t["bucket"], dtype=np.int64) for t in ray.get(hot_tbls) if t.num_columns > 0]
@@ -452,6 +455,10 @@ class EdgeDeduper:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pandas as pd
 
+        if batch.num_rows == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}
+            )
         df = batch.select(["src", "dst", "sim"]).to_pandas()
         # metric rows (src == -1, dst = dropped count) are NOT pair keys:
         # identical counts from different buckets must SUM, not collapse
@@ -463,7 +470,7 @@ class EdgeDeduper:
                 [out, pd.DataFrame({"src": [-1], "dst": [metrics["dst"].sum()], "sim": [0.0]})],
                 ignore_index=True,
             )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
 
 class ShingleSetStage:

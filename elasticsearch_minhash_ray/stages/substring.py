@@ -43,6 +43,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .._arrow import table_from_pandas
+
 from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
 from ..functions.tokenize import get_batch_tokenizer
 
@@ -203,7 +205,7 @@ def substring_dedup_stats(
         agg = df.groupby("doc_id", as_index=False, sort=False).agg(
             n_spans=("span_start", "size"), dup_tokens=("len", "sum")
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     # spans of one doc are already co-partitioned (doc_part exchange), but a
     # map_groups output block is not guaranteed to stay one block through the
@@ -219,7 +221,7 @@ def substring_dedup_stats(
         agg = df.groupby("doc_id", as_index=False, sort=False).agg(
             n_spans=("n_spans", "sum"), dup_tokens=("dup_tokens", "sum")
         )
-        return pa.Table.from_pandas(agg[["doc_id", "n_spans", "dup_tokens"]], preserve_index=False)
+        return table_from_pandas(agg[["doc_id", "n_spans", "dup_tokens"]])
 
     return (
         spans.map_batches(partial, batch_format="pyarrow")
