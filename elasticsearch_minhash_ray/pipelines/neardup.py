@@ -278,13 +278,19 @@ def _link_salted_reps(mixed, cfg: PipelineConfig, width: int):
             }
         )
 
+    plain = mixed.map_batches(plain_edges, batch_format="pyarrow")
+    rep_in = mixed.map_batches(rep_rows, batch_format="pyarrow")
+    # no hot buckets → no rep rows. Skip the second pass entirely: a Ray
+    # sort over an ALL-empty dataset emits schema-less bundles (the UDF is
+    # never invoked, so typed-empty returns can't help) and the union then
+    # pays the slow schema-unification path. `mixed` is materialized, so
+    # this count is a metadata read, and the skip also saves a useless
+    # sort + union in the common no-skew case.
+    if rep_in.count() == 0:
+        return plain
     rep_pairer = BucketPairer(cfg.lsh, width)
-    rep_edges = (
-        mixed.map_batches(rep_rows, batch_format="pyarrow")
-        .groupby("bucket_part")
-        .map_groups(lambda g, p=rep_pairer: p(g), batch_format="pyarrow")
-    )
-    return mixed.map_batches(plain_edges, batch_format="pyarrow").union(rep_edges)
+    rep_edges = map_part_groups(rep_in, "bucket_part", rep_pairer)
+    return plain.union(rep_edges)
 
 
 def split_edge_metrics(edges_table: pa.Table) -> tuple[pa.Table, int]:
