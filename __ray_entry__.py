@@ -870,10 +870,14 @@ def _q_user_sessions(sf_dir: str):
             n_sessions=("is_new", "sum"), n_events=("ts", "size")
         )
 
+    # sort on the partition key co-locates each user's history in one block;
+    # `sessions` already handles multi-user blocks (sorts, detects gaps,
+    # groups), so plain map_batches replaces map_groups — whose wrapper
+    # fabricates schema-less empty pandas blocks for empty sort partitions
     return (
         ds.map_batches(part_key, batch_format="pandas")
-        .groupby("part")
-        .map_groups(sessions, batch_format="pandas")
+        .sort("part")
+        .map_batches(sessions, batch_size=None, batch_format="pandas")
     )
 
 

@@ -50,6 +50,7 @@ HEADLINE = [
     "ann_topk",
     "embedding_near_dup_lsh",
     "simhash_near_dup",
+    "substring_stats",
     "decontaminate",
     "token_df",
     "docs_by_lang",
@@ -149,9 +150,28 @@ def _warm_ray_data() -> None:
     long-lived cluster pays this once per worker lifetime, not per job."""
     import ray.data as rd
 
+    def _preload(b):
+        import elasticsearch_minhash_ray  # noqa: F401 — package import in task workers
+
+        return b
+
     rd.range(8, override_num_blocks=8).map_batches(
-        lambda b: b, batch_format="pyarrow"
+        _preload, batch_format="pyarrow"
     ).materialize()
+    # actor-pool path: ActorPoolMapOperator spin-up + package import in the
+    # processes the first actor-pool stage will claim (Ray reuses idle worker
+    # processes for actors, so the preload above carries over)
+    rd.range(8, override_num_blocks=8).map_batches(
+        _WarmActor, concurrency=2, batch_format="pyarrow"
+    ).materialize()
+
+
+class _WarmActor:
+    def __init__(self):
+        import elasticsearch_minhash_ray  # noqa: F401
+
+    def __call__(self, b):
+        return b
 
 
 def main_worker(cpus: int, corpus_path: str) -> None:
