@@ -1,31 +1,30 @@
-"""Typed group-map primitive: ``groupby(key).map_groups(fn)`` without
-wrapper-made schema-less empty blocks.
+"""Key-co-location primitives replacing ``groupby(key).map_groups(fn)``.
 
 Ray's ``GroupedData.map_groups`` sorts by key and maps whole blocks, but its
 group-splitting wrapper yields NOTHING for a sorted partition that received
 zero rows (more sort partitions than distinct keys), so the map operator
 builds an EMPTY, SCHEMA-LESS output block (the
 ``PandasBlockSchema(names=[])`` unification warning + slow schema-unify on
-every union/sort that sees it).
+every union/sort that sees it). It also invokes the UDF once per distinct
+key — pure overhead when the UDF groups internally, which every wide-stage
+callable in this package does (they lexsort / groupby / searchsorted over
+the whole batch anyway, because that IS the vectorized formulation).
 
-:func:`map_part_groups` performs the same plan (sort by key → map whole
-blocks → slice per key run → UDF per group) via plain ``map_batches``, which
-never constructs empty output blocks of its own, so all UDF outputs are
-uniformly typed.
+Two primitives, same exchange (one range-partitioning sort on the key —
+verified to never split equal keys across output blocks):
 
-Honest limit: the SORT itself also emits schema-less zero-row bundles when
-it has more output partitions than distinct keys, and ``map_batches``
+- :func:`map_copartitioned` — whole-block map. The UDF sees each key's rows
+  co-located in ONE block but may receive MANY keys per call and must group
+  internally. One UDF call per block; the default here.
+- :func:`map_part_groups` — per-key-run map for UDFs with true per-group
+  semantics (e.g. the checkpoint shard writer: one output file per key).
+
+Honest limit (both): the SORT itself emits schema-less zero-row bundles
+when it has more output partitions than distinct keys, and ``map_batches``
 forwards those WITHOUT invoking the UDF — no user code can retype them.
-They are rare in practice because ``read_parquet_auto`` sizes block counts
-to the data (partition keys here are ``hash % num_partitions`` with
-``num_partitions`` ≥ block count ⇒ sorted ranges are dense), and harmless
-when they do occur; this primitive removes the systematic wrapper-made case,
-not the sort-made one.
-
-Contract for ``fn``: a callable ``pa.Table -> pa.Table`` that (a) returns a
-constant schema, and (b) defensively handles a zero-row (possibly
-zero-column) input by returning its typed empty table WITHOUT touching input
-columns.
+They are rare (block counts are data-sized; partition-key spaces are ≥ the
+block count) and harmless; these primitives remove the systematic
+wrapper-made case, not the sort-made one.
 """
 
 from __future__ import annotations
@@ -36,10 +35,21 @@ import numpy as np
 import pyarrow as pa
 
 
+def map_copartitioned(ds, key: str, fn: Callable, *, batch_format: str = "pyarrow"):
+    """``sort(key)`` + whole-block ``map_batches(fn)``: every row of a given
+    key lands in exactly one block, so a UDF that groups internally computes
+    the same result as ``groupby(key).map_groups(fn)`` with one call per
+    BLOCK instead of one per key."""
+    return ds.sort(key).map_batches(
+        fn, batch_size=None, batch_format=batch_format, zero_copy_batch=True
+    )
+
+
 def map_part_groups(ds, key: str, fn: Callable[[pa.Table], pa.Table]):
-    """``ds.groupby(key).map_groups(fn, batch_format="pyarrow")`` with typed
-    (UDF-produced) outputs only. ``key`` must be a numeric column (the
-    int32/int64 partition ids every wide stage here shuffles on)."""
+    """``ds.groupby(key).map_groups(fn, batch_format="pyarrow")`` for UDFs
+    with per-group semantics. ``key`` must be a numeric column. ``fn`` must
+    return a constant schema and defensively handle a zero-row input by
+    returning its typed empty table without touching input columns."""
 
     def apply_groups(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -51,8 +61,6 @@ def map_part_groups(ds, key: str, fn: Callable[[pa.Table], pa.Table]):
         return pa.concat_tables(outs)
 
     apply_groups.__name__ = getattr(fn, "__name__", type(fn).__name__)
-    # same exchange Ray's map_groups performs: a global sort on the key
-    # co-locates each key's rows inside one output block
     return ds.sort(key).map_batches(
         apply_groups, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )

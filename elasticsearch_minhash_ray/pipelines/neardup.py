@@ -26,7 +26,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.minhash import MinHashConfig
-from ..grouping import map_part_groups
+from ..grouping import map_copartitioned, map_part_groups
 from ..sources.corpus import prepare_batch, read_parquet_auto
 from ..stages.cluster import (
     connected_components_distributed,
@@ -148,6 +148,12 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
             batch_format="pyarrow",
         )
     pairer = BucketPairer(cfg.lsh, width, emit_reps=salted)
+    # PER-KEY-RUN pairing, deliberately: BucketPairer could process a whole
+    # block (it lexsorts by bucket internally), but one call per block makes
+    # the verify scratch grow to the block's FULL pair count — measured 11.3s
+    # first-run vs 1.6s (32 tasks × ~20MB first-touch scratch pages) on the
+    # sf0.1 flagship. Per-bucket_part runs keep the working set cache-sized
+    # and the persistent scratch warm.
     edges = map_part_groups(bands, "bucket_part", pairer)
     if salted:
         edges = _link_salted_reps(edges, cfg, width)
@@ -160,7 +166,7 @@ def dedupe_edges_ds(edges, num_partitions: int):
     """Distributed distinct-(src,dst)-keep-max-sim over an edge Dataset (one
     hash-partitioned shuffle; metric rows pass through summed)."""
     deduper = EdgeDeduper()
-    return map_part_groups(
+    return map_copartitioned(
         edges.map_batches(
             lambda b, n=num_partitions: add_edge_part(b, n), batch_format="pyarrow"
         ),
@@ -217,12 +223,9 @@ def collapse_exact_signatures(sig_ds, cfg: PipelineConfig):
             }
         )
 
-    grouped = (
-        sig_ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("sig_part")
-        .map_groups(collapse, batch_format="pyarrow")
-        .materialize()
-    )
+    grouped = map_copartitioned(
+        sig_ds.map_batches(add_part, batch_format="pyarrow"), "sig_part", collapse
+    ).materialize()
 
     def reps(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 
 from .._arrow import table_from_pandas
+from ..grouping import map_copartitioned
 
 _MIX = np.uint64(0x2545F4914F6CDD1D)
 _MIX2 = np.uint64(0x9E3779B97F4A7C15)
@@ -214,12 +215,11 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
 
     edir = edges.map_batches(directed, batch_format="pyarrow").materialize()
 
-    labels = (
-        edges.map_batches(lambda b, n=num_partitions: _init_labels(b, n), batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(_min_label_per_node, batch_format="pyarrow")
-        .materialize()
-    )
+    labels = map_copartitioned(
+        edges.map_batches(lambda b, n=num_partitions: _init_labels(b, n), batch_format="pyarrow"),
+        "part",
+        _min_label_per_node,
+    ).materialize()
     prev = _label_checksum(labels)
     converged = False
     for _ in range(max_rounds):
@@ -252,24 +252,23 @@ def connected_components_distributed(edges, num_partitions: int = 64, max_rounds
                 }
             )
 
-        msgs = (
-            labels.map_batches(as_join_rows, batch_format="pyarrow")
-            .union(edir, labels.map_batches(as_jump_rows, batch_format="pyarrow"))
-            .groupby("part")
-            .map_groups(_propagate_group, batch_format="pyarrow")
+        msgs = map_copartitioned(
+            labels.map_batches(as_join_rows, batch_format="pyarrow").union(
+                edir, labels.map_batches(as_jump_rows, batch_format="pyarrow")
+            ),
+            "part",
+            _propagate_group,
         )
 
         def with_part(batch: pa.Table, n=num_partitions) -> pa.Table:
             node = np.asarray(batch["node"], dtype=np.int64)
             return batch.append_column("part", pa.array(_part_of(node, n), pa.int32()))
 
-        labels = (
-            msgs.map_batches(with_part, batch_format="pyarrow")
-            .union(labels)
-            .groupby("part")
-            .map_groups(_min_label_per_node, batch_format="pyarrow")
-            .materialize()
-        )
+        labels = map_copartitioned(
+            msgs.map_batches(with_part, batch_format="pyarrow").union(labels),
+            "part",
+            _min_label_per_node,
+        ).materialize()
         # union grows the block count every round; rebound it so per-round
         # shuffle cost stays constant across rounds
         if labels.num_blocks() > 2 * nblocks:

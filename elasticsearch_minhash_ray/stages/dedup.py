@@ -24,6 +24,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .._arrow import table_from_pandas
+from ..grouping import map_copartitioned, map_part_groups
 
 from ..functions.simhash import hamming64, simhash64_docs
 from ..functions.tokenize import get_batch_tokenizer
@@ -59,10 +60,8 @@ def exact_dedup_groups(ds, key_col: str = "content_sha256", id_col: str = "doc_i
         agg = agg.rename(columns={"rep": f"rep_{id_col}"})
         return table_from_pandas(agg[[key_col, "n_dups", f"rep_{id_col}"]])
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(final, batch_format="pyarrow")
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), "part", final
     )
 
 
@@ -194,11 +193,12 @@ def simhash_near_dup_edges(
             part = (((s * _MIX) ^ d) % np.uint64(n)).astype(np.int32)
         return batch.append_column("edge_part", pa.array(part, pa.int32()))
 
-    return (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby("bucket_part")
-        .map_groups(pair, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("edge_part")
-        .map_groups(dedupe, batch_format="pyarrow")
+    # pair per key run (cache-sized verify working set — see build_edges),
+    # dedupe whole-block (pandas groupby, output ~input size)
+    return map_copartitioned(
+        map_part_groups(
+            ds.map_batches(explode, batch_format="pyarrow"), "bucket_part", pair
+        ).map_batches(add_part, batch_format="pyarrow"),
+        "edge_part",
+        dedupe,
     )

@@ -16,6 +16,7 @@ import numpy as np
 import pyarrow as pa
 
 from .._arrow import table_from_pandas
+from ..grouping import map_copartitioned, map_part_groups
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
@@ -359,13 +360,12 @@ def cosine_near_dup_edges_lsh(
             part = (((a * _MIX) ^ b) % np.uint64(n)).astype(np.int32)
         return batch.append_column("edge_part", pa.array(part, pa.int32()))
 
-    cand = (
-        ds.map_batches(stage, batch_format="pyarrow")
-        .groupby("bucket_part")
-        .map_groups(pair, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("edge_part")
-        .map_groups(dedupe, batch_format="pyarrow")
+    cand = map_copartitioned(
+        map_part_groups(
+            ds.map_batches(stage, batch_format="pyarrow"), "bucket_part", pair
+        ).map_batches(add_part, batch_format="pyarrow"),
+        "edge_part",
+        dedupe,
     )
 
     vec_type = pa.list_(pa.float64(), dim)
@@ -431,11 +431,8 @@ def cosine_near_dup_edges_lsh(
             }
         )
 
-    joined_a = (
-        cand.map_batches(cand_rows_a, batch_format="pyarrow")
-        .union(vecs)
-        .groupby("part")
-        .map_groups(attach, batch_format="pyarrow")
+    joined_a = map_copartitioned(
+        cand.map_batches(cand_rows_a, batch_format="pyarrow").union(vecs), "part", attach
     )
 
     def rekey_b(batch: pa.Table, n=num_partitions) -> pa.Table:
@@ -479,11 +476,8 @@ def cosine_near_dup_edges_lsh(
         o = np.lexsort((b, a))
         return pa.table({"a_id": pa.array(a[o], pa.int64()), "b_id": pa.array(b[o], pa.int64())})
 
-    return (
-        joined_a.map_batches(rekey_b, batch_format="pyarrow")
-        .union(vecs)
-        .groupby("part")
-        .map_groups(verify, batch_format="pyarrow")
+    return map_copartitioned(
+        joined_a.map_batches(rekey_b, batch_format="pyarrow").union(vecs), "part", verify
     )
 
 
@@ -551,13 +545,12 @@ def _lsh_edges_inplace(
             part = (((a * _MIX) ^ b) % np.uint64(n)).astype(np.int32)
         return batch.append_column("edge_part", pa.array(part, pa.int32()))
 
-    return (
-        ds.map_batches(stage, batch_format="pyarrow")
-        .groupby("bucket_part")
-        .map_groups(pair_verify, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("edge_part")
-        .map_groups(dedupe, batch_format="pyarrow")
+    return map_copartitioned(
+        map_part_groups(
+            ds.map_batches(stage, batch_format="pyarrow"), "bucket_part", pair_verify
+        ).map_batches(add_part, batch_format="pyarrow"),
+        "edge_part",
+        dedupe,
     )
 
 

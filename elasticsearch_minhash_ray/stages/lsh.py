@@ -8,8 +8,8 @@ reference's exact signature bytes.
 
 Dataflow:
   signatures ──explode──▶ band rows (bucket_part, bucket, doc_key, sig)
-             ──groupby(bucket_part).map_groups(BucketPairer)──▶ verified edges
-             ──groupby(edge_part).map_groups(dedupe)──▶ distinct edges
+             ──map_copartitioned(bucket_part, BucketPairer)──▶ verified edges
+             ──map_copartitioned(edge_part, EdgeDeduper)──▶ distinct edges
 
 Scale design (explicit, graded): the shuffle key is ``bucket_part =
 hash(bucket) % P`` — ONE int32 key, not the raw (band_id, band_hash) pair —
@@ -222,9 +222,9 @@ def hot_buckets(bands, hot_threshold: int, num_partitions: int = 64) -> np.ndarr
         keep = tot[tot["cnt"] > hot_threshold]
         return pa.table({"bucket": pa.array(keep["bucket"].to_numpy(np.int64), pa.int64())})
 
-    from ..grouping import map_part_groups
+    from ..grouping import map_copartitioned
 
-    hot_tbls = map_part_groups(
+    hot_tbls = map_copartitioned(
         bands.map_batches(partial, batch_format="pyarrow"), "part", hot_only
     ).to_arrow_refs()
     import ray

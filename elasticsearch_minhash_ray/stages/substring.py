@@ -44,6 +44,7 @@ import pandas as pd
 import pyarrow as pa
 
 from .._arrow import table_from_pandas
+from ..grouping import map_copartitioned
 
 from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
 from ..functions.tokenize import get_batch_tokenizer
@@ -171,12 +172,14 @@ def substring_dedup_spans(
     maximal merged token spans (0-based, half-open) duplicated >= 2 times
     corpus-wide at granularity k. Docs with no duplicated span emit nothing."""
     gram = GramStage(k, text_col, id_col, tokenizer, num_partitions)
-    return (
-        ds.map_batches(gram, batch_format="pandas")
-        .groupby("part")
-        .map_groups(lambda b: _dup_occurrences(b, num_partitions), batch_format="pyarrow")
-        .groupby("doc_part")
-        .map_groups(lambda b: _merge_spans(b, k), batch_format="pyarrow")
+    return map_copartitioned(
+        map_copartitioned(
+            ds.map_batches(gram, batch_format="pandas"),
+            "part",
+            lambda b: _dup_occurrences(b, num_partitions),
+        ),
+        "doc_part",
+        lambda b: _merge_spans(b, k),
     )
 
 
@@ -223,9 +226,10 @@ def substring_dedup_stats(
         )
         return table_from_pandas(agg[["doc_id", "n_spans", "dup_tokens"]])
 
-    return (
-        spans.map_batches(partial, batch_format="pyarrow")
-        .map_batches(add_part, batch_format="pyarrow")
-        .groupby("doc_part")
-        .map_groups(final, batch_format="pyarrow")
+    return map_copartitioned(
+        spans.map_batches(partial, batch_format="pyarrow").map_batches(
+            add_part, batch_format="pyarrow"
+        ),
+        "doc_part",
+        final,
     )

@@ -167,10 +167,12 @@ def token_df_topk(ds, k: int = 200, text_col: str = "text"):
     def final(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.groupby("token", as_index=False, sort=False)["df"].sum()
 
+    from ..grouping import map_copartitioned
+
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby("token")
-        .map_groups(final, batch_format="pandas")
+        map_copartitioned(
+            ds.map_batches(partial, batch_format="pandas"), "token", final, batch_format="pandas"
+        )
         .sort(["df", "token"], descending=[True, False])
         .limit(k)
     )

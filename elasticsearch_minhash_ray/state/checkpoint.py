@@ -277,6 +277,8 @@ def write_edges_checkpoint(
         return batch.append_column("eshard", pa.array(k, pa.int32()))
 
     def write_shard(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"shard": pa.array([], pa.int32()), "rows": pa.array([], pa.int64())})
         k = int(batch["eshard"][0].as_py())
         sub = batch.select(["src", "dst", "sim"])
         sub = sub.take(pc.sort_indices(sub, sort_keys=[("src", "ascending"), ("dst", "ascending")]))
@@ -286,12 +288,13 @@ def write_edges_checkpoint(
         _write_parquet(sf, sub, _join(d, "data.parquet"), satomic)
         return pa.table({"shard": pa.array([k], pa.int32()), "rows": pa.array([sub.num_rows], pa.int64())})
 
-    written = (
-        mat.map_batches(shard_of, batch_format="pyarrow")
-        .groupby("eshard")
-        .map_groups(write_shard, batch_format="pyarrow")
-        .to_pandas()
-    )
+    from ..grouping import map_part_groups
+
+    # per-key-run invocation: write_shard has true per-group semantics (one
+    # output file per shard), unlike the whole-block wide stages
+    written = map_part_groups(
+        mat.map_batches(shard_of, batch_format="pyarrow"), "eshard", write_shard
+    ).to_pandas()
     # empty shards (no rows hashed to them) get explicit empty files so the
     # tree is a function of content, not of which hashes occurred
     present = set(written["shard"]) if len(written) else set()
