@@ -345,6 +345,18 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     # shuffle right after would materialize the band rows anyway
     sigs_out = compute_signatures(corpus_ds, cfg, keep_columns=sig_cols).materialize()
     _t_sig = _time.perf_counter()
+    # size the shuffle-key space to the data: the band sort range-partitions
+    # into ~num_blocks output ranges, so with fewer distinct partition keys
+    # than ~4x that, sampled boundaries land ranges on zero keys (empty,
+    # schema-less sort partitions) and hot keys can't spread across workers.
+    # Blocks are data-sized (read_parquet_auto), so this scales P with
+    # corpus bytes — the config value is the floor, not a cap.
+    if 4 * sigs_out.num_blocks() > cfg.lsh.num_partitions:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(
+            cfg, lsh=_dc.replace(cfg.lsh, num_partitions=int(4 * sigs_out.num_blocks()))
+        )
     band_input, star_edges = sigs_out, None
     if cfg.collapse_exact:
         band_input, star_edges = collapse_exact_signatures(sigs_out, cfg)

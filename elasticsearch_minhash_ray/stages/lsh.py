@@ -78,7 +78,10 @@ class LSHConfig:
     n_bands: int = 8
     threshold: float = 0.95  # min fraction-of-equal-bits (reference compare units)
     bucket_cap: int = 256  # max docs per all-pairs chunk inside one bucket
-    num_partitions: int = 64  # P for the bucket shuffle; size ~4x cluster cores
+    # P for the bucket shuffle — a FLOOR: near_dup_pipeline auto-raises it to
+    # 4x the corpus block count so the key space tracks data size (empty sort
+    # ranges vanish, hot keys spread across all workers)
+    num_partitions: int = 64
     verify_mode: str = "bbit"  # "bbit" | "jaccard"
     jaccard_threshold: float = 0.8
     n_salts: int = 1  # >1 = salted repartitioning (bbit verify mode only)
