@@ -28,7 +28,26 @@ from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
 
 
 def _docs(sf_dir: str, columns=None):
-    return read_parquet_auto(f"{sf_dir}/documents.parquet", columns=columns)
+    # text-bearing reads feed tokenize/shingle/hash stages — compute-dense,
+    # so size blocks for parallelism, not for shuffle-task counts
+    dense = columns is None or "text" in columns
+    return read_parquet_auto(f"{sf_dir}/documents.parquet", columns=columns, dense=dense)
+
+
+def _sig_map(ds, **stage_kw):
+    """SignatureStage in instance (task) mode for one-shot query executions.
+
+    Init is cheap (seed vector + tokenizer closures), so per-task
+    reconstruction beats paying actor-pool spin-up on EVERY execution
+    (measured at sf0.1: 0.4-0.6 s task vs 1.4-3.7 s pool — Ray tears the
+    pool down when the dataset finishes, so a short query never amortizes
+    it). The flagship pipeline keeps an actor POOL for this same stage
+    (``PipelineConfig.sig_concurrency``): a long execution feeds each actor
+    thousands of batches, amortizing spin-up and letting the cross-batch
+    token cache pay off."""
+    from elasticsearch_minhash_ray.stages.signature import SignatureStage
+
+    return ds.map_batches(SignatureStage(**stage_kw), batch_format="pyarrow")
 
 
 def _docs_with_sha(sf_dir: str):
@@ -51,7 +70,10 @@ def _pipeline_cfg(**kw):
 
     lsh = kw.pop("lsh", None) or LSHConfig(num_partitions=16)
     mh = kw.pop("minhash", None) or MinHashConfig(name="sig")
-    return PipelineConfig(minhash=mh, lsh=lsh, sig_concurrency=(1, 8), **kw)
+    # sig_concurrency=None → task-mode signatures: one-shot sf-scale query
+    # executions never amortize an actor pool (bench.py's long flagship run
+    # keeps the pool)
+    return PipelineConfig(minhash=mh, lsh=lsh, sig_concurrency=None, **kw)
 
 
 def _final_reduce(ds, final):
@@ -188,7 +210,7 @@ def _q_ann_topk(sf_dir: str):
     from elasticsearch_minhash_ray.stages.embed import brute_force_topk
 
     q, qids = _ann_queries(sf_dir)
-    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
     top = brute_force_topk(ds, q, qids, k=10)
 
     def round9(batch: pa.Table) -> pa.Table:
@@ -206,7 +228,7 @@ def _q_embedding_near_dup(sf_dir: str):
 
     from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_brute
 
-    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
     # synthetic embeddings are near-random (max pairwise cos ~0.5): 0.35
     # yields a few hundred edges at every sf, exercising the kernel end-to-end
     return cosine_near_dup_edges_brute(ds, threshold=0.35)
@@ -221,8 +243,7 @@ def _q_minhash_signatures(sf_dir: str):
 
     stage_kw = {"configs": [MinHashConfig(name="sig")], "content_col": "text", "encode": "base64"}
     return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        _sig_map(_docs(sf_dir, ["doc_id", "text"]), **stage_kw)
         .select_columns(["doc_id", "minhash_sig_b64"])
     )
 
@@ -238,8 +259,7 @@ def _q_minhash_multi_config(sf_dir: str):
     ]
     stage_kw = {"configs": cfgs, "content_col": "text", "encode": "base64"}
     return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        _sig_map(_docs(sf_dir, ["doc_id", "text"]), **stage_kw)
         .select_columns(["doc_id", "minhash_c1_b64", "minhash_c2_b64", "minhash_c3_b64"])
     )
 
@@ -346,7 +366,7 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_lsh
 
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[0][0].as_py())
-    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
     # 8 bands x 2 bits tuned for the 0.35 regime of the synthetic embeddings:
     # p_band = (1 - theta/pi)^2 = 0.377 -> recall 1-(1-p)^8 ~ 0.98
     edges = cosine_near_dup_edges_lsh(
@@ -410,7 +430,7 @@ def _q_decontaminate(sf_dir: str):
         filters=[("doc_id", "<", 50)],
     )
     ref = ray.put(reference_shingles(ref_tbl["text"].to_pylist()))
-    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True)
     ds = ds.filter(expr="doc_id >= 50")
 
     def finish(batch: pa.Table) -> pa.Table:
@@ -423,12 +443,14 @@ def _q_decontaminate(sf_dir: str):
             }
         )
 
+    # instance (task) mode: the stage's only state is resolving the broadcast
+    # handle — Ray ships the instance to the object store once and every task
+    # reads it zero-copy, so there is nothing for an actor pool to amortize
+    # and a one-shot execution skips the pool spin-up (measured ~1 s)
     return (
         ds.map_batches(
-            DecontaminateStage,
-            fn_constructor_kwargs={"ref": ref, "threshold": 0.5},
+            DecontaminateStage(ref=ref, threshold=0.5),
             batch_format="pandas",
-            concurrency=(2, 8),
         )
         .map_batches(finish, batch_format="pyarrow")
     )
@@ -440,7 +462,7 @@ def _q_token_df(sf_dir: str):
     total-order top-200 (df desc, token asc)."""
     from elasticsearch_minhash_ray.stages.text import token_df_topk
 
-    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["text"])
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["text"], dense=True)
     return token_df_topk(ds, k=200)
 
 
@@ -449,7 +471,7 @@ def _q_line_dedup_stats(sf_dir: str):
     and distinct-line count (the 'repetitive document' curation signal)."""
     from elasticsearch_minhash_ray.stages.text import line_dedup_stats
 
-    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True)
     return line_dedup_stats(ds)
 
 
@@ -497,7 +519,7 @@ def _q_multimodal_features(sf_dir: str):
 
     from elasticsearch_minhash_ray.stages.multimodal import FrameSampleStage, MediaDecodeStage
 
-    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True)
 
     def to_media(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["doc_id"], dtype=np.int64)
@@ -591,9 +613,7 @@ def _q_minhash_golden(sf_dir: str):
         "encode": "base64",
         "drop_content": False,  # the fixture content IS the output key
     }
-    ds = rd.from_arrow(t).map_batches(
-        SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=1
-    )
+    ds = _sig_map(rd.from_arrow(t), **stage_kw)
 
     def unpivot(batch: pa.Table) -> pa.Table:
         contents, names, sigs = [], [], []
@@ -640,8 +660,7 @@ def _q_signature_collapse(sf_dir: str):
 
     stage_kw = {"configs": [MinHashConfig(name="sig")], "content_col": "text", "encode": "base64"}
     sigs = (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        _sig_map(_docs(sf_dir, ["doc_id", "text"]), **stage_kw)
         .select_columns(["doc_id", "minhash_sig_b64"])
     )
     return exact_dedup_groups(sigs, key_col="minhash_sig_b64", num_partitions=16)
@@ -658,8 +677,7 @@ def _q_minhash_bit_strings(sf_dir: str):
         "encode": "auto",
     }
     return (
-        _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=(1, 8))
+        _sig_map(_docs(sf_dir, ["doc_id", "text"]), **stage_kw)
         .select_columns(["doc_id", "minhash_sig_bits"])
     )
 
@@ -669,7 +687,7 @@ def _q_ann_topk_ivf(sf_dir: str):
     from elasticsearch_minhash_ray.stages.embed import ivf_topk
 
     q, qids = _ann_queries(sf_dir)
-    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
     return ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=4)
 
 
@@ -682,7 +700,7 @@ def _q_ann_topk_ivf_exact(sf_dir: str):
     from elasticsearch_minhash_ray.stages.embed import ivf_topk
 
     q, qids = _ann_queries(sf_dir)
-    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
     top = ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=8)
     import pyarrow.compute as pc
 
@@ -710,9 +728,7 @@ def _q_minhash_bit_strings_golden(sf_dir: str):
         "encode": "auto",
         "drop_content": False,
     }
-    ds = rd.from_arrow(t).map_batches(
-        SignatureStage, fn_constructor_kwargs=stage_kw, batch_format="pyarrow", concurrency=1
-    )
+    ds = _sig_map(rd.from_arrow(t), **stage_kw)
 
     def unpivot(batch: pa.Table) -> pa.Table:
         contents, names, sigs = [], [], []

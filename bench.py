@@ -150,12 +150,23 @@ def _warm_ray_data() -> None:
     long-lived cluster pays this once per worker lifetime, not per job."""
     import ray.data as rd
 
+    import os as _os
+
+    import ray
+
+    n_workers = int(ray.cluster_resources().get("CPU", _os.cpu_count() or 8))
+
     def _preload(b):
+        import time as _t
+
         import elasticsearch_minhash_ray  # noqa: F401 — package import in task workers
 
+        _t.sleep(0.05)  # hold the worker so the wave spreads over ALL of them
         return b
 
-    rd.range(8, override_num_blocks=8).map_batches(
+    # one wave across every worker slot: a later stage otherwise lands on
+    # cold processes that each pay the ~0.4 s package import mid-pipeline
+    rd.range(2 * n_workers, override_num_blocks=2 * n_workers).map_batches(
         _preload, batch_format="pyarrow"
     ).materialize()
     # actor-pool path: ActorPoolMapOperator spin-up + package import in the
@@ -164,6 +175,11 @@ def _warm_ray_data() -> None:
     rd.range(8, override_num_blocks=8).map_batches(
         _WarmActor, concurrency=2, batch_format="pyarrow"
     ).materialize()
+    # sort/exchange path: the first sort per session lazily imports the sort
+    # impl (polars) and the all-to-all operator machinery (~0.6 s measured)
+    rd.range(8, override_num_blocks=2).sort("id").materialize()
+    # driver-pull path (take_all/block conversion), used by the gated CC step
+    rd.range(8, override_num_blocks=2).take_all()
 
 
 class _WarmActor:

@@ -60,7 +60,12 @@ class PipelineConfig:
     # None = whole-block batches (blocks are already size-bounded by
     # read_parquet_auto; slicing them further only adds python overhead)
     batch_size: int | None = None
-    sig_concurrency: tuple[int, int] = (1, 32)  # autoscaling actor pool bounds
+    # autoscaling actor pool bounds for the signature stage. None = instance
+    # (task) mode: Ray tears an actor pool down when its dataset finishes, so
+    # a SHORT one-shot run never amortizes the spin-up (~1 s measured) — the
+    # pool pays off on long executions where each actor sees thousands of
+    # batches and the cross-batch token cache warms up.
+    sig_concurrency: tuple[int, int] | None = (1, 32)
     num_shards: int = 1  # signature checkpoint granularity (resume unit)
     # "hash": shards = hash(doc identity) % num_shards (fixed-input resume).
     # "file": one signature shard PER INPUT PARQUET FILE — shard fingerprints
@@ -102,9 +107,17 @@ def compute_signatures(corpus_ds, cfg: PipelineConfig, keep_columns: tuple[str, 
             ),
             batch_format="pyarrow",
         )
+    stage_kw = {"configs": [cfg.minhash], "keep_columns": keep_columns}
+    if cfg.sig_concurrency is None:  # instance = task mode (see PipelineConfig)
+        return prepared.map_batches(
+            SignatureStage(**stage_kw),
+            batch_format="pyarrow",
+            batch_size=cfg.batch_size,
+            zero_copy_batch=True,
+        )
     return prepared.map_batches(
         SignatureStage,
-        fn_constructor_kwargs={"configs": [cfg.minhash], "keep_columns": keep_columns},
+        fn_constructor_kwargs=stage_kw,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.sig_concurrency,

@@ -69,7 +69,7 @@ def _path_bytes(path: str) -> int:
     return total
 
 
-def auto_num_blocks(total_bytes: int, cpus: int | None = None) -> int:
+def auto_num_blocks(total_bytes: int, cpus: int | None = None, dense: bool = False) -> int:
     """Block count sized to the DATA, not a fixed parallelism constant.
 
     Ray's default parallelism heuristic happily splits a 1.5 MB file into 64
@@ -79,13 +79,21 @@ def auto_num_blocks(total_bytes: int, cpus: int | None = None) -> int:
     - blocks never larger than ~64 MB (bounds per-task heap + enables
       streaming/spilling at the 100 TB end)
     - otherwise aim for 2 blocks per CPU for full pipeline parallelism
+
+    ``dense=True`` drops the small-block floor to 64 KB for COMPUTE-dense
+    map-only stages (tokenize/shingle/hash text, embedding matmuls): there
+    per-row CPU dominates on-disk bytes by orders of magnitude, so a 600 KB
+    file is minutes of work that the 512 KB floor would pin to ONE task.
+    Shuffle-bound pipelines keep the default floor — tiny blocks are only
+    a problem when every block becomes O(blocks) exchange tasks.
     """
     import os
 
     if cpus is None:
         cpus = os.cpu_count() or 8
+    floor = (64 << 10) if dense else (512 << 10)
     min_blocks = max(1, total_bytes // (64 << 20))
-    max_blocks = max(1, total_bytes // (512 << 10))
+    max_blocks = max(1, total_bytes // floor)
     return int(max(min_blocks, min(cpus * 2, max_blocks)))
 
 
@@ -128,13 +136,15 @@ def _stripped_schema(paths: list, columns: list[str] | None = None) -> "pa.Schem
         return None
 
 
-def read_parquet_auto(path, columns: list[str] | None = None, **kwargs):
-    """``ray.data.read_parquet`` with column pruning and data-sized blocks."""
+def read_parquet_auto(path, columns: list[str] | None = None, dense: bool = False, **kwargs):
+    """``ray.data.read_parquet`` with column pruning and data-sized blocks.
+    ``dense=True`` for compute-dense map-only consumers (see
+    :func:`auto_num_blocks`)."""
     import ray.data as rd
 
     paths = path if isinstance(path, list) else [path]
     total = sum(_path_bytes(p) for p in paths)
-    kwargs.setdefault("override_num_blocks", auto_num_blocks(total))
+    kwargs.setdefault("override_num_blocks", auto_num_blocks(total, dense=dense))
     if "schema" not in kwargs:
         schema = _stripped_schema(paths, columns)
         if schema is not None:
@@ -151,6 +161,7 @@ def documents_as_corpus(sf_dir: str, **kwargs):
     """Adapt the driver testdata ``documents`` table (doc_id, text, lang,
     source, n_chars) to the canonical corpus schema: repo=source,
     path=str(doc_id), commit='v0', content=text."""
+    kwargs.setdefault("dense", True)  # feeds tokenize/hash stages: compute-dense
     ds = read_parquet_auto(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"], **kwargs
     )
