@@ -495,6 +495,19 @@ def _q_substring_stats(sf_dir: str):
     return substring_dedup_stats(ds, k=20, num_partitions=16)
 
 
+def _q_substring_clean(sf_dir: str):
+    """Oracle-checked substring-dedup CLEANING: remove every duplicated
+    >=20-token window except its canonical (min (doc_id, pos)) occurrence;
+    output the kept token stream per doc (space-joined — cleaning is defined
+    over word tokens, Lee-et-al. ExactSubstr style). SQL twin: window
+    row_number per k-gram picks the canonical copy, LEFT JOIN anti-coverage
+    rebuilds the kept stream with string_agg."""
+    from elasticsearch_minhash_ray.stages.substring import substring_dedup_clean
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return substring_dedup_clean(ds, k=20, num_partitions=16)
+
+
 def _q_stratified_sample(sf_dir: str):
     """Oracle-checked deterministic stratified sampling: keep 10% of 'en'
     docs and 30% of every other language, decided per row by a Knuth
@@ -938,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "substring_spans": _q_substring_spans,
         "substring_stats": _q_substring_stats,
+        "substring_clean": _q_substring_clean,
         "stratified_sample": _q_stratified_sample,
         "line_dedup_stats": _q_line_dedup_stats,
         "minhash_golden": _q_minhash_golden,
@@ -1197,6 +1211,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                    CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
             FROM spans GROUP BY doc_id
+        """,
+        "substring_clean": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+') AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+19], ' ') AS g
+              FROM toks, UNNEST(generate_series(1, len(t)-19)) AS s(i)
+              WHERE len(t) >= 20
+            ),
+            dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+            occ AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+              FROM grams JOIN dup USING (g)
+            ),
+            cov AS (SELECT DISTINCT doc_id, pos + j AS p
+                    FROM occ, UNNEST(generate_series(0, 19)) AS u(j)
+                    WHERE rn > 1),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS pos, t[i] AS tok
+              FROM toks, UNNEST(generate_series(1, len(t))) AS s(i)
+            )
+            SELECT tp.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(count(c.p) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN c.p IS NULL THEN tp.tok END,
+                                       ' ' ORDER BY tp.pos), '') AS cleaned_text
+            FROM tokpos tp
+            LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.p = tp.pos
+            GROUP BY tp.doc_id
         """,
         "lang_id": _lang_id_sql(),
         "line_dedup_stats": """

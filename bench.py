@@ -78,6 +78,9 @@ def run_flagship(corpus_path: str) -> dict:
     from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
     from elasticsearch_minhash_ray.stages.lsh import LSHConfig
 
+    # GRAFT_SIG_MODE=task measures instance(task)-mode signatures against the
+    # default fixed pool (see PipelineConfig.sig_concurrency)
+    sig_mode = os.environ.get("GRAFT_SIG_MODE", "pool")
     cfg = PipelineConfig(
         minhash=MinHashConfig(name="sig"),
         lsh=LSHConfig(num_partitions=64),
@@ -87,7 +90,7 @@ def run_flagship(corpus_path: str) -> dict:
         # measured scheduling is clean because the signature output hits a
         # materialize() barrier, so the only concurrent op is the read
         # (measured: fixed 20.2s vs autoscaling 26.6s at 8 cpus, tie at 2)
-        sig_concurrency=(NUM_CPUS, NUM_CPUS),
+        sig_concurrency=None if sig_mode == "task" else (NUM_CPUS, NUM_CPUS),
     )
     t0 = time.perf_counter()
     corpus = read_parquet_auto(corpus_path)

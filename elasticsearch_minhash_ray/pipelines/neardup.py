@@ -141,6 +141,29 @@ def build_edges(sig_ds, cfg: PipelineConfig, dedupe: bool = True):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # Re-block the band table for ITS byte size before the bucket exchange:
+    # band rows are ~50x smaller than corpus rows, so inheriting the corpus
+    # read's block count hands the sort N tiny blocks -> N^2 intermediate
+    # shuffle objects of pure scheduling overhead (a FIXED cost that ruins
+    # low-cpu scaling: measured 3.8-7.3 s -> 3.4 s stable on the 600k bench
+    # at 8 cpus by coalescing 64 x 3 MB blocks to 16). Only coalesce (never
+    # split); needs a cheap row count, so apply when the input is
+    # materialized (the flagship path) — parquet-read inputs already get
+    # data-sized blocks from read_parquet_auto.
+    try:
+        from ray.data.dataset import MaterializedDataset as _Mat
+
+        n_rows = sig_ds.count() if isinstance(sig_ds, _Mat) else None  # metadata-only
+    except Exception:
+        n_rows = None
+    if n_rows:
+        import ray as _ray
+
+        band_bytes = n_rows * cfg.lsh.n_bands * (24 + width)
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        target = int(max(2 * cpus, band_bytes // (32 << 20)))
+        if target < sig_ds.num_blocks():
+            bands = bands.repartition(target)
     salted = cfg.lsh.n_salts > 1
     if salted:
         from ..stages.lsh import SaltHotBuckets, hot_buckets
@@ -357,6 +380,15 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     # num_cpus=2, 39s -> 31s at 8, on the 600k-doc bench corpus); the sort
     # shuffle right after would materialize the band rows anyway
     sigs_out = compute_signatures(corpus_ds, cfg, keep_columns=sig_cols).materialize()
+    if cfg.sig_concurrency is not None:
+        # the finished execution's actor pool lives on in a reference cycle
+        # (executor <-> operators), so its pinned CPUs stay RESERVED until a
+        # gc pass — measured: available CPUs stuck at 0 indefinitely after
+        # materialize(), released instantly by collect(). Without this the
+        # whole band/sort/verify phase runs against zombie actors.
+        import gc as _gc
+
+        _gc.collect()
     _t_sig = _time.perf_counter()
     # size the shuffle-key space to the data: the band sort range-partitions
     # into ~num_blocks output ranges, so with fewer distinct partition keys
@@ -562,6 +594,12 @@ def run_checkpointed(
             stage="signatures",
             shard=i,
         )
+        if cfg.sig_concurrency is not None:
+            # release the shard's finished sig actor pool (reference-cycle
+            # CPU reservation — see near_dup_pipeline) before the next shard
+            import gc as _gc
+
+            _gc.collect()
 
     edges_dir = os.path.join(out_dir, "edges")
     if not ckpt.is_complete(edges_dir, fp):

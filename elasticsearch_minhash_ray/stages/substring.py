@@ -42,6 +42,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .._arrow import table_from_pandas
 from ..grouping import map_copartitioned
@@ -113,17 +114,31 @@ class GramStage:
         )
 
 
-def _dup_occurrences(batch: pa.Table, num_partitions: int) -> pa.Table:
+def _dup_occurrences(batch: pa.Table, num_partitions: int, keep_first: bool = False) -> pa.Table:
     """Per gram-partition: keep occurrences of fingerprints with global
-    count >= 2; key the survivors for the per-doc exchange."""
+    count >= 2; key the survivors for the per-doc exchange.
+
+    ``keep_first=True`` additionally DROPS the canonical occurrence — the
+    minimum (doc_id, pos) — of each duplicated fingerprint, so downstream
+    span removal keeps exactly one copy of every repeated substring in the
+    corpus (the clean-variant semantics); all occurrences of a fingerprint
+    land in this partition, so the group minimum is exact."""
     g = np.asarray(batch["gram"])
     if len(g) == 0:
         return _DOCPOS_SCHEMA.empty_table()
-    order = np.argsort(g, kind="stable")
+    if keep_first:
+        order = np.lexsort((np.asarray(batch["pos"]), np.asarray(batch["doc_id"]), g))
+    else:
+        order = np.argsort(g, kind="stable")
     gs = g[order]
     starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
     counts = np.diff(np.r_[starts, len(gs)])
-    keep = order[np.repeat(counts >= 2, counts)]
+    keep_mask = np.repeat(counts >= 2, counts)
+    if keep_first:
+        first_of_group = np.zeros(len(gs), bool)
+        first_of_group[starts] = True
+        keep_mask &= ~first_of_group
+    keep = order[keep_mask]
     if len(keep) == 0:
         return _DOCPOS_SCHEMA.empty_table()
     doc = np.asarray(batch["doc_id"])[keep]
@@ -233,3 +248,143 @@ def substring_dedup_stats(
         "doc_part",
         final,
     )
+
+
+_CLEAN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("n_removed", pa.int64()),
+        ("cleaned_text", pa.string()),
+    ]
+)
+
+
+class _CleanBlock:
+    """Per doc-partition: union-join block of doc rows (text) + span rows →
+    cleaned token stream per doc. Cleaning is defined over the word-token
+    stream (Lee-et-al. ExactSubstr operates on the tokenized text): output
+    text is the KEPT tokens joined by single spaces — deterministic and
+    SQL-twin-able, independent of inter-token whitespace."""
+
+    def __init__(self, tokenizer: str = "words"):
+        self.tok_many = get_batch_tokenizer(tokenizer, 1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _CLEAN_SCHEMA.empty_table()
+        is_doc = np.asarray(batch["is_doc"])
+        docs = batch.filter(pa.array(is_doc))
+        if docs.num_rows == 0:
+            return _CLEAN_SCHEMA.empty_table()
+        toks = self.tok_many(docs["text"].to_pylist())
+        ids = np.asarray(docs["doc_id"], dtype=np.int64)
+        counts = np.fromiter((len(t) for t in toks), np.int64, len(toks))
+        doc_starts = np.r_[0, np.cumsum(counts)]
+        n = int(doc_starts[-1])
+        # difference-array coverage over the flat token buffer: +1 at each
+        # span start, -1 at each span end, cumsum > 0 = covered
+        diff = np.zeros(n + 1, np.int64)
+        spans = batch.filter(pa.array(~is_doc))
+        if spans.num_rows:
+            s_doc = np.asarray(spans["doc_id"], dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            pos_s = np.minimum(np.searchsorted(ids, s_doc, sorter=order), len(ids) - 1)
+            d_idx = order[pos_s]
+            # spans for docs not in this block can't exist (same doc_part
+            # exchange) — guard anyway so a bad partition fails loudly
+            if not (ids[d_idx] == s_doc).all():
+                raise AssertionError("span row without its doc in the co-partitioned block")
+            s0 = doc_starts[d_idx] + np.asarray(spans["span_start"], dtype=np.int64)
+            s1 = doc_starts[d_idx] + np.minimum(
+                np.asarray(spans["span_end"], dtype=np.int64), counts[d_idx]
+            )
+            np.add.at(diff, s0, 1)
+            np.add.at(diff, s1, -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        doc_idx = np.repeat(np.arange(len(toks)), counts)
+        flat = np.empty(n, object)
+        at = 0
+        for t in toks:
+            flat[at : at + len(t)] = t
+            at += len(t)
+        kept = ~covered
+        joined = (
+            pd.Series(flat[kept])
+            .groupby(doc_idx[kept])
+            .agg(" ".join)
+            .reindex(np.arange(len(toks)), fill_value="")
+        )
+        n_removed = np.zeros(len(toks), np.int64)
+        np.add.at(n_removed, doc_idx[covered], 1)
+        nz = counts > 0  # zero-token docs have no row (SQL twin parity)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[nz], pa.int64()),
+                "n_tokens": pa.array(counts[nz], pa.int64()),
+                "n_removed": pa.array(n_removed[nz], pa.int64()),
+                "cleaned_text": pa.array(joined.to_numpy()[nz], pa.string()),
+            }
+        )
+
+
+def substring_dedup_clean(
+    ds,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    num_partitions: int = 64,
+):
+    """Dataset of documents → (doc_id, n_tokens, n_removed, cleaned_text):
+    every duplicated >=k-token window removed EXCEPT its canonical (minimum
+    (doc_id, pos)) occurrence — the corpus keeps exactly one copy of each
+    repeated substring. Docs with zero word tokens emit nothing.
+
+    Pipeline: gram fingerprints → gram-partition keep-first dup filter →
+    per-doc span merge → union-join (doc rows ∪ span rows, one doc-key
+    exchange) → vectorized difference-array cut. The join ships span rows
+    (24 B each, proportional to corpus duplication) next to the doc text —
+    no driver materialization at any step."""
+    gram = GramStage(k, text_col, id_col, tokenizer, num_partitions)
+    occ = map_copartitioned(
+        ds.map_batches(gram, batch_format="pandas"),
+        "part",
+        lambda b: _dup_occurrences(b, num_partitions, keep_first=True),
+    )
+    spans = map_copartitioned(occ, "doc_part", lambda b: _merge_spans(b, k))
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = ((ids.view(np.uint64) * _MIX) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pc.cast(batch[text_col], pa.string()),
+                "span_start": pa.array(np.full(len(ids), -1), pa.int64()),
+                "span_end": pa.array(np.full(len(ids), -1), pa.int64()),
+                "doc_part": pa.array(part, pa.int32()),
+                "is_doc": pa.array(np.ones(len(ids), bool)),
+            }
+        )
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch["doc_id"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = ((doc.view(np.uint64) * _MIX) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array([None] * len(doc), pa.string()),
+                "span_start": batch["span_start"],
+                "span_end": batch["span_end"],
+                "doc_part": pa.array(part, pa.int32()),
+                "is_doc": pa.array(np.zeros(len(doc), bool)),
+            }
+        )
+
+    unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        spans.map_batches(span_rows, batch_format="pyarrow")
+    )
+    return map_copartitioned(unioned, "doc_part", _CleanBlock(tokenizer))

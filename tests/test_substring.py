@@ -127,3 +127,77 @@ def test_gram_stage_boundary_mask():
     assert out.num_rows == 3
     assert out["doc_id"].to_pylist() == [2, 2, 2]
     assert out["pos"].to_pylist() == [0, 1, 2]
+
+
+def _clean_df(docs, k, **kw):
+    from elasticsearch_minhash_ray.stages.substring import substring_dedup_clean
+
+    ds = rd.from_pandas(pd.DataFrame(docs))
+    out = substring_dedup_clean(ds, k=k, num_partitions=8, **kw).to_pandas()
+    out = out.reindex(columns=["doc_id", "n_tokens", "n_removed", "cleaned_text"])
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_clean_keeps_first_occurrence(ray_session):
+    """Keep-first semantics: the canonical (min (doc_id, pos)) copy of a
+    duplicated span survives; every other copy is cut."""
+    rng = np.random.default_rng(11)
+    shared = _words(rng, 25)
+    pre2 = _words(rng, 5)
+    docs = [
+        {"doc_id": 1, "text": shared + " " + _words(rng, 10)},   # canonical copy
+        {"doc_id": 2, "text": pre2 + " " + shared},              # cut
+        {"doc_id": 3, "text": _words(rng, 30)},                  # untouched
+    ]
+    out = _clean_df(docs, k=20)
+    rows = {r["doc_id"]: r for r in out.to_dict("records")}
+    assert rows[1]["n_removed"] == 0 and rows[1]["cleaned_text"] == docs[0]["text"]
+    assert rows[2]["n_removed"] == 25 and rows[2]["cleaned_text"] == pre2
+    assert rows[3]["n_removed"] == 0 and rows[3]["cleaned_text"] == docs[2]["text"]
+    assert list(out["n_tokens"]) == [35, 30, 30]
+
+
+def test_clean_within_doc_repeat(ray_session):
+    """A span repeated inside ONE doc keeps its first occurrence only."""
+    rng = np.random.default_rng(12)
+    rep, mid = _words(rng, 22), _words(rng, 30)
+    docs = [{"doc_id": 5, "text": rep + " " + mid + " " + rep}]
+    out = _clean_df(docs, k=20)
+    assert out.loc[0, "n_removed"] == 22
+    assert out.loc[0, "cleaned_text"] == rep + " " + mid
+
+
+def test_clean_zero_token_docs_excluded(ray_session):
+    docs = [
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "..."},  # punctuation-only -> zero word tokens
+        {"doc_id": 4, "text": "some short doc"},
+    ]
+    out = _clean_df(docs, k=20)
+    assert list(out["doc_id"]) == [4]
+    assert out.loc[0, "cleaned_text"] == "some short doc"
+
+
+def test_clean_whitespace_normalized(ray_session):
+    """Cleaning is defined over the token stream: output joins kept tokens
+    with single spaces regardless of the input's inter-token whitespace."""
+    docs = [{"doc_id": 9, "text": "a\n\tb   c"}]
+    out = _clean_df(docs, k=20)
+    assert out.loc[0, "cleaned_text"] == "a b c"
+    assert out.loc[0, "n_tokens"] == 3 and out.loc[0, "n_removed"] == 0
+
+
+def test_clean_overlapping_spans_from_two_grams(ray_session):
+    """A doc fully covered by duplicated windows (no canonical) empties out
+    but keeps its row, with n_removed == n_tokens."""
+    rng = np.random.default_rng(13)
+    shared = _words(rng, 20)
+    docs = [
+        {"doc_id": 1, "text": shared},  # canonical
+        {"doc_id": 2, "text": shared},  # fully duplicated -> emptied
+    ]
+    out = _clean_df(docs, k=20)
+    rows = {r["doc_id"]: r for r in out.to_dict("records")}
+    assert rows[1]["cleaned_text"] == shared and rows[1]["n_removed"] == 0
+    assert rows[2]["cleaned_text"] == "" and rows[2]["n_removed"] == 20
