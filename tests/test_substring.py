@@ -201,3 +201,45 @@ def test_clean_overlapping_spans_from_two_grams(ray_session):
     rows = {r["doc_id"]: r for r in out.to_dict("records")}
     assert rows[1]["cleaned_text"] == shared and rows[1]["n_removed"] == 0
     assert rows[2]["cleaned_text"] == "" and rows[2]["n_removed"] == 20
+
+
+def test_clean_matches_bruteforce_twin(ray_session):
+    """Randomized corpus with planted repeats vs a pure-Python brute-force
+    twin of the keep-first semantics (exact k-gram strings, no hashing)."""
+    import re
+
+    rng = np.random.default_rng(42)
+    k = 5
+    frags = [_words(rng, rng.integers(3, 12), vocab=30) for _ in range(6)]
+    docs = []
+    for d in range(12):
+        n_parts = rng.integers(1, 5)
+        parts = [frags[rng.integers(len(frags))] for _ in range(n_parts)]
+        docs.append({"doc_id": d, "text": " ".join(parts)})
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+    toks = {d["doc_id"]: word_re.findall(d["text"]) for d in docs}
+    # brute force: every k-gram -> occurrence list; canonical = min (doc, pos)
+    occ: dict[tuple, list] = {}
+    for did in sorted(toks):
+        t = toks[did]
+        for p in range(len(t) - k + 1):
+            occ.setdefault(tuple(t[p : p + k]), []).append((did, p))
+    cov = {did: np.zeros(len(t), bool) for did, t in toks.items()}
+    for g, places in occ.items():
+        if len(places) >= 2:
+            for did, p in sorted(places)[1:]:
+                cov[did][p : p + k] = True
+    expect = {}
+    for did, t in toks.items():
+        if not t:
+            continue
+        kept = [w for w, c in zip(t, cov[did]) if not c]
+        expect[did] = (len(t), int(cov[did].sum()), " ".join(kept))
+
+    out = _clean_df(docs, k=k)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in out.to_dict("records")
+    }
+    assert got == expect
