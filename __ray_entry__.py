@@ -495,6 +495,31 @@ def _q_substring_stats(sf_dir: str):
     return substring_dedup_stats(ds, k=20, num_partitions=16)
 
 
+def _q_line_dedup_global(sf_dir: str):
+    """Oracle-checked CROSS-document line dedup (MassiveText/RefinedWeb-style
+    boilerplate filter): every non-empty line occurring >= 2 times corpus-wide
+    is removed from every doc; kept lines re-joined by newline. One
+    line-hash-key exchange for the global count, one doc-key union-join back.
+
+    The driver documents are single-line with no naturally duplicated lines,
+    so the query plants deterministic boilerplate (a generator footer on every
+    doc, a second one on every third) with the IDENTICAL expression in the SQL
+    twin — the oracle then checks the removal path for real, not just
+    passthrough."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import line_dedup_global
+
+    def add_footer(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("") + "\nGenerated by corpus-tool v1.0"
+        t = t.where(batch["doc_id"] % 3 != 0, t + "\n-- auto-generated; do not edit --")
+        batch["text"] = t
+        return batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_footer, batch_format="pandas")
+    return line_dedup_global(ds, min_dup=2, min_len=1, num_partitions=16)
+
+
 def _q_substring_clean(sf_dir: str):
     """Oracle-checked substring-dedup CLEANING: remove every duplicated
     >=20-token window except its canonical (min (doc_id, pos)) occurrence;
@@ -952,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_spans": _q_substring_spans,
         "substring_stats": _q_substring_stats,
         "substring_clean": _q_substring_clean,
+        "line_dedup_global": _q_line_dedup_global,
         "stratified_sample": _q_stratified_sample,
         "line_dedup_stats": _q_line_dedup_stats,
         "minhash_golden": _q_minhash_golden,
@@ -1211,6 +1237,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
                    CAST(sum(span_end - span_start) AS BIGINT) AS dup_tokens
             FROM spans GROUP BY doc_id
+        """,
+        "line_dedup_global": """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     coalesce(text, '') || chr(10) || 'Generated by corpus-tool v1.0'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || '-- auto-generated; do not edit --'
+                             ELSE '' END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, i - 1 AS ln, l[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+                    FROM docs2),
+                   UNNEST(generate_series(1, len(l))) AS s(i)
+            ),
+            dup AS (
+              SELECT line FROM lines WHERE length(line) >= 1
+              GROUP BY line HAVING count(*) >= 2
+            )
+            SELECT l.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(d.line) AS BIGINT) AS n_removed,
+                   coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                                       chr(10) ORDER BY l.ln), '') AS cleaned_text
+            FROM lines l
+            LEFT JOIN dup d ON l.line = d.line
+            GROUP BY l.doc_id
         """,
         "substring_clean": """
             WITH toks AS (

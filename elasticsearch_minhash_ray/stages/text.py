@@ -200,3 +200,184 @@ def line_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(stats, batch_format="pandas")
+
+
+_LINE_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def line_dedup_global(
+    ds,
+    min_dup: int = 2,
+    min_len: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+):
+    """Cross-document line deduplication — the MassiveText/RefinedWeb-style
+    boilerplate filter: every line occurring >= ``min_dup`` times CORPUS-WIDE
+    (exact string match, 64-bit murmur3 fingerprints — a collision can only
+    over-remove, conservative for curation) is removed from EVERY document
+    (unlike :func:`substring_dedup_clean`, boilerplate keeps no canonical
+    copy). Lines shorter than ``min_len`` chars never participate (an empty
+    line duplicates everywhere; removing it would destroy formatting).
+
+    Output per doc: (doc_id, n_lines, n_removed, cleaned_text) with kept
+    lines re-joined by newline. Every doc emits a row ('' splits to one
+    empty line, matching SQL string_split semantics).
+
+    Scale shape: one ~20 B/line-occurrence int32-key exchange for the global
+    count (the same sufficient-statistic bound as substring dedup), then the
+    surviving (doc, line_no) rows — proportional to corpus boilerplate —
+    union-join back to the docs on one doc-key exchange. No driver pulls."""
+    import pyarrow as pa
+
+    from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
+    from ..grouping import map_copartitioned
+
+    seeds = seeds_u64(0, 1)
+    occ_schema = pa.schema(
+        [("line_hash", pa.int64()), ("doc_id", pa.int64()), ("line_no", pa.int64()), ("part", pa.int32())]
+    )
+    hit_schema = pa.schema(
+        [("doc_id", pa.int64()), ("line_no", pa.int64()), ("doc_part", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_lines", pa.int64()),
+            ("n_removed", pa.int64()),
+            ("cleaned_text", pa.string()),
+        ]
+    )
+
+    def line_rows(batch: pd.DataFrame) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        lines_per_doc = [(t or "").split("\n") for t in batch[text_col]]
+        counts = np.fromiter((len(ls) for ls in lines_per_doc), np.int64, len(lines_per_doc))
+        flat: list[str] = []
+        for ls in lines_per_doc:
+            flat.extend(ls)
+        lens = np.fromiter((len(s) for s in flat), np.int64, len(flat))
+        elig = lens >= min_len
+        if not elig.any():
+            return occ_schema.empty_table()
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        starts = np.r_[0, np.cumsum(counts)][:-1]
+        pos = np.arange(len(flat)) - starts[doc_idx]
+        sub = [flat[i] for i in np.flatnonzero(elig)]
+        codes, uniques = pd.factorize(np.asarray(sub, dtype=object), sort=False)
+        h = hash_tokens_many_seeds(list(uniques), seeds)[:, 0][codes]
+        with np.errstate(over="ignore"):
+            part = ((h.view(np.uint64) * _LINE_MIX) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "line_hash": pa.array(h, pa.int64()),
+                "doc_id": pa.array(ids[doc_idx[elig]], pa.int64()),
+                "line_no": pa.array(pos[elig], pa.int64()),
+                "part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def dup_hits(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["line_hash"])
+        if len(h) == 0:
+            return hit_schema.empty_table()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        counts = np.diff(np.r_[starts, len(hs)])
+        keep = order[np.repeat(counts >= min_dup, counts)]
+        if len(keep) == 0:
+            return hit_schema.empty_table()
+        doc = np.asarray(batch["doc_id"])[keep]
+        with np.errstate(over="ignore"):
+            part = ((doc.view(np.uint64) * _LINE_MIX) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "line_no": pa.array(np.asarray(batch["line_no"])[keep], pa.int64()),
+                "doc_part": pa.array(part, pa.int32()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = ((ids.view(np.uint64) * _LINE_MIX) % np.uint64(num_partitions)).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pc.cast(batch[text_col], pa.string()),
+                "line_no": pa.array(np.full(len(ids), -1), pa.int64()),
+                "doc_part": pa.array(part, pa.int32()),
+                "is_doc": pa.array(np.ones(len(ids), bool)),
+            }
+        )
+
+    def hit_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": pa.array([None] * n, pa.string()),
+                "line_no": batch["line_no"],
+                "doc_part": batch["doc_part"],
+                "is_doc": pa.array(np.zeros(n, bool)),
+            }
+        )
+
+    def clean_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        is_doc = np.asarray(batch["is_doc"])
+        docs = batch.filter(pa.array(is_doc))
+        if docs.num_rows == 0:
+            return out_schema.empty_table()
+        ids = np.asarray(docs["doc_id"], dtype=np.int64)
+        lines_per_doc = [(t or "").split("\n") for t in docs["text"].to_pylist()]
+        counts = np.fromiter((len(ls) for ls in lines_per_doc), np.int64, len(lines_per_doc))
+        doc_starts = np.r_[0, np.cumsum(counts)]
+        n = int(doc_starts[-1])
+        removed = np.zeros(n, bool)
+        hits = batch.filter(pa.array(~is_doc))
+        if hits.num_rows:
+            h_doc = np.asarray(hits["doc_id"], dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            pos_s = np.minimum(np.searchsorted(ids, h_doc, sorter=order), len(ids) - 1)
+            d_idx = order[pos_s]
+            if not (ids[d_idx] == h_doc).all():
+                raise AssertionError("line hit without its doc in the co-partitioned block")
+            removed[doc_starts[d_idx] + np.asarray(hits["line_no"], dtype=np.int64)] = True
+        doc_idx = np.repeat(np.arange(len(ids)), counts)
+        flat = np.empty(n, object)
+        at = 0
+        for ls in lines_per_doc:
+            flat[at : at + len(ls)] = ls
+            at += len(ls)
+        kept = ~removed
+        joined = (
+            pd.Series(flat[kept])
+            .groupby(doc_idx[kept])
+            .agg("\n".join)
+            .reindex(np.arange(len(ids)), fill_value="")
+        )
+        n_removed = np.zeros(len(ids), np.int64)
+        np.add.at(n_removed, doc_idx[removed], 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_lines": pa.array(counts, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+                "cleaned_text": pa.array(joined.to_numpy(), pa.string()),
+            }
+        )
+
+    hits = map_copartitioned(
+        ds.map_batches(line_rows, batch_format="pandas"), "part", dup_hits
+    )
+    unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(
+        hits.map_batches(hit_rows, batch_format="pyarrow")
+    )
+    return map_copartitioned(unioned, "doc_part", clean_block)

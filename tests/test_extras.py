@@ -264,3 +264,38 @@ def test_lang_id_batch_matches_scalar():
     batch = lang_id_batch(pd.Series(texts, dtype=object))
     scalar = np.array([lang_id_scores(t or "") for t in texts], object)
     assert np.array_equal(batch, scalar)
+
+
+def test_line_dedup_global(ray_session):
+    """Cross-doc boilerplate line removal: lines occurring >=2 times
+    corpus-wide vanish from EVERY doc (no canonical copy); short/empty
+    lines never participate; every doc emits a row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.text import line_dedup_global
+
+    docs = [
+        {"doc_id": 1, "text": "unique alpha\nCOPYRIGHT HEADER\nbody one"},
+        {"doc_id": 2, "text": "COPYRIGHT HEADER\nbody two\n\nbody two"},
+        {"doc_id": 3, "text": "solo doc"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},
+    ]
+    out = (
+        line_dedup_global(rd.from_pandas(pd.DataFrame(docs)), min_dup=2, num_partitions=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    rows = {r["doc_id"]: r for r in out.to_dict("records")}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    # COPYRIGHT HEADER (cross-doc x2) and body two (intra-doc x2) are dups
+    assert rows[1]["cleaned_text"] == "unique alpha\nbody one" and rows[1]["n_removed"] == 1
+    assert rows[2]["cleaned_text"] == "" and rows[2]["n_removed"] == 3  # empty line kept? no:
+    # doc 2 = [HEADER, body two, '', body two]: HEADER + both 'body two' removed,
+    # the EMPTY line (len < min_len) is kept
+    assert rows[2]["n_lines"] == 4
+    assert rows[3]["cleaned_text"] == "solo doc" and rows[3]["n_removed"] == 0
+    assert rows[4]["n_lines"] == 1 and rows[4]["cleaned_text"] == ""
+    assert rows[5]["n_lines"] == 1 and rows[5]["cleaned_text"] == ""
