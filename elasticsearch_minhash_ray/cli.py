@@ -15,6 +15,8 @@ to call ray.init per the driver contract)::
 Subcommands:
     sign     signatures only: corpus parquet -> signatures parquet
     neardup  full pipeline with checkpoint/lineage/resume (run_checkpointed)
+    clean    substring- or line-level dedup cleaning: corpus parquet ->
+             (doc_id, n_tokens|n_lines, n_removed, cleaned_text) parquet
 """
 
 from __future__ import annotations
@@ -84,6 +86,28 @@ def cmd_sign(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    from .sources.corpus import prepare_batch, read_corpus
+    from .stages.substring import substring_dedup_clean
+    from .stages.text import line_dedup_global
+
+    ds = read_corpus(args.input).map_batches(prepare_batch, batch_format="pyarrow")
+    if args.mode == "substring":
+        out = substring_dedup_clean(
+            ds, k=args.k, text_col="content", id_col="doc_key",
+            num_partitions=args.num_partitions,
+        )
+    else:
+        out = line_dedup_global(
+            ds, min_dup=args.min_dup, min_len=args.min_len,
+            text_col="content", id_col="doc_key",
+            num_partitions=args.num_partitions,
+        )
+    out.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": out.count(), "mode": args.mode}))
+    return 0
+
+
 def cmd_neardup(args) -> int:
     from . import run_checkpointed
 
@@ -110,6 +134,15 @@ def main(argv: list[str] | None = None) -> int:
                       help="'file' = one shard per input parquet file (incremental ingest: appended files reuse existing checkpoints)")
     p_nd.add_argument("--distributed-cc", action="store_true", help="distributed connected components")
 
+    p_cl = sub.add_parser("clean", help="substring/line dedup cleaning -> cleaned-text parquet")
+    p_cl.add_argument("--input", required=True, help="corpus parquet file/dir")
+    p_cl.add_argument("--output", required=True, help="output directory")
+    p_cl.add_argument("--mode", default="substring", choices=["substring", "lines"])
+    p_cl.add_argument("--k", type=int, default=50, help="substring mode: min duplicated window (tokens)")
+    p_cl.add_argument("--min-dup", type=int, default=2, help="lines mode: global occurrence threshold")
+    p_cl.add_argument("--min-len", type=int, default=1, help="lines mode: min line length to participate")
+    p_cl.add_argument("--num-partitions", type=int, default=64)
+
     args = parser.parse_args(argv)
 
     import ray
@@ -117,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
     try:
-        return {"sign": cmd_sign, "neardup": cmd_neardup}[args.cmd](args)
+        return {"sign": cmd_sign, "neardup": cmd_neardup, "clean": cmd_clean}[args.cmd](args)
     finally:
         ray.shutdown()
 

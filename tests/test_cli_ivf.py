@@ -76,3 +76,38 @@ def test_signature_collapse_groups_exact_dups(ray_session):
     assert (df["n_dups"] >= 1).all()
     # sf0.001 documents has a few exact-dup texts -> at least one group > 1
     assert df["n_dups"].max() >= 2 or len(df) == 5000
+
+
+def test_cli_clean_lines(tmp_path):
+    """python -m elasticsearch_minhash_ray clean --mode lines writes a
+    cleaned-text parquet in a fresh process (own Ray session)."""
+    import pyarrow as pa
+
+    corpus = tmp_path / "corpus.parquet"
+    rows = {
+        "repo": ["r"] * 4,
+        "path": [f"f{i}.py" for i in range(4)],
+        "commit": ["c"] * 4,
+        "lang": ["py"] * 4,
+        "content": [
+            "HEADER LINE\nunique a",
+            "HEADER LINE\nunique b",
+            "just one doc",
+            "HEADER LINE",
+        ],
+    }
+    pq.write_table(pa.table(rows), str(corpus))
+    out = tmp_path / "out"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, "-m", "elasticsearch_minhash_ray", "clean",
+         "--mode", "lines", "--input", str(corpus), "--output", str(out),
+         "--num-partitions", "4"],
+        capture_output=True, text=True, env=env, check=False,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] == 4
+    got = pq.read_table(str(out)).to_pandas()
+    assert set(got.columns) == {"doc_id", "n_lines", "n_removed", "cleaned_text"}
+    assert sorted(got["cleaned_text"]) == ["", "just one doc", "unique a", "unique b"]
