@@ -533,6 +533,67 @@ def _q_substring_clean(sf_dir: str):
     return substring_dedup_clean(ds, k=20, num_partitions=16)
 
 
+def _q_curation_pipeline(sf_dir: str):
+    """Oracle-checked END-TO-END curation composition — the shape a real
+    training-data run takes, chaining three oracle-checked operators:
+    (1) global boilerplate line dedup (planted generator footers, as in
+    line_dedup_global), (2) quality filter (>= 5 word tokens after
+    cleaning), (3) exact dedup on sha256(cleaned_text) keeping the min
+    doc_id. Output: the surviving curated corpus (doc_id, n_tokens,
+    content_sha256). Every stage streams; the only exchanges are the two
+    line-dedup key exchanges and the dedup's sha-key partition."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import line_dedup_global
+
+    def add_footer(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("") + "\nGenerated by corpus-tool v1.0"
+        t = t.where(batch["doc_id"] % 3 != 0, t + "\n-- auto-generated; do not edit --")
+        batch["text"] = t
+        return batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(add_footer, batch_format="pandas")
+    cleaned = line_dedup_global(ds, min_dup=2, min_len=1, num_partitions=16)
+
+    def quality(batch: pd.DataFrame) -> pd.DataFrame:
+        from elasticsearch_minhash_ray.functions.text_stats import TOKEN_RE
+
+        batch["n_tokens"] = batch["cleaned_text"].str.count(TOKEN_RE).astype("int64")
+        batch = batch[batch["n_tokens"] >= 5]
+        batch["content_sha256"] = [
+            hashlib.sha256(t.encode("utf-8")).hexdigest() for t in batch["cleaned_text"]
+        ]
+        return batch[["doc_id", "n_tokens", "content_sha256"]]
+
+    filtered = cleaned.map_batches(quality, batch_format="pandas")
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        # first 8 hex chars of the sha are already a uniform hash
+        batch["part"] = (
+            batch["content_sha256"].str[:8].apply(int, base=16) % 16
+        ).astype("int32")
+        return batch
+
+    def keep_first(batch) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["content_sha256", "doc_id"]).drop_duplicates(
+            "content_sha256", keep="first"
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
+                "content_sha256": pa.array(df["content_sha256"].to_numpy(), pa.string()),
+            }
+        )
+
+    return map_copartitioned(
+        filtered.map_batches(add_part, batch_format="pandas"), "part", keep_first
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     """Oracle-checked deterministic stratified sampling: keep 10% of 'en'
     docs and 30% of every other language, decided per row by a Knuth
@@ -978,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_stats": _q_substring_stats,
         "substring_clean": _q_substring_clean,
         "line_dedup_global": _q_line_dedup_global,
+        "curation_pipeline": _q_curation_pipeline,
         "stratified_sample": _q_stratified_sample,
         "line_dedup_stats": _q_line_dedup_stats,
         "minhash_golden": _q_minhash_golden,
@@ -1265,6 +1327,44 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l
             LEFT JOIN dup d ON l.line = d.line
             GROUP BY l.doc_id
+        """,
+        "curation_pipeline": """
+            WITH docs2 AS (
+              SELECT doc_id,
+                     coalesce(text, '') || chr(10) || 'Generated by corpus-tool v1.0'
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || '-- auto-generated; do not edit --'
+                             ELSE '' END AS text
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, i - 1 AS ln, l[i] AS line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs2),
+                   UNNEST(generate_series(1, len(l))) AS s(i)
+            ),
+            dup AS (
+              SELECT line FROM lines WHERE length(line) >= 1
+              GROUP BY line HAVING count(*) >= 2
+            ),
+            cleaned AS (
+              SELECT l.doc_id,
+                     coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                                         chr(10) ORDER BY l.ln), '') AS cleaned_text
+              FROM lines l LEFT JOIN dup d ON l.line = d.line
+              GROUP BY l.doc_id
+            ),
+            scored AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(cleaned_text, '[0-9A-Za-z_]+')) AS BIGINT) AS n_tokens,
+                     sha256(cleaned_text) AS content_sha256
+              FROM cleaned
+            ),
+            ranked AS (
+              SELECT doc_id, n_tokens, content_sha256,
+                     row_number() OVER (PARTITION BY content_sha256 ORDER BY doc_id) AS rn
+              FROM scored WHERE n_tokens >= 5
+            )
+            SELECT doc_id, n_tokens, content_sha256 FROM ranked WHERE rn = 1
         """,
         "substring_clean": """
             WITH toks AS (

@@ -389,6 +389,19 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
         import gc as _gc
 
         _gc.collect()
+    # Re-block the signature table for ITS byte size: signatures are ~50x
+    # smaller than content, so inheriting the corpus read's block count hands
+    # every downstream exchange N tiny blocks -> N^2 shuffle objects of fixed
+    # scheduling overhead (the non-scaling floor of the edges phase). One
+    # cheap pass here (size known post-materialize) serves both salted band
+    # passes and the collapse path; build_edges' own coalesce then no-ops.
+    import ray as _ray
+
+    _cpus = int(_ray.cluster_resources().get("CPU", 8))
+    _sig_bytes = sigs_out.size_bytes() or 0
+    _target = int(max(2 * _cpus, _sig_bytes // (32 << 20)))
+    if _target < sigs_out.num_blocks():
+        sigs_out = sigs_out.repartition(_target).materialize()
     _t_sig = _time.perf_counter()
     # size the shuffle-key space to the data: the band sort range-partitions
     # into ~num_blocks output ranges, so with fewer distinct partition keys
