@@ -51,6 +51,9 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "simhash_near_dup",
     "substring_stats",
+    "substring_clean",
+    "line_dedup_global",
+    "curation_pipeline",
     "decontaminate",
     "token_df",
     "docs_by_lang",
