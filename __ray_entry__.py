@@ -411,6 +411,69 @@ def _q_ngram_jaccard_edges(sf_dir: str):
     )
 
 
+def _q_near_dup_keep(sf_dir: str):
+    """Rows-only: the near-dup DEDUP ACTION — the curated corpus after
+    dropping every near-duplicate except one representative per cluster
+    (cluster_id is the cluster's min doc_key, so the representative is the
+    member with doc_key == cluster_id; unclustered docs all survive).
+    Here the kept-set ships as one broadcast (bounded by clustered docs);
+    at 10^12-row scale the same step is a doc_key-partitioned anti-join
+    (hash co-partition of clusters + signatures), which stages/dedup.py's
+    exchange primitives already express."""
+    import ray
+
+    from elasticsearch_minhash_ray import near_dup_pipeline
+
+    res = near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg())
+    cl = res.clusters
+    cl = cl if isinstance(cl, pa.Table) else pa.Table.from_pandas(cl.to_pandas())
+    keys = np.asarray(cl["doc_key"], dtype=np.int64)
+    cids = np.asarray(cl["cluster_id"], dtype=np.int64)
+    dropped = np.sort(keys[keys != cids])  # clustered non-representatives
+    dropped_ref = ray.put(dropped)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(dropped_ref)
+        k = np.asarray(batch["doc_key"], dtype=np.int64)
+        pos = np.searchsorted(drop, k)
+        pos = np.minimum(pos, max(len(drop) - 1, 0))
+        is_dropped = (drop[pos] == k) if len(drop) else np.zeros(len(k), bool)
+        return batch.filter(pa.array(~is_dropped)).select(["doc_id", "doc_key", "content_sha256"])
+
+    return res.signatures.map_batches(keep, batch_format="pyarrow")
+
+
+def _q_fuzzy_decontaminate(sf_dir: str):
+    """Oracle-checked FUZZY train/test decontamination: train docs that are
+    near-duplicates (set-Jaccard >= 0.8 over 3-gram shingles) of any eval-set
+    doc (doc_id < 50), found via MinHash-LSH banding + exact Jaccard verify —
+    the fuzzy complement of the exact-overlap `decontaminate` operator.
+    Output per contaminated train doc: its best-matching eval doc and the
+    Jaccard (ties broken by min eval id). SQL twin: the shared n-gram Jaccard
+    CTEs restricted to cross-side pairs + windowed argmax."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
+
+    cfg = _pipeline_cfg(
+        minhash=MinHashConfig(name="sig", tokenizer="words", shingle=3),
+        lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
+    )
+    res = near_dup_pipeline(_corpus(sf_dir), cfg)
+    edges = res.edges.to_pandas()  # oracle-scale pull (see _q_ngram_jaccard_edges)
+    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
+    key2id = dict(zip(sigs["doc_key"], sigs["path"].astype(np.int64)))
+    a = edges["src"].map(key2id).to_numpy(np.int64)
+    b = edges["dst"].map(key2id).to_numpy(np.int64)
+    jac = edges["sim"].round(9).to_numpy()
+    cross = (a < 50) != (b < 50)
+    train = np.where(a[cross] < 50, b[cross], a[cross])
+    ref = np.where(a[cross] < 50, a[cross], b[cross])
+    df = pd.DataFrame({"doc_id": train, "ref_doc_id": ref, "jaccard": jac[cross]})
+    df = df.sort_values(["doc_id", "jaccard", "ref_doc_id"], ascending=[True, False, True])
+    return df.drop_duplicates("doc_id", keep="first").reset_index(drop=True)
+
+
 def _q_decontaminate(sf_dir: str):
     """Oracle-checked train/test decontamination: docs whose 3-gram shingle
     sets overlap the reference ('test') set — here the docs with doc_id < 50,
@@ -1040,6 +1103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_clean": _q_substring_clean,
         "line_dedup_global": _q_line_dedup_global,
         "curation_pipeline": _q_curation_pipeline,
+        "near_dup_keep": _q_near_dup_keep,
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "line_dedup_stats": _q_line_dedup_stats,
         "minhash_golden": _q_minhash_golden,
@@ -1327,6 +1392,22 @@ def oracle_sql() -> dict[str, str]:
             FROM lines l
             LEFT JOIN dup d ON l.line = d.line
             GROUP BY l.doc_id
+        """,
+        "fuzzy_decontaminate": f"""
+            WITH {_NGRAM_JACCARD_CTES},
+            cross_e AS (
+              SELECT CASE WHEN a < 50 THEN b ELSE a END AS doc_id,
+                     CASE WHEN a < 50 THEN a ELSE b END AS ref_doc_id,
+                     jaccard
+              FROM jedges WHERE (a < 50) <> (b < 50)
+            ),
+            ranked AS (
+              SELECT doc_id, ref_doc_id, jaccard,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY jaccard DESC, ref_doc_id) AS rn
+              FROM cross_e
+            )
+            SELECT doc_id, ref_doc_id, jaccard FROM ranked WHERE rn = 1
         """,
         "curation_pipeline": """
             WITH docs2 AS (
