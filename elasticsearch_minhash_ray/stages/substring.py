@@ -345,7 +345,12 @@ def substring_dedup_clean(
     per-doc span merge → union-join (doc rows ∪ span rows, one doc-key
     exchange) → vectorized difference-array cut. The join ships span rows
     (24 B each, proportional to corpus duplication) next to the doc text —
-    no driver materialization at any step."""
+    no driver materialization at any step.
+
+    The corpus Dataset is deliberately consumed TWICE (the gram pass and the
+    doc-rows side of the cut join): at the 100 TB end, re-reading pruned
+    parquet beats pinning the whole corpus in the object store, and both
+    consumers stream independently with backpressure."""
     gram = GramStage(k, text_col, id_col, tokenizer, num_partitions)
     occ = map_copartitioned(
         ds.map_batches(gram, batch_format="pandas"),

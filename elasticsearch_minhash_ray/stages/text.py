@@ -228,7 +228,10 @@ def line_dedup_global(
     Scale shape: one ~20 B/line-occurrence int32-key exchange for the global
     count (the same sufficient-statistic bound as substring dedup), then the
     surviving (doc, line_no) rows — proportional to corpus boilerplate —
-    union-join back to the docs on one doc-key exchange. No driver pulls."""
+    union-join back to the docs on one doc-key exchange. No driver pulls.
+    The corpus Dataset is deliberately consumed twice (line pass + cut
+    join): at 100 TB, re-reading pruned parquet beats materializing the
+    corpus in the object store; both consumers stream with backpressure."""
     import pyarrow as pa
 
     from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
