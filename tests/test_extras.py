@@ -299,3 +299,28 @@ def test_line_dedup_global(ray_session):
     assert rows[3]["cleaned_text"] == "solo doc" and rows[3]["n_removed"] == 0
     assert rows[4]["n_lines"] == 1 and rows[4]["cleaned_text"] == ""
     assert rows[5]["n_lines"] == 1 and rows[5]["cleaned_text"] == ""
+
+
+def test_line_dedup_global_partition_invariance(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.text import line_dedup_global
+
+    docs = [
+        {"doc_id": d, "text": ("BOILER\n" if d % 3 == 0 else "") + f"unique {d}\ncommon tail" }
+        for d in range(30)
+    ]
+    outs = []
+    for nparts, nblocks in ((2, 1), (16, 6)):
+        ds = rd.from_pandas(pd.DataFrame(docs)).repartition(nblocks)
+        out = (
+            line_dedup_global(ds, min_dup=2, num_partitions=nparts)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out[["doc_id", "n_lines", "n_removed", "cleaned_text"]])
+    assert outs[0].equals(outs[1])
+    # 'common tail' (30x) and 'BOILER' (10x) removed everywhere
+    assert (outs[0]["n_removed"] >= 1).all()

@@ -243,3 +243,23 @@ def test_clean_matches_bruteforce_twin(ray_session):
         for r in out.to_dict("records")
     }
     assert got == expect
+
+
+def test_clean_partition_invariance(ray_session):
+    """Output is independent of num_partitions and input block layout."""
+    rng = np.random.default_rng(21)
+    shared = _words(rng, 25)
+    docs = [{"doc_id": d, "text": (shared + " " if d % 4 == 0 else "") + _words(rng, 20)} for d in range(40)]
+    outs = []
+    for nparts, nblocks in ((2, 1), (16, 5)):
+        ds = rd.from_pandas(pd.DataFrame(docs)).repartition(nblocks)
+        from elasticsearch_minhash_ray.stages.substring import substring_dedup_clean
+
+        out = (
+            substring_dedup_clean(ds, k=20, num_partitions=nparts)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out[["doc_id", "n_tokens", "n_removed", "cleaned_text"]])
+    assert outs[0].equals(outs[1])
