@@ -212,6 +212,7 @@ def line_dedup_global(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 64,
+    broadcast_limit: int = 2_000_000,
 ):
     """Cross-document line deduplication — the MassiveText/RefinedWeb-style
     boilerplate filter: every line occurring >= ``min_dup`` times CORPUS-WIDE
@@ -231,7 +232,11 @@ def line_dedup_global(
     union-join back to the docs on one doc-key exchange. No driver pulls.
     The corpus Dataset is deliberately consumed twice (line pass + cut
     join): at 100 TB, re-reading pruned parquet beats materializing the
-    corpus in the object store; both consumers stream with backpressure."""
+    corpus in the object store; both consumers stream with backpressure.
+    When the surviving hit set is small (<= ``broadcast_limit`` rows, ~32 MB)
+    it broadcasts once via ray.put instead and the cut is a plain map —
+    no union, no second sort (auto strategy pick, like the embedding-LSH
+    join)."""
     import pyarrow as pa
 
     from ..functions.murmur3 import hash_tokens_many_seeds, seeds_u64
@@ -331,28 +336,21 @@ def line_dedup_global(
             }
         )
 
-    def clean_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return out_schema.empty_table()
-        is_doc = np.asarray(batch["is_doc"])
-        docs = batch.filter(pa.array(is_doc))
-        if docs.num_rows == 0:
-            return out_schema.empty_table()
-        ids = np.asarray(docs["doc_id"], dtype=np.int64)
-        lines_per_doc = [(t or "").split("\n") for t in docs["text"].to_pylist()]
+    def _cut(ids: np.ndarray, texts: list, h_doc: np.ndarray, h_line: np.ndarray) -> pa.Table:
+        """Shared cut kernel: docs (ids, texts) + hit (doc, line_no) pairs →
+        output rows. Raises if a hit references a doc not present."""
+        lines_per_doc = [(t or "").split("\n") for t in texts]
         counts = np.fromiter((len(ls) for ls in lines_per_doc), np.int64, len(lines_per_doc))
         doc_starts = np.r_[0, np.cumsum(counts)]
         n = int(doc_starts[-1])
         removed = np.zeros(n, bool)
-        hits = batch.filter(pa.array(~is_doc))
-        if hits.num_rows:
-            h_doc = np.asarray(hits["doc_id"], dtype=np.int64)
+        if len(h_doc):
             order = np.argsort(ids, kind="stable")
             pos_s = np.minimum(np.searchsorted(ids, h_doc, sorter=order), len(ids) - 1)
             d_idx = order[pos_s]
             if not (ids[d_idx] == h_doc).all():
-                raise AssertionError("line hit without its doc in the co-partitioned block")
-            removed[doc_starts[d_idx] + np.asarray(hits["line_no"], dtype=np.int64)] = True
+                raise AssertionError("line hit without its doc in the block")
+            removed[doc_starts[d_idx] + h_line] = True
         doc_idx = np.repeat(np.arange(len(ids)), counts)
         flat = np.empty(n, object)
         at = 0
@@ -377,9 +375,57 @@ def line_dedup_global(
             }
         )
 
+    def clean_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return out_schema.empty_table()
+        is_doc = np.asarray(batch["is_doc"])
+        docs = batch.filter(pa.array(is_doc))
+        if docs.num_rows == 0:
+            return out_schema.empty_table()
+        hits = batch.filter(pa.array(~is_doc))
+        return _cut(
+            np.asarray(docs["doc_id"], dtype=np.int64),
+            docs["text"].to_pylist(),
+            np.asarray(hits["doc_id"], dtype=np.int64),
+            np.asarray(hits["line_no"], dtype=np.int64),
+        )
+
     hits = map_copartitioned(
         ds.map_batches(line_rows, batch_format="pandas"), "part", dup_hits
-    )
+    ).materialize()  # rows ∝ corpus boilerplate; needed to pick the join strategy
+    # strategy pick (same auto-gate pattern as the embedding-LSH join): a
+    # SMALL hit set broadcasts once via ray.put and the cut becomes a plain
+    # map over the docs — skipping the union + second sort exchange; a large
+    # one (boilerplate-heavy corpora) takes the doc-key union-join, which
+    # never ships more than the hits + one copy of the text
+    if hits.count() <= broadcast_limit:
+        import ray as _ray
+
+        ht = hits.select_columns(["doc_id", "line_no"]).to_pandas()
+        h_doc = ht["doc_id"].to_numpy(np.int64)
+        h_line = ht["line_no"].to_numpy(np.int64)
+        o = np.argsort(h_doc, kind="stable")
+        hits_ref = _ray.put((h_doc[o], h_line[o]))
+
+        def clean_broadcast(batch: pa.Table) -> pa.Table:
+            import ray as _ray2
+
+            hd, hl = _ray2.get(hits_ref)
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            lo = np.searchsorted(hd, ids, "left")
+            hi = np.searchsorted(hd, ids, "right")
+            m = hi - lo
+            total = int(m.sum())
+            if total:
+                first = np.r_[0, np.cumsum(m)][:-1]
+                within = np.arange(total) - np.repeat(first, m)
+                sel = np.repeat(lo, m) + within
+                bh_doc, bh_line = ids[np.repeat(np.arange(len(ids)), m)], hl[sel]
+            else:
+                bh_doc = bh_line = np.empty(0, np.int64)
+            return _cut(ids, batch[text_col].to_pylist(), bh_doc, bh_line)
+
+        return ds.map_batches(clean_broadcast, batch_format="pyarrow")
     unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(
         hits.map_batches(hit_rows, batch_format="pyarrow")
     )

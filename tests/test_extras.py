@@ -312,10 +312,12 @@ def test_line_dedup_global_partition_invariance(ray_session):
         for d in range(30)
     ]
     outs = []
-    for nparts, nblocks in ((2, 1), (16, 6)):
+    # (partitions, blocks, broadcast_limit): limit=0 forces the union-join
+    # path; the default takes the broadcast fast path — both must agree
+    for nparts, nblocks, blimit in ((2, 1, 0), (16, 6, 2_000_000)):
         ds = rd.from_pandas(pd.DataFrame(docs)).repartition(nblocks)
         out = (
-            line_dedup_global(ds, min_dup=2, num_partitions=nparts)
+            line_dedup_global(ds, min_dup=2, num_partitions=nparts, broadcast_limit=blimit)
             .to_pandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
