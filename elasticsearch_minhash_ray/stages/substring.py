@@ -277,17 +277,24 @@ class _CleanBlock:
         docs = batch.filter(pa.array(is_doc))
         if docs.num_rows == 0:
             return _CLEAN_SCHEMA.empty_table()
-        toks = self.tok_many(docs["text"].to_pylist())
-        ids = np.asarray(docs["doc_id"], dtype=np.int64)
+        spans = batch.filter(pa.array(~is_doc))
+        return self.cut(
+            np.asarray(docs["doc_id"], dtype=np.int64),
+            docs["text"].to_pylist(),
+            np.asarray(spans["doc_id"], dtype=np.int64),
+            np.asarray(spans["span_start"], dtype=np.int64),
+            np.asarray(spans["span_end"], dtype=np.int64),
+        )
+
+    def cut(self, ids, texts, s_doc, s_start, s_end) -> pa.Table:
+        toks = self.tok_many(texts)
         counts = np.fromiter((len(t) for t in toks), np.int64, len(toks))
         doc_starts = np.r_[0, np.cumsum(counts)]
         n = int(doc_starts[-1])
         # difference-array coverage over the flat token buffer: +1 at each
         # span start, -1 at each span end, cumsum > 0 = covered
         diff = np.zeros(n + 1, np.int64)
-        spans = batch.filter(pa.array(~is_doc))
-        if spans.num_rows:
-            s_doc = np.asarray(spans["doc_id"], dtype=np.int64)
+        if len(s_doc):
             order = np.argsort(ids, kind="stable")
             pos_s = np.minimum(np.searchsorted(ids, s_doc, sorter=order), len(ids) - 1)
             d_idx = order[pos_s]
@@ -295,10 +302,8 @@ class _CleanBlock:
             # exchange) — guard anyway so a bad partition fails loudly
             if not (ids[d_idx] == s_doc).all():
                 raise AssertionError("span row without its doc in the co-partitioned block")
-            s0 = doc_starts[d_idx] + np.asarray(spans["span_start"], dtype=np.int64)
-            s1 = doc_starts[d_idx] + np.minimum(
-                np.asarray(spans["span_end"], dtype=np.int64), counts[d_idx]
-            )
+            s0 = doc_starts[d_idx] + s_start
+            s1 = doc_starts[d_idx] + np.minimum(s_end, counts[d_idx])
             np.add.at(diff, s0, 1)
             np.add.at(diff, s1, -1)
         covered = np.cumsum(diff[:-1]) > 0
@@ -335,6 +340,7 @@ def substring_dedup_clean(
     id_col: str = "doc_id",
     tokenizer: str = "words",
     num_partitions: int = 64,
+    broadcast_limit: int = 2_000_000,
 ):
     """Dataset of documents → (doc_id, n_tokens, n_removed, cleaned_text):
     every duplicated >=k-token window removed EXCEPT its canonical (minimum
@@ -389,6 +395,49 @@ def substring_dedup_clean(
             }
         )
 
+    spans = spans.materialize()  # rows ∝ corpus duplication; strategy gate
+    # same auto strategy pick as line_dedup_global: a small span set
+    # broadcasts once and the cut is a plain map (no union, no second sort);
+    # duplication-heavy corpora take the doc-key union-join
+    n_spans = spans.count()
+    if n_spans <= broadcast_limit:
+        import ray as _ray
+
+        if n_spans:
+            st = spans.to_pandas()
+            s_doc = st["doc_id"].to_numpy(np.int64)
+            o = np.argsort(s_doc, kind="stable")
+            payload = (
+                s_doc[o],
+                st["span_start"].to_numpy(np.int64)[o],
+                st["span_end"].to_numpy(np.int64)[o],
+            )
+        else:
+            # a zero-row sorted dataset can surface schema-less empty blocks
+            e = np.empty(0, np.int64)
+            payload = (e, e, e)
+        spans_ref = _ray.put(payload)
+        cleaner = _CleanBlock(tokenizer)
+
+        def clean_broadcast(batch: pa.Table) -> pa.Table:
+            import ray as _ray2
+
+            sd, ss, se = _ray2.get(spans_ref)
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            lo = np.searchsorted(sd, ids, "left")
+            hi = np.searchsorted(sd, ids, "right")
+            m = hi - lo
+            total = int(m.sum())
+            if total:
+                first = np.r_[0, np.cumsum(m)][:-1]
+                sel = np.repeat(lo, m) + (np.arange(total) - np.repeat(first, m))
+                bd = ids[np.repeat(np.arange(len(ids)), m)]
+                b0, b1 = ss[sel], se[sel]
+            else:
+                bd = b0 = b1 = np.empty(0, np.int64)
+            return cleaner.cut(ids, batch[text_col].to_pylist(), bd, b0, b1)
+
+        return ds.map_batches(clean_broadcast, batch_format="pyarrow")
     unioned = ds.map_batches(doc_rows, batch_format="pyarrow").union(
         spans.map_batches(span_rows, batch_format="pyarrow")
     )

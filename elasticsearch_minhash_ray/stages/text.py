@@ -398,14 +398,21 @@ def line_dedup_global(
     # map over the docs — skipping the union + second sort exchange; a large
     # one (boilerplate-heavy corpora) takes the doc-key union-join, which
     # never ships more than the hits + one copy of the text
-    if hits.count() <= broadcast_limit:
+    n_hits = hits.count()
+    if n_hits <= broadcast_limit:
         import ray as _ray
 
-        ht = hits.select_columns(["doc_id", "line_no"]).to_pandas()
-        h_doc = ht["doc_id"].to_numpy(np.int64)
-        h_line = ht["line_no"].to_numpy(np.int64)
-        o = np.argsort(h_doc, kind="stable")
-        hits_ref = _ray.put((h_doc[o], h_line[o]))
+        if n_hits:
+            ht = hits.select_columns(["doc_id", "line_no"]).to_pandas()
+            h_doc = ht["doc_id"].to_numpy(np.int64)
+            h_line = ht["line_no"].to_numpy(np.int64)
+            o = np.argsort(h_doc, kind="stable")
+            payload = (h_doc[o], h_line[o])
+        else:
+            # a zero-row sorted dataset can surface schema-less empty blocks
+            e = np.empty(0, np.int64)
+            payload = (e, e)
+        hits_ref = _ray.put(payload)
 
         def clean_broadcast(batch: pa.Table) -> pa.Table:
             import ray as _ray2

@@ -251,12 +251,14 @@ def test_clean_partition_invariance(ray_session):
     shared = _words(rng, 25)
     docs = [{"doc_id": d, "text": (shared + " " if d % 4 == 0 else "") + _words(rng, 20)} for d in range(40)]
     outs = []
-    for nparts, nblocks in ((2, 1), (16, 5)):
+    # broadcast_limit=0 forces the union-join path; default broadcasts —
+    # both strategies must agree across partition counts and block layouts
+    for nparts, nblocks, blimit in ((2, 1, 0), (16, 5, 2_000_000)):
         ds = rd.from_pandas(pd.DataFrame(docs)).repartition(nblocks)
         from elasticsearch_minhash_ray.stages.substring import substring_dedup_clean
 
         out = (
-            substring_dedup_clean(ds, k=20, num_partitions=nparts)
+            substring_dedup_clean(ds, k=20, num_partitions=nparts, broadcast_limit=blimit)
             .to_pandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
