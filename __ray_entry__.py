@@ -623,21 +623,21 @@ def _q_curation_pipeline(sf_dir: str):
 
         batch["n_tokens"] = batch["cleaned_text"].str.count(TOKEN_RE).astype("int64")
         batch = batch[batch["n_tokens"] >= 5]
-        batch["content_sha256"] = [
-            hashlib.sha256(t.encode("utf-8")).hexdigest() for t in batch["cleaned_text"]
-        ]
-        return batch[["doc_id", "n_tokens", "content_sha256"]]
+        shas, parts = [], []
+        for t in batch["cleaned_text"]:
+            d = hashlib.sha256(t.encode("utf-8"))
+            shas.append(d.hexdigest())
+            # first 4 digest bytes are already a uniform hash — the dedup
+            # partition key, derived in the same per-row pass as the sha
+            # itself (no second per-row pass later)
+            parts.append(int.from_bytes(d.digest()[:4], "big") % 16)
+        batch["content_sha256"] = shas
+        batch["part"] = np.asarray(parts, dtype=np.int32)
+        return batch[["doc_id", "n_tokens", "content_sha256", "part"]]
 
     filtered = cleaned.map_batches(quality, batch_format="pandas")
 
     from elasticsearch_minhash_ray.grouping import map_copartitioned
-
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        # first 8 hex chars of the sha are already a uniform hash
-        batch["part"] = (
-            batch["content_sha256"].str[:8].apply(int, base=16) % 16
-        ).astype("int32")
-        return batch
 
     def keep_first(batch) -> pa.Table:
         df = batch.to_pandas()
@@ -652,9 +652,7 @@ def _q_curation_pipeline(sf_dir: str):
             }
         )
 
-    return map_copartitioned(
-        filtered.map_batches(add_part, batch_format="pandas"), "part", keep_first
-    )
+    return map_copartitioned(filtered, "part", keep_first)
 
 
 def _q_stratified_sample(sf_dir: str):
