@@ -416,31 +416,25 @@ def _q_near_dup_keep(sf_dir: str):
     dropping every near-duplicate except one representative per cluster
     (cluster_id is the cluster's min doc_key, so the representative is the
     member with doc_key == cluster_id; unclustered docs all survive).
-    Here the kept-set ships as one broadcast (bounded by clustered docs);
-    at 10^12-row scale the same step is a doc_key-partitioned anti-join
-    (hash co-partition of clusters + signatures), which stages/dedup.py's
-    exchange primitives already express."""
-    import ray
-
-    from elasticsearch_minhash_ray import near_dup_pipeline
+    Strategy auto-picked by pipelines.neardup.near_dup_keep: here the
+    drop-set is small, so it ships as one broadcast and the cut is a
+    streaming filter; near_dup_keep_join forces the 10^12-row-scale
+    doc_key-partitioned union anti-join on the same input."""
+    from elasticsearch_minhash_ray import near_dup_keep, near_dup_pipeline
 
     res = near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg())
-    cl = res.clusters
-    cl = cl if isinstance(cl, pa.Table) else pa.Table.from_pandas(cl.to_pandas())
-    keys = np.asarray(cl["doc_key"], dtype=np.int64)
-    cids = np.asarray(cl["cluster_id"], dtype=np.int64)
-    dropped = np.sort(keys[keys != cids])  # clustered non-representatives
-    dropped_ref = ray.put(dropped)
+    return near_dup_keep(res.signatures, res.clusters)
 
-    def keep(batch: pa.Table) -> pa.Table:
-        drop = ray.get(dropped_ref)
-        k = np.asarray(batch["doc_key"], dtype=np.int64)
-        pos = np.searchsorted(drop, k)
-        pos = np.minimum(pos, max(len(drop) - 1, 0))
-        is_dropped = (drop[pos] == k) if len(drop) else np.zeros(len(k), bool)
-        return batch.filter(pa.array(~is_dropped)).select(["doc_id", "doc_key", "content_sha256"])
 
-    return res.signatures.map_batches(keep, batch_format="pyarrow")
+def _q_near_dup_keep_join(sf_dir: str):
+    """Rows-only: near_dup_keep via the FORCED union anti-join strategy
+    (broadcast_limit=0) — the scale path when the clustered-doc set is too
+    large to broadcast. Must return the same 235 rows as near_dup_keep
+    (pytest test_near_dup_keep_strategies_equal pins full equality)."""
+    from elasticsearch_minhash_ray import near_dup_keep, near_dup_pipeline
+
+    res = near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg())
+    return near_dup_keep(res.signatures, res.clusters, broadcast_limit=0, num_partitions=16)
 
 
 def _q_fuzzy_decontaminate(sf_dir: str):
@@ -1102,6 +1096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_global": _q_line_dedup_global,
         "curation_pipeline": _q_curation_pipeline,
         "near_dup_keep": _q_near_dup_keep,
+        "near_dup_keep_join": _q_near_dup_keep_join,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "stratified_sample": _q_stratified_sample,
         "line_dedup_stats": _q_line_dedup_stats,

@@ -23,6 +23,7 @@ from .pipelines.neardup import (
     LSHConfig,
     NearDupResult,
     PipelineConfig,
+    near_dup_keep,
     near_dup_pipeline,
     run_checkpointed,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "LSHConfig",
     "PipelineConfig",
     "NearDupResult",
+    "near_dup_keep",
     "near_dup_pipeline",
     "run_checkpointed",
 ]

@@ -676,3 +676,48 @@ def _filter_shard(batch: pa.Table, shard: int, num_shards: int) -> pa.Table:
         count=len(ident),
     )
     return batch.filter(pa.array(keys == shard))
+
+
+def near_dup_keep(
+    signatures,
+    clusters,
+    *,
+    key_col: str = "doc_key",
+    columns: tuple[str, ...] = ("doc_id", "doc_key", "content_sha256"),
+    num_partitions: int = 64,
+    broadcast_limit: int = 2_000_000,
+):
+    """The near-dup dedup ACTION: the curated corpus after dropping every
+    clustered doc except one representative per cluster (``cluster_id`` is
+    the cluster's min doc_key, so the representative is the member with
+    ``doc_key == cluster_id``; unclustered docs all survive).
+
+    ``signatures``: the pipeline's signature Dataset (or any Dataset carrying
+    ``key_col`` + ``columns``). ``clusters``: the pipeline's clusters output
+    (Dataset or pa.Table with doc_key/cluster_id). The drop-set is derived
+    as a Dataset (never a driver pull) and the cut is
+    :func:`~..stages.dedup.anti_join_keys` — a broadcast filter when the
+    clustered-doc count is small, a doc_key-partitioned union-join (one
+    keyed exchange) when it is not."""
+    import ray.data as rd
+
+    from ..stages.dedup import anti_join_keys
+
+    if isinstance(clusters, pa.Table):
+        clusters = rd.from_arrow(clusters)
+
+    def dropped(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch["doc_key"], dtype=np.int64)
+        c = np.asarray(batch["cluster_id"], dtype=np.int64)
+        return pa.table({key_col: pa.array(k[k != c], pa.int64())})
+
+    drop_ds = clusters.map_batches(dropped, batch_format="pyarrow")
+    cols = list(columns)
+    payload = signatures.map_batches(lambda b, c=cols: b.select(c), batch_format="pyarrow")
+    return anti_join_keys(
+        payload,
+        drop_ds,
+        key_col=key_col,
+        num_partitions=num_partitions,
+        broadcast_limit=broadcast_limit,
+    )

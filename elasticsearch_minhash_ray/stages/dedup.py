@@ -202,3 +202,127 @@ def simhash_near_dup_edges(
         "edge_part",
         dedupe,
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join (the dedup ACTION: drop rows whose key is in a drop-set)
+# ---------------------------------------------------------------------------
+
+
+def _hash_part_i64(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return ((keys.view(np.uint64) * _MIX) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def anti_join_keys(
+    ds,
+    drop_keys,
+    key_col: str = "doc_key",
+    *,
+    schema: pa.Schema | None = None,
+    num_partitions: int = 64,
+    broadcast_limit: int = 2_000_000,
+):
+    """Rows of ``ds`` whose ``key_col`` (int64) is NOT in ``drop_keys`` — the
+    near-dup dedup ACTION (keep one representative, drop the rest).
+
+    ``drop_keys``: a Dataset with a single int64 ``key_col`` column (or an
+    int64 numpy array for the pre-pulled case). Strategy auto-pick, same gate
+    as substring_dedup_clean / line_dedup_global:
+
+    - ``<= broadcast_limit`` drop keys: ship the SORTED key array once via
+      ``ray.put`` and anti-join with a vectorized searchsorted filter — the
+      big side streams untouched, zero exchanges.
+    - larger (billions of clustered docs at the 10^12-row end): a
+      key-partitioned UNION-JOIN — both sides get ``part = hash(key) % P``,
+      union, ONE sort exchange co-locating each key's payload rows with its
+      (possible) drop row, then a per-block vectorized set-difference filter.
+      Drop-side rows are ~12 B each; the payload side moves once, exactly as
+      any keyed exchange in this package. ``schema`` (the payload table's
+      arrow schema, key column included) is required on this path to build
+      the null-padded drop rows so the union is schema-stable.
+    """
+    import ray
+
+    if isinstance(drop_keys, np.ndarray):
+        n_drop = len(drop_keys)
+        small = np.sort(drop_keys.astype(np.int64)) if n_drop <= broadcast_limit else None
+        drop_ds = None
+    else:
+        drop_ds = drop_keys.materialize()  # strategy gate; drop set << corpus
+        n_drop = drop_ds.count()
+        small = None
+        if n_drop <= broadcast_limit:
+            small = (
+                np.sort(np.asarray(drop_ds.to_pandas()[key_col], dtype=np.int64))
+                if n_drop
+                else np.empty(0, np.int64)
+            )
+
+    if small is not None:
+        drop_ref = ray.put(small)
+
+        def keep_broadcast(batch: pa.Table) -> pa.Table:
+            drop = ray.get(drop_ref)
+            k = np.asarray(batch[key_col], dtype=np.int64)
+            if len(drop):
+                pos = np.minimum(np.searchsorted(drop, k), len(drop) - 1)
+                mask = drop[pos] != k
+            else:
+                mask = np.ones(len(k), bool)
+            return batch.filter(pa.array(mask))
+
+        return ds.map_batches(keep_broadcast, batch_format="pyarrow")
+
+    if drop_ds is None:
+        import ray.data as rd
+
+        drop_ds = rd.from_arrow(pa.table({key_col: pa.array(drop_keys, pa.int64())}))
+    if schema is None:
+        # derive from the dataset (executes at most the first block)
+        sch = ds.schema()
+        schema = pa.schema([pa.field(n, t) for n, t in zip(sch.names, sch.types)])
+
+    names = list(schema.names)
+
+    def payload_rows(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        return (
+            batch.select(names)
+            .append_column("part", pa.array(_hash_part_i64(k, num_partitions), pa.int32()))
+            .append_column("is_drop", pa.array(np.zeros(len(k), bool)))
+        )
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        cols = {}
+        for f in schema:
+            if f.name == key_col:
+                cols[f.name] = pa.array(k, pa.int64())
+            else:
+                cols[f.name] = pa.nulls(len(k), f.type)
+        t = pa.table(cols).select(names)
+        return (
+            t.append_column("part", pa.array(_hash_part_i64(k, num_partitions), pa.int32()))
+            .append_column("is_drop", pa.array(np.ones(len(k), bool)))
+        )
+
+    unioned = ds.map_batches(payload_rows, batch_format="pyarrow").union(
+        drop_ds.map_batches(drop_rows, batch_format="pyarrow")
+    )
+
+    def cut(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {f.name: pa.array([], f.type) for f in schema}
+            )
+        is_drop = np.asarray(block["is_drop"], dtype=bool)
+        k = np.asarray(block[key_col], dtype=np.int64)
+        drop = np.unique(k[is_drop])
+        keep = ~is_drop
+        if len(drop):
+            pos = np.minimum(np.searchsorted(drop, k), len(drop) - 1)
+            keep &= drop[pos] != k
+        return block.filter(pa.array(keep)).select(names)
+
+    return map_copartitioned(unioned, "part", cut)

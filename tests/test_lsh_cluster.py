@@ -234,3 +234,30 @@ def test_prededuped_driver_pull_same_result(ray_session, corpus, oracle):
     assert _cluster_partition(pre.clusters) == _cluster_partition(plain.clusters) == oracle_parts
     assert pre.metrics["n_edges"] == plain.metrics["n_edges"]
     assert pre.metrics["dropped_pairs"] == plain.metrics["dropped_pairs"]
+
+
+def test_near_dup_keep_strategies_equal(ray_session, corpus):
+    """The dedup ACTION: broadcast-filter and union-anti-join strategies of
+    near_dup_keep must return the identical kept row set, and that set must
+    be exactly (all docs) minus (clustered non-representatives)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import near_dup_keep
+
+    ds = rd.from_arrow(corpus.drop_columns(["doc_id", "doc_key", "content_sha256"]))
+    cfg = PipelineConfig(minhash=CFG, lsh=LSHConfig(num_partitions=16), sig_concurrency=(1, 2))
+    res = near_dup_pipeline(ds, cfg)
+    cols = ["doc_id", "doc_key", "content_sha256"]
+    kept_b = near_dup_keep(res.signatures, res.clusters).to_pandas()
+    kept_j = near_dup_keep(
+        res.signatures, res.clusters, broadcast_limit=0, num_partitions=8
+    ).to_pandas()
+    a = kept_b.sort_values("doc_key").reset_index(drop=True)[cols]
+    b = kept_j.sort_values("doc_key").reset_index(drop=True)[cols]
+    pd.testing.assert_frame_equal(a, b)
+    # semantics vs the cluster table
+    cl = _to_df(res.clusters)
+    drop = set(cl.loc[cl["doc_key"] != cl["cluster_id"], "doc_key"])
+    assert len(drop) > 0  # the corpus has real dup families
+    all_keys = set(corpus["doc_key"].to_pylist())
+    assert set(a["doc_key"]) == all_keys - drop
