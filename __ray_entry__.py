@@ -381,14 +381,38 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     return edges.map_batches(drop_metric_rows, batch_format="pyarrow")
 
 
+def _key2id_ref(res):
+    """Broadcast doc_key→doc_id lookup (sorted-key + id arrays, one ray.put).
+    The map itself is the SMALL side (one 16-byte row per doc vs bands/edges
+    many times that), so this is the standard broadcast-lookup shape; edge /
+    cluster datasets are remapped in map_batches, never pulled."""
+    import ray
+
+    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
+    k = sigs["doc_key"].to_numpy(np.int64)
+    i = sigs["path"].astype(np.int64).to_numpy()
+    o = np.argsort(k)
+    return ray.put((k[o], i[o]))
+
+
+def _remap_keys(keys: np.ndarray, kmap) -> np.ndarray:
+    """Vectorized doc_key→doc_id via searchsorted over the broadcast arrays."""
+    ks, ids = kmap
+    pos = np.searchsorted(ks, keys)
+    if len(ks) and not (ks[np.minimum(pos, len(ks) - 1)] == keys).all():
+        raise AssertionError("doc_key missing from the broadcast id map")
+    return ids[pos]
+
+
 def _q_ngram_jaccard_edges(sf_dir: str):
     """Oracle-checked n-gram Jaccard near-dup EDGES: 'words' tokenizer +
     3-gram shingles (both exactly replicable in SQL), MinHash-LSH candidates
     (16 x 8-bit bands: catch prob ≥ 0.9999 at J = 0.8), exact set-Jaccard
     verify at 0.8. Edge keys map back to documents.doc_id via the corpus
-    ``path`` column; the id map is pulled to the driver (oracle-scale only —
-    the scale path keeps doc_key throughout)."""
-    import pandas as pd
+    ``path`` column — the (doc_key → doc_id) array broadcasts once via
+    ray.put and the remap runs vectorized inside map_batches (the edges
+    Dataset never touches the driver)."""
+    import ray
 
     from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
 
@@ -397,18 +421,23 @@ def _q_ngram_jaccard_edges(sf_dir: str):
         lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
     )
     res = near_dup_pipeline(_corpus(sf_dir), cfg)
-    edges = res.edges.to_pandas()
-    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
-    key2id = dict(zip(sigs["doc_key"], sigs["path"].astype(np.int64)))
-    a = edges["src"].map(key2id).to_numpy(np.int64)
-    b = edges["dst"].map(key2id).to_numpy(np.int64)
-    return pd.DataFrame(
-        {
-            "a_id": np.minimum(a, b),
-            "b_id": np.maximum(a, b),
-            "jaccard": edges["sim"].round(9),
-        }
-    )
+    ref = _key2id_ref(res)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        kmap = ray.get(ref)
+        a = _remap_keys(np.asarray(batch["src"], dtype=np.int64), kmap)
+        b = _remap_keys(np.asarray(batch["dst"], dtype=np.int64), kmap)
+        return pa.table(
+            {
+                "a_id": pa.array(np.minimum(a, b), pa.int64()),
+                "b_id": pa.array(np.maximum(a, b), pa.int64()),
+                "jaccard": pa.array(
+                    np.round(np.asarray(batch["sim"], dtype=np.float64), 9), pa.float64()
+                ),
+            }
+        )
+
+    return res.edges.map_batches(remap, batch_format="pyarrow")
 
 
 def _q_near_dup_keep(sf_dir: str):
@@ -445,8 +474,6 @@ def _q_fuzzy_decontaminate(sf_dir: str):
     Output per contaminated train doc: its best-matching eval doc and the
     Jaccard (ties broken by min eval id). SQL twin: the shared n-gram Jaccard
     CTEs restricted to cross-side pairs + windowed argmax."""
-    import pandas as pd
-
     from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
 
     cfg = _pipeline_cfg(
@@ -454,18 +481,43 @@ def _q_fuzzy_decontaminate(sf_dir: str):
         lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
     )
     res = near_dup_pipeline(_corpus(sf_dir), cfg)
-    edges = res.edges.to_pandas()  # oracle-scale pull (see _q_ngram_jaccard_edges)
-    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
-    key2id = dict(zip(sigs["doc_key"], sigs["path"].astype(np.int64)))
-    a = edges["src"].map(key2id).to_numpy(np.int64)
-    b = edges["dst"].map(key2id).to_numpy(np.int64)
-    jac = edges["sim"].round(9).to_numpy()
-    cross = (a < 50) != (b < 50)
-    train = np.where(a[cross] < 50, b[cross], a[cross])
-    ref = np.where(a[cross] < 50, a[cross], b[cross])
-    df = pd.DataFrame({"doc_id": train, "ref_doc_id": ref, "jaccard": jac[cross]})
-    df = df.sort_values(["doc_id", "jaccard", "ref_doc_id"], ascending=[True, False, True])
-    return df.drop_duplicates("doc_id", keep="first").reset_index(drop=True)
+    import ray
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    ref = _key2id_ref(res)
+
+    def cross_rows(batch: pa.Table) -> pa.Table:
+        kmap = ray.get(ref)
+        a = _remap_keys(np.asarray(batch["src"], dtype=np.int64), kmap)
+        b = _remap_keys(np.asarray(batch["dst"], dtype=np.int64), kmap)
+        jac = np.round(np.asarray(batch["sim"], dtype=np.float64), 9)
+        cross = (a < 50) != (b < 50)
+        train = np.where(a[cross] < 50, b[cross], a[cross])
+        ev = np.where(a[cross] < 50, a[cross], b[cross])
+        return pa.table(
+            {
+                "doc_id": pa.array(train, pa.int64()),
+                "ref_doc_id": pa.array(ev, pa.int64()),
+                "jaccard": pa.array(jac[cross], pa.float64()),
+            }
+        )
+
+    def best_match(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return block
+        df = block.to_pandas().sort_values(
+            ["doc_id", "jaccard", "ref_doc_id"], ascending=[True, False, True]
+        )
+        return pa.Table.from_pandas(
+            df.drop_duplicates("doc_id", keep="first"), preserve_index=False
+        )
+
+    # per-train-doc argmax runs distributed: one doc_id exchange co-locating
+    # each train doc's candidate rows, then a per-block vectorized reduce
+    return map_copartitioned(
+        res.edges.map_batches(cross_rows, batch_format="pyarrow"), "doc_id", best_match
+    )
 
 
 def _q_decontaminate(sf_dir: str):
@@ -712,8 +764,6 @@ def _q_ngram_jaccard_cc(sf_dir: str):
     The SQL oracle reproduces the clustering with a recursive-CTE transitive
     closure, so the CC operator (stages/cluster.py) itself sits under the
     driver's value-hash check — not just the edge list it consumes."""
-    import pandas as pd
-
     from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
 
     cfg = _pipeline_cfg(
@@ -721,15 +771,37 @@ def _q_ngram_jaccard_cc(sf_dir: str):
         lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
     )
     res = near_dup_pipeline(_corpus(sf_dir), cfg)
-    cl = res.clusters.to_pandas()
-    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
-    key2id = dict(zip(sigs["doc_key"], sigs["path"].astype(np.int64)))
-    doc_id = cl["doc_key"].map(key2id).astype(np.int64)
-    # relabel each component by its min doc_id: cluster_id is min doc_key,
-    # and doc_key order need not match doc_id order
-    lab = pd.DataFrame({"doc_id": doc_id, "c": cl["cluster_id"]})
-    lab["cluster_id"] = lab.groupby("c")["doc_id"].transform("min")
-    return lab[["doc_id", "cluster_id"]].sort_values("doc_id").reset_index(drop=True)
+    import ray
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    ref = _key2id_ref(res)
+    cl = res.clusters
+    cl = rd.from_arrow(cl) if isinstance(cl, pa.Table) else cl
+
+    def remap(batch: pa.Table) -> pa.Table:
+        kmap = ray.get(ref)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    _remap_keys(np.asarray(batch["doc_key"], dtype=np.int64), kmap), pa.int64()
+                ),
+                "c": batch["cluster_id"],
+            }
+        )
+
+    def relabel(block: pa.Table) -> pa.Table:
+        # relabel each component by its min doc_id: cluster_id is min
+        # doc_key, and doc_key order need not match doc_id order. The 'c'
+        # exchange co-locates each component in one block.
+        if block.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())})
+        df = block.to_pandas()
+        df["cluster_id"] = df.groupby("c")["doc_id"].transform("min")
+        return pa.Table.from_pandas(df[["doc_id", "cluster_id"]], preserve_index=False)
+
+    return map_copartitioned(cl.map_batches(remap, batch_format="pyarrow"), "c", relabel)
 
 
 _GOLDEN_CONFIGS = {
