@@ -988,6 +988,163 @@ def _golden_bit_string_values() -> str:
     return ", ".join(rows)
 
 
+# -- simhash / fingerprint golden oracles -------------------------------------
+# Same pattern as minhash_bit_strings_golden: fixed docs through the REAL
+# stage, compared against expected values computed by an INDEPENDENT pure-
+# stdlib reimplementation embedded as VALUES rows in the SQL (no package or
+# numpy imports in the generators). Docs are simple ASCII word streams so the
+# UAX#29 'standard' tokenizer provably equals str.split().
+
+_SIMHASH_GOLDEN_DOCS = [
+    "",  # empty -> simhash 0
+    "hello",  # single token -> signature = the token hash bits exactly
+    "test 1",
+    "test 2",
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the the the and and or",  # multiplicity exercises the vote counts
+]
+
+_FP_GOLDEN_DOCS = [
+    "",  # empty -> 0
+    "abc",  # short path (<= k bytes): FNV fold
+    "12345678",  # exactly k bytes
+    "123456789",  # k+1 bytes: 2 k-gram windows, <= w -> picks = all hashes
+    "the quick brown fox jumps over the lazy dog",  # winnowed long path
+    "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # degenerate repeat: identical grams
+    "héllo wörld ünïcode fingerprint test",  # multi-byte utf-8
+]
+
+
+def _mm3_h1_stdlib(data: bytes, seed: int = 0) -> int:
+    """Pure-stdlib murmur3 x64_128 finalized h1 (Guava asLong byte order),
+    returned as uint64 — independent of functions/murmur3.py."""
+    import struct as _struct
+
+    M = (1 << 64) - 1
+    C1, C2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & M
+
+    def fmix(x: int) -> int:
+        x ^= x >> 33
+        x = (x * 0xFF51AFD7ED558CCD) & M
+        x ^= x >> 33
+        x = (x * 0xC4CEB9FE1A85EC53) & M
+        return x ^ (x >> 33)
+
+    s = seed & 0xFFFFFFFF
+    if s >= 1 << 31:  # java int seed sign-extended into both lanes
+        s |= 0xFFFFFFFF00000000
+    h1 = h2 = s
+    n = len(data)
+    for i in range(n // 16):
+        k1, k2 = _struct.unpack_from("<QQ", data, i * 16)
+        k1 = (rotl((k1 * C1) & M, 31) * C2) & M
+        h1 = ((rotl(h1 ^ k1, 27) + h2) * 5 + 0x52DCE729) & M
+        k2 = (rotl((k2 * C2) & M, 33) * C1) & M
+        h2 = ((rotl(h2 ^ k2, 31) + h1) * 5 + 0x38495AB5) & M
+    tail = data[(n // 16) * 16 :]
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        h2 ^= (rotl((k2 * C2) & M, 33) * C1) & M
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        h1 ^= (rotl((k1 * C1) & M, 31) * C2) & M
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & M
+    h2 = (h2 + h1) & M
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    return (h1 + h2) & M
+
+
+def _golden_simhash_values() -> str:
+    """VALUES rows (content, simhash) for the simhash golden oracle: 64-bit
+    Charikar sketch — bit j set iff the +1/-1 vote over token-hash bit j
+    (tokens with multiplicity, murmur3 h1 seed 0 over UTF-16LE) is > 0."""
+    rows = []
+    for content in _SIMHASH_GOLDEN_DOCS:
+        toks = content.split()
+        sig = 0
+        if toks:
+            votes = [0] * 64
+            for t in toks:
+                h = _mm3_h1_stdlib(t.encode("utf-16-le"), 0)
+                for j in range(64):
+                    votes[j] += 1 if (h >> j) & 1 else -1
+            for j in range(64):
+                if votes[j] > 0:
+                    sig |= 1 << j
+        if sig >= 1 << 63:  # stored as reinterpreted int64
+            sig -= 1 << 64
+        rows.append(f"('{content}', CAST({sig} AS BIGINT))")
+    return ", ".join(rows)
+
+
+def _golden_fingerprint_values() -> str:
+    """VALUES rows (text, fingerprint) for the winnowing-fingerprint golden
+    oracle: polynomial rolling hash of every k-gram (Horner, base
+    1099511628211, mod 2^64), min of each w-window, XOR-fold of the mixed
+    picks, >> 1 — the documented scalar spec re-derived with ints only."""
+    B, M, k, w = 1099511628211, (1 << 64) - 1, 8, 4
+    rows = []
+    for text in _FP_GOLDEN_DOCS:
+        data = text.encode("utf-8")
+        n = len(data)
+        if not text:
+            fp = 0
+        elif n <= k:
+            h = 14695981039346656037
+            for b in data:
+                h = ((h ^ b) * B) & M
+            fp = h >> 1
+        else:
+            hashes = []
+            for i in range(n - k + 1):
+                h = 0
+                for j in range(k):
+                    h = (h * B + data[i + j]) & M
+                hashes.append(h)
+            picks = (
+                hashes
+                if len(hashes) <= w
+                else [min(hashes[i : i + w]) for i in range(len(hashes) - w + 1)]
+            )
+            acc = 0
+            for p in picks:
+                acc ^= ((p ^ (p >> 33)) * B) & M
+            fp = acc >> 1
+        rows.append(f"('{text}', CAST({fp} AS BIGINT))")
+    return ", ".join(rows)
+
+
+def _q_simhash_golden(sf_dir: str):
+    """Hard oracle for the SimHash sketch: the fixed golden docs through the
+    REAL SimHashStage (stages/dedup.py) vs the independent stdlib
+    reimplementation embedded in the SQL VALUES."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.dedup import SimHashStage
+
+    t = pa.table({"content": pa.array(_SIMHASH_GOLDEN_DOCS, pa.string())})
+    return rd.from_arrow(t).map_batches(SimHashStage(), batch_format="pyarrow")
+
+
+def _q_fingerprint_golden(sf_dir: str):
+    """Hard oracle for the winnowing document fingerprint: the fixed golden
+    docs through the REAL FingerprintStage (the vectorized batch kernel) vs
+    the independent stdlib reimplementation in the SQL VALUES."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.text import FingerprintStage
+
+    t = pa.table({"text": pa.array(_FP_GOLDEN_DOCS, pa.string())})
+    return rd.from_arrow(t).map_batches(FingerprintStage(), batch_format="pandas")
+
+
 def _q_orders_by_region(sf_dir: str):
     """Broadcast (map-side) join: orders ⨝ customer→nation→region collapsed to
     a custkey→region lookup on the driver, ray.put once, read per task — the
@@ -1155,6 +1312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pinned against reference-derived golden values
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "minhash_bit_strings_golden": _q_minhash_bit_strings_golden,
+        "simhash_golden": _q_simhash_golden,
+        "fingerprint_golden": _q_fingerprint_golden,
         # SQL-verifiable (round 2): edges against exact set-Jaccard in SQL,
         # kernel against the reference's own golden signatures
         "ngram_jaccard_edges": _q_ngram_jaccard_edges,
@@ -1585,6 +1744,14 @@ def oracle_sql() -> dict[str, str]:
         "minhash_bit_strings_golden": f"""
             SELECT * FROM (VALUES {_golden_bit_string_values()})
             AS t(content, cfg, sig_bits)
+        """,
+        "simhash_golden": f"""
+            SELECT * FROM (VALUES {_golden_simhash_values()})
+            AS t(content, simhash)
+        """,
+        "fingerprint_golden": f"""
+            SELECT * FROM (VALUES {_golden_fingerprint_values()})
+            AS t(text, fingerprint)
         """,
         "minhash_golden": """
             SELECT * FROM (VALUES
