@@ -73,6 +73,12 @@ class PipelineConfig:
     # corpus directory reuses every existing signature checkpoint and only
     # hashes the new files (incremental ingest); edges/clusters re-derive.
     shard_by: str = "hash"
+    # audit + deterministically remap 63-bit doc_key birthday collisions
+    # (sources/corpus.py) between the signature and band stages. Off by
+    # default: the audit costs one (doc_key, doc_id) exchange per run, and
+    # collisions are a 10^11+-row phenomenon (~5e4 pairs at 10^12 docs) —
+    # turn it on for production-scale corpora.
+    resolve_key_collisions: bool = False
     distributed_cc: bool = False
     max_driver_edges: int = 50_000_000
     # checkpointed-mode edges layout: <= this many rows -> one deterministic
@@ -402,6 +408,10 @@ def near_dup_pipeline(corpus_ds, cfg: PipelineConfig | None = None) -> NearDupRe
     _target = int(max(2 * _cpus, _sig_bytes // (32 << 20)))
     if _target < sigs_out.num_blocks():
         sigs_out = sigs_out.repartition(_target).materialize()
+    if cfg.resolve_key_collisions:
+        from ..sources.corpus import resolve_key_collisions as _resolve
+
+        sigs_out = _resolve(sigs_out, num_partitions=cfg.lsh.num_partitions).materialize()
     _t_sig = _time.perf_counter()
     # size the shuffle-key space to the data: the band sort range-partitions
     # into ~num_blocks output ranges, so with fewer distinct partition keys

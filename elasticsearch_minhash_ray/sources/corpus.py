@@ -6,10 +6,13 @@ Canonical corpus schema (BASELINE.json ``input_hint``):
 Derived columns added by :func:`prepare_batch` (FIXTURES.md):
     doc_id         = sha256(repo ‖ "/" ‖ path ‖ "@" ‖ commit) hex   — stable row key
     doc_key        = int64 from first 8 bytes of doc_id (sign-bit cleared) —
-                     compact shuffle/cluster key; collision odds ~2^-63 per pair
-                     (document-level: at 10^12 rows a 128-bit key would be used;
-                     doc_id string is carried everywhere so collisions are
-                     detectable and the wide key is available)
+                     compact shuffle/cluster key; collision odds ~2^-63 per pair.
+                     At the north-rule 10^12 rows the birthday expectation is
+                     ~5e4 colliding pairs — :func:`detect_key_collisions` audits
+                     them in one keyed exchange and
+                     :func:`resolve_key_collisions` deterministically remaps the
+                     colliders (PipelineConfig.resolve_key_collisions wires it
+                     into the flagship pipeline)
     content_sha256 = sha256(content) hex — the per-row invariant the reference
                      comparison preserves end-to-end (BASELINE.json input_hint)
 
@@ -178,3 +181,104 @@ def documents_as_corpus(sf_dir: str, **kwargs):
         )
 
     return ds.map_batches(to_corpus, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# 63-bit doc_key birthday-collision audit + deterministic resolution
+# ---------------------------------------------------------------------------
+
+_KEY_MIX = np.uint64(0x9E3779B97F4A7C15)
+_KEY_MASK = 0x7FFFFFFFFFFFFFFF
+
+
+def detect_key_collisions(ds, key_col: str = "doc_key", id_col: str = "doc_id", num_partitions: int = 256):
+    """(doc_key, doc_id) rows for every row whose doc_key is shared by more
+    than one DISTINCT doc_id — the 63-bit birthday audit. At the north-rule
+    10^12 rows the expectation is ~5e4 colliding pairs: invisible at test
+    scale but enough to corrupt cluster assignments, so the audit is a
+    first-class stage. One hash exchange over per-block-distinct (key, id)
+    pairs (a combiner keeps the exchange at one ~80 B row per distinct doc
+    per block)."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, id_col]).to_pandas().drop_duplicates()
+        k = df[key_col].to_numpy(np.int64)
+        with np.errstate(over="ignore"):
+            df["part"] = ((k.view(np.uint64) * _KEY_MIX) % np.uint64(num_partitions)).astype(
+                np.int32
+            )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates([key_col, id_col])
+        if len(df):
+            df = df[df.groupby(key_col)[id_col].transform("nunique") > 1]
+        return pa.Table.from_pandas(df[[key_col, id_col]], preserve_index=False)
+
+    return map_copartitioned(ds.map_batches(partial, batch_format="pyarrow"), "part", final)
+
+
+def _fallback_keys(doc_id_hex: str):
+    """Deterministic replacement-key sequence for a colliding doc: the next
+    three 63-bit slices of the doc's sha256, then salted rehashes — all
+    derived from doc_id only, so resolution is stable across runs/shards."""
+    for j in (1, 2, 3):
+        yield int(doc_id_hex[16 * j : 16 * (j + 1)], 16) & _KEY_MASK
+    j = 0
+    while True:
+        j += 1
+        yield int(_sha256_hex(f"{doc_id_hex}:{j}".encode())[:16], 16) & _KEY_MASK
+
+
+def resolve_key_collisions(ds, key_col: str = "doc_key", id_col: str = "doc_id", num_partitions: int = 256):
+    """Return ``ds`` with colliding doc_keys deterministically remapped so
+    every distinct doc_id holds a distinct key: per colliding key, the min
+    doc_id keeps it; every other doc moves to the first fallback slice of
+    its own sha256 not already used by the colliding set.
+
+    Scale shape: detection is one keyed exchange (see
+    :func:`detect_key_collisions`); the colliding set is ~1e-7 of rows at
+    10^12 docs, so the (doc_id → new_key) map broadcasts once via ray.put
+    and the remap is a streaming map_batches. Residual risk — a fallback key
+    landing on an existing key OUTSIDE the colliding set — is ~n/2^63 per
+    remapped doc (≈5e-3 expected hits corpus-wide at 10^12 rows); re-running
+    the audit on the output would catch even that."""
+    import ray
+
+    coll = detect_key_collisions(ds, key_col, id_col, num_partitions).to_pandas()
+    if coll.empty:
+        return ds
+    coll = coll.sort_values([key_col, id_col])
+    used = set(coll[key_col].astype(int))
+    remap: dict[str, int] = {}
+    for _key, grp in coll.groupby(key_col):
+        for d in list(grp[id_col])[1:]:  # min doc_id keeps the key
+            cand = next(c for c in _fallback_keys(d) if c not in used)
+            remap[d] = cand
+            used.add(cand)
+    ckeys = np.sort(coll[key_col].unique().astype(np.int64))
+    ref = ray.put((ckeys, remap))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys_sorted, id2key = ray.get(ref)
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        pos = np.minimum(np.searchsorted(keys_sorted, k), len(keys_sorted) - 1)
+        hit = keys_sorted[pos] == k
+        if not hit.any():
+            return batch
+        ids = pd.Series(np.asarray(batch[id_col].to_pandas()))[hit]
+        new = ids.map(id2key)  # NaN for the keeper rows
+        moved = new.notna().to_numpy()
+        k2 = k.copy()
+        idx = np.flatnonzero(hit)
+        k2[idx[moved]] = new[moved].astype(np.int64).to_numpy()
+        return batch.set_column(
+            batch.schema.get_field_index(key_col), key_col, pa.array(k2, pa.int64())
+        )
+
+    return ds.map_batches(apply, batch_format="pyarrow")
