@@ -157,6 +157,13 @@ def token_df_topk(ds, k: int = 200, text_col: str = "text"):
     word_re = re.compile(r"[0-9A-Za-z_]+")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # set()+Counter per doc, NOT the factorize+bincount pattern of
+        # lang_id_batch: measured on sf0.1 (3 reps, 32 cpus) the flat
+        # factorize + lexsort-dedup + bincount rewrite is ~15% SLOWER
+        # (best 0.50 s vs 0.43 s) — with ~200-token docs the per-doc set
+        # and Counter.update are C-speed and skip materializing/sorting
+        # the full token-multiplicity stream. The loop is over DOCS (rows
+        # of a wide combiner), not tokens.
         from collections import Counter
 
         c: Counter = Counter()
@@ -185,6 +192,10 @@ def line_dedup_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     Embarrassingly parallel map_batches; no shuffle."""
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-doc split+set, kept over the factorize+lexsort+bincount
+        # rewrite: measured on sf0.1 (3 reps) the vectorized version is
+        # ~12% slower (best 0.174 s vs 0.154 s) — str.split/set are
+        # C-speed per doc and avoid flattening+sorting every line
         n_lines = np.empty(len(batch), np.int64)
         n_unique = np.empty(len(batch), np.int64)
         for i, t in enumerate(batch[text_col]):
