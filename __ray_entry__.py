@@ -749,7 +749,9 @@ def _q_multimodal_features(sf_dir: str):
             }
         )
 
-    media = ds.map_batches(to_media, batch_format="pyarrow")
+    # materialize the media table ONCE: both the decode and frame-sample
+    # branches consume the same blocks (one ReadParquet in the plan, not two)
+    media = ds.map_batches(to_media, batch_format="pyarrow").materialize()
     feats = media.map_batches(
         MediaDecodeStage,
         fn_constructor_kwargs={"feature_dim": 64},

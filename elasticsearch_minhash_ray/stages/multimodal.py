@@ -46,20 +46,43 @@ class MediaDecodeStage:
     "model" is loaded once per actor in __init__.
     """
 
-    def __init__(self, feature_dim: int = 64, decoder: str = "fake"):
+    def __init__(self, feature_dim: int = 64, decoder="fake"):
+        """``decoder``: ``"fake"`` (deterministic stand-in, default), a
+        CALLABLE ``(payload: bytes, meta: dict) -> np.ndarray[feature_dim]``
+        for codec-equipped environments (e.g. wrap PIL/av — injected here so
+        no stage change is needed), or ``"real"`` which names the missing
+        system deps."""
         self.feature_dim = feature_dim
         self.decoder = decoder
         if decoder == "real":
             raise NotImplementedError(
                 "real media decode needs PIL/torchaudio/av which are not in "
-                "this container; plug a decoder callable or use decoder='fake'"
+                "this container; inject decoder=<callable(payload, meta)> "
+                "or use decoder='fake'"
             )
-        # fake-'model' state built once per actor (the expensive-load analogue)
+        if decoder != "fake" and not callable(decoder):
+            raise ValueError(f"decoder must be 'fake', 'real' or a callable, got {decoder!r}")
+        # decoder/'model' state built once per actor (the expensive-load analogue)
         self._dim = feature_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([_fake_features(p, self._dim) for p in payloads]) if payloads else np.zeros((0, self._dim), np.float32)
+        if callable(self.decoder):
+            metas = [json.loads(m or "{}") for m in batch["meta"].to_pylist()]
+            rows = [
+                np.asarray(self.decoder(p, m), dtype=np.float32)
+                for p, m in zip(payloads, metas)
+            ]
+            bad = next((r.shape for r in rows if r.shape != (self._dim,)), None)
+            if bad is not None:
+                raise ValueError(f"decoder returned shape {bad}, expected ({self._dim},)")
+            feats = np.stack(rows) if rows else np.zeros((0, self._dim), np.float32)
+        else:
+            feats = (
+                np.stack([_fake_features(p, self._dim) for p in payloads])
+                if payloads
+                else np.zeros((0, self._dim), np.float32)
+            )
         return batch.drop_columns(["payload"]).append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel(), pa.float32()), self._dim),

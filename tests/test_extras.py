@@ -187,6 +187,38 @@ def test_multimodal_plumbing(ray_session):
     assert frames["frame_idx"].min() == 0
 
 
+def test_multimodal_pluggable_decoder(ray_session):
+    """A codec-equipped environment injects decoder=<callable(payload, meta)>
+    — zero stage changes needed; the stage validates the output shape."""
+    media = synth_media_table(n=12)
+
+    def my_decoder(payload: bytes, meta: dict) -> np.ndarray:
+        # a stand-in for a PIL/av wrapper: uses both payload and meta
+        base = float(len(payload) + len(meta))
+        return np.full(16, base, dtype=np.float32)
+
+    out = (
+        rd.from_arrow(media)
+        .map_batches(
+            MediaDecodeStage,
+            fn_constructor_kwargs={"feature_dim": 16, "decoder": my_decoder},
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert len(out) == 12
+    pay0 = media["payload"][0].as_py()
+    assert np.allclose(out.set_index("media_id").loc[0, "features"], float(len(pay0) + 1))
+    # wrong output shape fails loudly
+    with pytest.raises(ValueError):
+        MediaDecodeStage(feature_dim=16, decoder=lambda p, m: np.zeros(4, np.float32))(media)
+    # non-callable garbage rejected at construction
+    with pytest.raises(ValueError):
+        MediaDecodeStage(decoder=123)
+
+
 def test_hash_sample_guards_and_null_keys(ray_session):
     """Round-2 review: null keys drop (SQL NULL semantics), negative or
     over-range keys raise instead of silently diverging from the oracle."""
