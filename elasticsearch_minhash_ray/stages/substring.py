@@ -33,8 +33,9 @@ token position. Step 3 carries only duplicated occurrences (proportional to
 corpus duplication, typically orders of magnitude smaller). Fingerprints are
 64-bit: at 100 TB (~2e13 tokens) expect a handful of birthday collisions,
 each of which can only ADD a false duplicated span (conservative for
-curation); an exact mode would re-verify spans against content, which the
-per-doc span output makes a local join.
+curation); ``verify=True`` closes even that window by requiring a match on a
+SECOND independent fingerprint (pair odds ~2^-128) at +8 B/token exchange
+cost — see :func:`substring_dedup_spans`.
 """
 
 from __future__ import annotations
@@ -66,7 +67,8 @@ class GramStage:
     (tokenizer closure, hash seed) happens once per actor."""
 
     def __init__(self, k: int, text_col: str = "text", id_col: str = "doc_id",
-                 tokenizer: str = "words", num_partitions: int = 64):
+                 tokenizer: str = "words", num_partitions: int = 64,
+                 verify: bool = False):
         if k < 2:
             raise ValueError(f"k must be >= 2, got {k}")
         self.k = k
@@ -74,7 +76,18 @@ class GramStage:
         self.id_col = id_col
         self.tok_many = get_batch_tokenizer(tokenizer, 1)
         self.num_partitions = num_partitions
-        self.seed = seeds_u64(0, 1)
+        # verify mode: a SECOND independent fingerprint (seed-1 murmur3
+        # through the same Horner) rides each occurrence row (+8 B/token on
+        # the wire); dup groups then require BOTH to match — pair collision
+        # odds ~2^-128, so a 64-bit gram collision can no longer fabricate a
+        # duplicated span (over-removal guard; see substring_dedup_spans)
+        self.verify = verify
+        self.seed = seeds_u64(0, 2 if verify else 1)
+        self._empty = (
+            _OCC_SCHEMA.append(pa.field("gram2", pa.int64())).empty_table()
+            if verify
+            else _OCC_SCHEMA.empty_table()
+        )
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         k = self.k
@@ -86,9 +99,10 @@ class GramStage:
             flat.extend(t)
         n = len(flat)
         if n < k:
-            return _OCC_SCHEMA.empty_table()
+            return self._empty
         codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-        H = hash_tokens_many_seeds(list(uniques), self.seed)[:, 0].view(np.uint64)[codes]
+        Hall = hash_tokens_many_seeds(list(uniques), self.seed)
+        H = Hall[:, 0].view(np.uint64)[codes]
         doc_idx = np.repeat(np.arange(len(toks)), counts)
         doc_starts = np.r_[0, np.cumsum(counts)][:-1]
         m = n - k + 1
@@ -98,20 +112,26 @@ class GramStage:
                 acc = acc * _POLY_BASE + H[j : m + j]
         valid = doc_idx[:m] == doc_idx[k - 1 : n]
         if not valid.any():
-            return _OCC_SCHEMA.empty_table()
+            return self._empty
         gram = acc[valid]
         d_idx = doc_idx[:m][valid]
         pos = np.flatnonzero(valid) - doc_starts[d_idx]
         with np.errstate(over="ignore"):
             part = ((gram * _MIX) % np.uint64(self.num_partitions)).astype(np.int32)
-        return pa.table(
-            {
-                "gram": pa.array(gram.view(np.int64), pa.int64()),
-                "doc_id": pa.array(ids[d_idx], pa.int64()),
-                "pos": pa.array(pos, pa.int64()),
-                "part": pa.array(part, pa.int32()),
-            }
-        )
+        cols = {
+            "gram": pa.array(gram.view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[d_idx], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "part": pa.array(part, pa.int32()),
+        }
+        if self.verify:
+            H2 = Hall[:, 1].view(np.uint64)[codes]
+            with np.errstate(over="ignore"):
+                acc2 = np.zeros(m, np.uint64)
+                for j in range(k):
+                    acc2 = acc2 * _POLY_BASE + H2[j : m + j]
+            cols["gram2"] = pa.array(acc2[valid].view(np.int64), pa.int64())
+        return pa.table(cols)
 
 
 def _dup_occurrences(batch: pa.Table, num_partitions: int, keep_first: bool = False) -> pa.Table:
@@ -126,12 +146,21 @@ def _dup_occurrences(batch: pa.Table, num_partitions: int, keep_first: bool = Fa
     g = np.asarray(batch["gram"])
     if len(g) == 0:
         return _DOCPOS_SCHEMA.empty_table()
+    # verify mode (GramStage(verify=True)): a second independent fingerprint
+    # rides each row; groups key on the (gram, gram2) 128-bit pair so a
+    # 64-bit collision can't fabricate a duplicated span
+    g2 = np.asarray(batch["gram2"]) if "gram2" in batch.schema.names else None
     if keep_first:
-        order = np.lexsort((np.asarray(batch["pos"]), np.asarray(batch["doc_id"]), g))
+        keys = (np.asarray(batch["pos"]), np.asarray(batch["doc_id"]), g)
+        order = np.lexsort(keys if g2 is None else (*keys[:2], g2, g))
     else:
-        order = np.argsort(g, kind="stable")
+        order = np.argsort(g, kind="stable") if g2 is None else np.lexsort((g2, g))
     gs = g[order]
-    starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+    new_group = gs[1:] != gs[:-1]
+    if g2 is not None:
+        g2s = g2[order]
+        new_group = new_group | (g2s[1:] != g2s[:-1])
+    starts = np.flatnonzero(np.r_[True, new_group])
     counts = np.diff(np.r_[starts, len(gs)])
     keep_mask = np.repeat(counts >= 2, counts)
     if keep_first:
@@ -182,11 +211,18 @@ def substring_dedup_spans(
     id_col: str = "doc_id",
     tokenizer: str = "words",
     num_partitions: int = 64,
+    verify: bool = False,
 ):
     """Dataset of documents → Dataset (doc_id, span_start, span_end): the
     maximal merged token spans (0-based, half-open) duplicated >= 2 times
-    corpus-wide at granularity k. Docs with no duplicated span emit nothing."""
-    gram = GramStage(k, text_col, id_col, tokenizer, num_partitions)
+    corpus-wide at granularity k. Docs with no duplicated span emit nothing.
+
+    ``verify=True``: duplicated-ness requires a match on TWO independent
+    64-bit fingerprints (2^-128 pair collision odds) instead of one, closing
+    the over-removal window a 64-bit gram collision opens (~a handful
+    expected at 2e13 tokens). Costs +8 B/token on the gram exchange; output
+    equals the default wherever no collision occurred (pytest-pinned)."""
+    gram = GramStage(k, text_col, id_col, tokenizer, num_partitions, verify=verify)
     return map_copartitioned(
         map_copartitioned(
             ds.map_batches(gram, batch_format="pandas"),
@@ -205,12 +241,13 @@ def substring_dedup_stats(
     id_col: str = "doc_id",
     tokenizer: str = "words",
     num_partitions: int = 64,
+    verify: bool = False,
 ):
     """Per-doc rollup of :func:`substring_dedup_spans`: (doc_id, n_spans,
     dup_tokens). dup_tokens counts token positions covered by >= 1 duplicated
     window — the quantity a curation policy thresholds on (e.g. drop or trim
     docs that are mostly duplicated text)."""
-    spans = substring_dedup_spans(ds, k, text_col, id_col, tokenizer, num_partitions)
+    spans = substring_dedup_spans(ds, k, text_col, id_col, tokenizer, num_partitions, verify)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -341,11 +378,17 @@ def substring_dedup_clean(
     tokenizer: str = "words",
     num_partitions: int = 64,
     broadcast_limit: int = 2_000_000,
+    verify: bool = False,
 ):
     """Dataset of documents → (doc_id, n_tokens, n_removed, cleaned_text):
     every duplicated >=k-token window removed EXCEPT its canonical (minimum
-    (doc_id, pos)) occurrence — the corpus keeps exactly one copy of each
-    repeated substring. Docs with zero word tokens emit nothing.
+    (doc_id, pos)) occurrence. The keep-one guarantee is PER K-GRAM: when
+    overlapping grams of one repeated passage have canonical occurrences in
+    DIFFERENT docs, the cut can carve into every copy and no intact full
+    passage survives anywhere — inherent to gram-granularity ExactSubstr
+    semantics (the brute-force twin test encodes the same rule), so do not
+    rely on passage-level retention downstream. Docs with zero word tokens
+    emit nothing. ``verify=True``: see :func:`substring_dedup_spans`.
 
     Pipeline: gram fingerprints → gram-partition keep-first dup filter →
     per-doc span merge → union-join (doc rows ∪ span rows, one doc-key
@@ -357,7 +400,7 @@ def substring_dedup_clean(
     doc-rows side of the cut join): at the 100 TB end, re-reading pruned
     parquet beats pinning the whole corpus in the object store, and both
     consumers stream independently with backpressure."""
-    gram = GramStage(k, text_col, id_col, tokenizer, num_partitions)
+    gram = GramStage(k, text_col, id_col, tokenizer, num_partitions, verify=verify)
     occ = map_copartitioned(
         ds.map_batches(gram, batch_format="pandas"),
         "part",

@@ -265,3 +265,65 @@ def test_clean_partition_invariance(ray_session):
         )
         outs.append(out[["doc_id", "n_tokens", "n_removed", "cleaned_text"]])
     assert outs[0].equals(outs[1])
+
+
+def test_verify_mode_equals_default_without_collisions(ray_session):
+    """verify=True must be a no-op wherever no 64-bit gram collision occurred
+    (i.e. everywhere in practice): identical spans AND identical cleaned text
+    on a duplication-heavy corpus."""
+    from elasticsearch_minhash_ray.stages.substring import substring_dedup_clean
+
+    rng = np.random.default_rng(11)
+    shared = _words(rng, 30)
+    docs = [
+        {"doc_id": 1, "text": _words(rng, 20) + " " + shared + " " + _words(rng, 10)},
+        {"doc_id": 2, "text": shared + " " + _words(rng, 25)},
+        {"doc_id": 3, "text": _words(rng, 40)},
+        {"doc_id": 4, "text": shared},
+    ]
+    base = _spans_df(docs, k=10)
+    ver = _spans_df(docs, k=10, verify=True)
+    pd.testing.assert_frame_equal(base, ver)
+    clean_kw = dict(k=10, num_partitions=8)
+    c0 = (
+        substring_dedup_clean(rd.from_pandas(pd.DataFrame(docs)), **clean_kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    c1 = (
+        substring_dedup_clean(rd.from_pandas(pd.DataFrame(docs)), verify=True, **clean_kw)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(c0, c1)
+
+
+def test_verify_survives_planted_gram_collision(monkeypatch):
+    """Plant a 64-bit collision (two DIFFERENT tokens forced to the same
+    seed-0 hash): the default mode fabricates a duplicated span out of two
+    distinct windows; verify=True (independent second fingerprint) does not.
+    Kernel-level (no Ray): monkeypatching can't cross worker processes."""
+    from elasticsearch_minhash_ray.stages import substring as sub
+
+    real = sub.hash_tokens_many_seeds
+
+    def fake(tokens, seeds):
+        H = real(tokens, seeds)
+        for i, t in enumerate(tokens):
+            if t in ("collidea", "collideb"):
+                H[i, 0] = 1234567  # seed-0 collision; seed-1 stays real
+        return H
+
+    monkeypatch.setattr(sub, "hash_tokens_many_seeds", fake)
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "alpha beta collidea gamma delta",
+                "alpha beta collideb gamma delta",
+            ],
+        }
+    )
+    for verify, expect_false_span in ((False, True), (True, False)):
+        g = sub.GramStage(3, num_partitions=1, verify=verify)(batch)
+        occ = sub._dup_occurrences(g, 1)
+        spans = sub._merge_spans(occ, 3)
+        assert (spans.num_rows > 0) == expect_false_span, f"verify={verify}"
