@@ -80,7 +80,9 @@ def cmd_sign(args) -> int:
     cfg = _configs(args)
     ds = read_corpus(args.input)
     sig_cols = (*cfg.keep_columns, "minhash_sig")
-    out = compute_signatures(ds, cfg, keep_columns=sig_cols)
+    # materialize once: write + count off the same blocks (a lazy count()
+    # after write_parquet would re-execute the whole signature stage)
+    out = compute_signatures(ds, cfg, keep_columns=sig_cols).materialize()
     out.write_parquet(args.output)
     print(json.dumps({"output": args.output, "rows": out.count()}))
     return 0
@@ -103,6 +105,9 @@ def cmd_clean(args) -> int:
             text_col="content", id_col="doc_key",
             num_partitions=args.num_partitions,
         )
+    # materialize once: the cut stage (corpus re-read + re-tokenize) must not
+    # re-execute just to print the row count
+    out = out.materialize()
     out.write_parquet(args.output)
     print(json.dumps({"output": args.output, "rows": out.count(), "mode": args.mode}))
     return 0

@@ -29,10 +29,39 @@ wrapper-made case, not the sort-made one.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable
 
 import numpy as np
 import pyarrow as pa
+
+# The co-location invariant both primitives rest on — Ray's range-partitioning
+# sort never splits a run of EQUAL keys across output blocks — is an internal
+# behavior, not a documented contract. Verified against these Ray versions
+# (tests/test_queries.py oracle suite + the checkpoint duplicate-shard hard
+# guard in state/checkpoint.py would both catch a break). On an unverified
+# Ray, warn once so a silent-duplicate failure has a breadcrumb.
+_VERIFIED_RAY_PREFIXES = ("2.49.",)
+
+
+def _check_ray_version() -> None:
+    try:
+        import ray
+
+        v = ray.__version__
+    except Exception:
+        return
+    if not v.startswith(_VERIFIED_RAY_PREFIXES):
+        warnings.warn(
+            f"grouping primitives verified on Ray {_VERIFIED_RAY_PREFIXES}, running "
+            f"{v}: the sort equal-keys-one-block invariant may not hold — watch for "
+            "duplicate keys in co-partitioned aggregation outputs",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
+_check_ray_version()
 
 
 def map_copartitioned(ds, key: str, fn: Callable, *, batch_format: str = "pyarrow"):

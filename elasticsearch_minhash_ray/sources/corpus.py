@@ -100,17 +100,22 @@ def auto_num_blocks(total_bytes: int, cpus: int | None = None, dense: bool = Fal
     return int(max(min_blocks, min(cpus * 2, max_blocks)))
 
 
-def _first_parquet_file(path: str) -> str | None:
+def _parquet_files(path: str) -> list[str]:
     import os
 
     if os.path.isfile(path):
-        return path
+        return [path]
+    out: list[str] = []
     if os.path.isdir(path):
         for root, _dirs, files in sorted(os.walk(path)):
-            for f in sorted(files):
-                if f.endswith(".parquet"):
-                    return os.path.join(root, f)
-    return None
+            out.extend(os.path.join(root, f) for f in sorted(files) if f.endswith(".parquet"))
+    return out
+
+
+# Above this many files, skip the per-footer schema-equality scan and let Ray
+# unify schemas itself (driver-side footer reads would serialize a 100k-file
+# listing); below it the scan is a handful of metadata-only reads.
+_SCHEMA_SCAN_MAX_FILES = 32
 
 
 def _stripped_schema(paths: list, columns: list[str] | None = None) -> "pa.Schema | None":
@@ -121,18 +126,31 @@ def _stripped_schema(paths: list, columns: list[str] | None = None) -> "pa.Schem
     block-schema dedup fall back with a per-task warning and the slow
     unification path. Passing an explicit metadata-free schema to
     ``read_parquet`` keeps block schemas hashable (and identical across
-    files). Best-effort: any failure returns None and the reader behaves
-    as before."""
+    files).
+
+    Heterogeneous multi-file dirs (e.g. the shard_by='file' incremental path
+    appended to by a different writer: string vs large_string, widened ints)
+    must NOT be force-cast to the first file's schema — the schema is only
+    returned when every file's (pruned) schema is IDENTICAL; on mismatch, or
+    when the dir is too large to scan footers, fall back to Ray's own
+    unification. Best-effort: any failure returns None and the reader
+    behaves as before."""
     import pyarrow.parquet as pq
 
     try:
-        f = _first_parquet_file(paths[0]) if paths else None
-        if f is None:
+        files = [f for p in paths for f in _parquet_files(p)]
+        if not files or len(files) > _SCHEMA_SCAN_MAX_FILES:
             return None
-        schema = pq.read_schema(f).remove_metadata()
-        if columns is not None:
-            # ray prunes blocks to `columns`; the declared schema must match
-            schema = pa.schema([schema.field(c) for c in columns])
+        schema = None
+        for f in files:
+            s = pq.read_schema(f).remove_metadata()
+            if columns is not None:
+                # ray prunes blocks to `columns`; the declared schema must match
+                s = pa.schema([s.field(c) for c in columns])
+            if schema is None:
+                schema = s
+            elif not schema.equals(s):
+                return None  # heterogeneous: let Ray unify
         hash(schema)  # what Ray needs to work
         return schema
     except Exception:

@@ -295,6 +295,18 @@ def write_edges_checkpoint(
     written = map_part_groups(
         mat.map_batches(shard_of, batch_format="pyarrow"), "eshard", write_shard
     ).to_pandas()
+    # HARD GUARD on the sort invariant map_part_groups rests on (equal keys
+    # never split across sort output blocks — verified on ray 2.49.2, see
+    # grouping.py): if a Ray upgrade ever splits one eshard across two
+    # blocks, write_shard runs twice for that shard and the second atomic
+    # write would SILENTLY overwrite the first — fail loudly instead.
+    if len(written) and written["shard"].duplicated().any():
+        dup = sorted(written.loc[written["shard"].duplicated(), "shard"].unique().tolist())
+        raise RuntimeError(
+            f"edge shard(s) {dup} written more than once: Ray's sort split an "
+            "equal-key run across blocks (grouping.py invariant broken by "
+            f"this Ray version) — checkpoint would lose rows"
+        )
     # empty shards (no rows hashed to them) get explicit empty files so the
     # tree is a function of content, not of which hashes occurred
     present = set(written["shard"]) if len(written) else set()

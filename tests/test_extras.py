@@ -378,3 +378,33 @@ def test_embedding_lsh_matches_brute_on_driver_data(ray_session):
     assert len(sb) > 100
     assert sl <= sb, f"{len(sl - sb)} LSH edges outside the brute set"
     assert len(sl & sb) / len(sb) >= 0.99
+
+
+def test_read_parquet_auto_heterogeneous_schemas(ray_session, tmp_path):
+    """Appended files written by a different writer (widened ints, string vs
+    large_string) must not be force-cast to the first file's schema: the
+    explicit-schema fast path only engages when every footer agrees."""
+    import pyarrow.parquet as _pq
+
+    from elasticsearch_minhash_ray.sources.corpus import _stripped_schema, read_parquet_auto
+
+    d = tmp_path / "mix"
+    d.mkdir()
+    _pq.write_table(
+        pa.table({"a": pa.array([1, 2], pa.int32()), "b": pa.array(["x", "y"], pa.string())}),
+        d / "f1.parquet",
+    )
+    _pq.write_table(
+        pa.table({"a": pa.array([3], pa.int64()), "b": pa.array(["z"], pa.large_string())}),
+        d / "f2.parquet",
+    )
+    assert _stripped_schema([str(d)]) is None  # heterogeneous → let Ray unify
+    df = read_parquet_auto(str(d)).to_pandas()
+    assert sorted(df["a"].astype(int)) == [1, 2, 3]
+    # homogeneous dirs still get the hashable fast-path schema
+    h = tmp_path / "same"
+    h.mkdir()
+    for i in (1, 2):
+        _pq.write_table(pa.table({"a": pa.array([i], pa.int64())}), h / f"f{i}.parquet")
+    s = _stripped_schema([str(h)])
+    assert s is not None and s.field("a").type == pa.int64()
