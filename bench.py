@@ -42,6 +42,7 @@ BENCH_CORPUS = os.environ.get(
 # family (dedup / text / ANN / simhash), kept small enough for a per-round run
 HEADLINE = [
     "near_dup_clusters",
+    "near_dup_keep",
     "minhash_signatures",
     "exact_dedup_groups",
     "text_quality_stats",
