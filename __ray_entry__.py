@@ -811,6 +811,36 @@ def _q_ngram_jaccard_cc(sf_dir: str):
     return map_copartitioned(cl.map_batches(remap, batch_format="pyarrow"), "c", relabel)
 
 
+def _q_cluster_stats(sf_dir: str):
+    """Oracle-checked cluster-size report over the ngram-Jaccard connected
+    components: (cluster_id, n_members) — the dedup-rate summary a curation
+    run reports (how many docs each near-dup family holds). Combiner shape:
+    per-block partial counts → one cluster_id exchange → sum."""
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    cc = _q_ngram_jaccard_cc(sf_dir)  # Dataset (doc_id, cluster_id)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            batch.to_pandas()
+            .groupby("cluster_id", as_index=False)
+            .agg(n_members=("doc_id", "size"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {"cluster_id": pa.array([], pa.int64()), "n_members": pa.array([], pa.int64())}
+            )
+        df = block.to_pandas().groupby("cluster_id", as_index=False)["n_members"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return map_copartitioned(
+        cc.map_batches(partial, batch_format="pyarrow"), "cluster_id", final
+    )
+
+
 _GOLDEN_CONFIGS = {
     "cfg1": {},
     "cfg2": {"seed": 1000},
@@ -1328,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernel against the reference's own golden signatures
         "ngram_jaccard_edges": _q_ngram_jaccard_edges,
         "ngram_jaccard_cc": _q_ngram_jaccard_cc,
+        "cluster_stats": _q_cluster_stats,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
@@ -1588,6 +1619,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "cluster_stats": f"""
+            WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+            und AS (
+              SELECT a AS s, b AS d FROM jedges
+              UNION ALL
+              SELECT b, a FROM jedges
+            ),
+            reach(s, d) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+            ),
+            cc AS (
+              SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+              FROM reach GROUP BY s
+            )
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM cc GROUP BY cluster_id
         """,
         "decontaminate": f"""
             WITH {_NGRAM_BASE_CTES},

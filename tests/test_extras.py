@@ -408,3 +408,44 @@ def test_read_parquet_auto_heterogeneous_schemas(ray_session, tmp_path):
         _pq.write_table(pa.table({"a": pa.array([i], pa.int64())}), h / f"f{i}.parquet")
     s = _stripped_schema([str(h)])
     assert s is not None and s.field("a").type == pa.int64()
+
+
+def test_simhash_banding_matches_bruteforce(ray_session):
+    """Pigeonhole-banding completeness + exact verify: the banded edge set
+    must EQUAL the all-pairs Hamming<=max_hamming ground truth (banding
+    guarantees recall at max_hamming <= n_bands-1; the verify stage gives
+    precision), on a mixed corpus of near-dup families and noise."""
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(400)]
+    docs, keys = [], []
+    for fam in range(6):
+        base = list(rng.choice(vocab, 60))
+        for m in range(4):  # 4 members per family w/ small mutations
+            d = base.copy()
+            for _ in range(m):
+                d[int(rng.integers(len(d)))] = str(rng.choice(vocab))
+            docs.append(" ".join(d))
+            keys.append(fam * 10 + m)
+    for i in range(30):  # unrelated noise
+        docs.append(" ".join(rng.choice(vocab, 50)))
+        keys.append(1000 + i)
+    sigs = simhash64_docs([d.split() for d in docs])
+    n = len(sigs)
+    ia, ib = np.triu_indices(n, k=1)
+    ham = hamming64(sigs[ia], sigs[ib])
+    kmax = 6
+    karr = np.asarray(keys)
+    truth = {
+        (min(a, b), max(a, b))
+        for a, b in zip(karr[ia[ham <= kmax]], karr[ib[ham <= kmax]])
+    }
+    t = pa.table(
+        {
+            "doc_key": pa.array(keys, pa.int64()),
+            "simhash": pa.array(sigs.view(np.int64), pa.int64()),
+        }
+    )
+    edges = simhash_near_dup_edges(rd.from_arrow(t), max_hamming=kmax, num_partitions=4).to_pandas()
+    got = set(zip(edges["src"], edges["dst"]))
+    assert len(truth) > 10  # the corpus really contains close pairs
+    assert got == truth
