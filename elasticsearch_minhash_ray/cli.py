@@ -15,6 +15,8 @@ to call ray.init per the driver contract)::
 Subcommands:
     sign     signatures only: corpus parquet -> signatures parquet
     neardup  full pipeline with checkpoint/lineage/resume (run_checkpointed)
+    keep     dedup ACTION: near-dup pipeline + keep one representative per
+             cluster (+ all unclustered docs) -> curated-corpus keys parquet
     clean    substring- or line-level dedup cleaning: corpus parquet ->
              (doc_id, n_tokens|n_lines, n_removed, cleaned_text) parquet
 """
@@ -122,6 +124,27 @@ def cmd_neardup(args) -> int:
     return 0
 
 
+def cmd_keep(args) -> int:
+    """The dedup ACTION: near-dup pipeline + keep one representative per
+    cluster (min doc_key) and every unclustered doc — writes the curated
+    corpus keys/lineage columns as parquet."""
+    from . import near_dup_keep, near_dup_pipeline
+    from .sources.corpus import read_corpus
+
+    cfg = _configs(args)
+    res = near_dup_pipeline(read_corpus(args.input), cfg)
+    kept = near_dup_keep(
+        res.signatures,
+        res.clusters,
+        columns=cfg.keep_columns,
+        num_partitions=args.num_partitions,
+        broadcast_limit=args.broadcast_limit,
+    ).materialize()
+    kept.write_parquet(args.output)
+    print(json.dumps({"output": args.output, "rows": kept.count(), **res.metrics}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="elasticsearch_minhash_ray", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -139,6 +162,19 @@ def main(argv: list[str] | None = None) -> int:
                       help="'file' = one shard per input parquet file (incremental ingest: appended files reuse existing checkpoints)")
     p_nd.add_argument("--distributed-cc", action="store_true", help="distributed connected components")
 
+    p_keep = sub.add_parser(
+        "keep", help="dedup ACTION: near-dup pipeline + keep one representative per cluster"
+    )
+    _add_common(p_keep)
+    p_keep.add_argument("--threshold", type=float, default=None, help="verify threshold (fraction of equal bits)")
+    p_keep.add_argument("--n-bands", type=int, default=None)
+    p_keep.add_argument("--num-partitions", type=int, default=64)
+    p_keep.add_argument("--distributed-cc", action="store_true", help="distributed connected components")
+    p_keep.add_argument(
+        "--broadcast-limit", type=int, default=2_000_000,
+        help="drop-sets above this take the doc_key-partitioned union anti-join",
+    )
+
     p_cl = sub.add_parser("clean", help="substring/line dedup cleaning -> cleaned-text parquet")
     p_cl.add_argument("--input", required=True, help="corpus parquet file/dir")
     p_cl.add_argument("--output", required=True, help="output directory")
@@ -155,7 +191,9 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
     try:
-        return {"sign": cmd_sign, "neardup": cmd_neardup, "clean": cmd_clean}[args.cmd](args)
+        return {"sign": cmd_sign, "neardup": cmd_neardup, "clean": cmd_clean, "keep": cmd_keep}[
+            args.cmd
+        ](args)
     finally:
         ray.shutdown()
 

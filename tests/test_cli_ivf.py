@@ -111,3 +111,28 @@ def test_cli_clean_lines(tmp_path):
     got = pq.read_table(str(out)).to_pandas()
     assert set(got.columns) == {"doc_id", "n_lines", "n_removed", "cleaned_text"}
     assert sorted(got["cleaned_text"]) == ["", "just one doc", "unique a", "unique b"]
+
+
+def test_cli_keep(tmp_path):
+    """python -m elasticsearch_minhash_ray keep writes the curated corpus
+    (one representative per near-dup cluster + all unclustered docs) in a
+    fresh process; kept row count < input and > 0."""
+    corpus = tmp_path / "corpus.parquet"
+    t = code_corpus().drop_columns(["truth_family"]).slice(0, 400)
+    pq.write_table(t, str(corpus))
+    out = tmp_path / "kept"
+    env = dict(os.environ, PYTHONPATH=REPO)
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "elasticsearch_minhash_ray", "keep",
+            "--input", str(corpus), "--output", str(out), "--num-partitions", "8",
+        ],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.loads(r.stdout.strip().splitlines()[-1])
+    assert 0 < m["rows"] < 400
+    kept = pq.read_table(str(out))
+    assert m["rows"] == kept.num_rows
+    assert {"doc_id", "doc_key", "content_sha256", "repo", "path"} <= set(kept.schema.names)
+    assert kept["doc_key"].to_pandas().is_unique
