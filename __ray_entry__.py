@@ -361,9 +361,20 @@ def _q_doc_fingerprints(sf_dir: str):
 def _q_embedding_near_dup_lsh(sf_dir: str):
     """Oracle-checked (round 4): shares the brute-force cosine SQL oracle.
     Sound because (a) every LSH edge passes the exact float64 cosine verify,
-    so edges ⊆ brute by construction, and (b) the 8×16-bit band config gives
-    measured recall 1.0 on the driver data (pytest-guarded); any future
-    recall dip fails the driver's row/hash check loudly instead of hiding."""
+    so edges ⊆ brute by construction, and (b) the 8-band×2-bit config gives
+    measured recall 1.0 at the driver's correctness scales (sf0.001 AND
+    sf0.01, pytest-guarded); any future recall dip fails the driver's
+    row/hash check loudly instead of hiding.
+
+    Honest regime limit: threshold 0.35 is a LOW-selectivity regime for
+    hyperplane LSH (p_bit ≈ 0.61 vs 0.5 chance) — at sf0.1 (5000 vectors)
+    the 2-bit bands yield 4 buckets/band, bucket_cap truncation bites, and
+    measured recall drops to ~0.28 (the drops are surfaced as metric rows,
+    never silent). Widening bands restores buckets but kills per-band
+    recall; at this threshold candidate count approaches all-pairs either
+    way — that is physics, not tuning. For low thresholds at scale use the
+    brute path (matmul per broadcast block) or raise the threshold to the
+    near-dup regime (≥0.8: p_bit ≈ 0.80+, where banding is selective)."""
     import pyarrow.parquet as pq
 
     import ray.data as rd

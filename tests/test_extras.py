@@ -363,21 +363,23 @@ def test_line_dedup_global_partition_invariance(ray_session):
 def test_embedding_lsh_matches_brute_on_driver_data(ray_session):
     """The basis of embedding_near_dup_lsh's shared brute-force oracle:
     LSH edges ⊆ brute edges (every LSH edge is exact-cosine verified) and
-    recall ≥ 0.99 (measured 1.0 at the query's 8×16-bit band config) on the
-    driver testdata."""
+    recall ≥ 0.99 (measured 1.0) at BOTH driver correctness scales. (At
+    sf0.1 the 0.35-threshold regime degrades by design — see the query
+    docstring — so the guard is exactly the scales the oracle runs at.)"""
     import sys
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
 
     qs = e.queries()
-    b = qs["embedding_near_dup"]("/root/testdata/sf0.001").to_pandas()
-    l = qs["embedding_near_dup_lsh"]("/root/testdata/sf0.001").to_pandas()
-    sb = set(zip(b["a_id"], b["b_id"]))
-    sl = set(zip(l["a_id"], l["b_id"]))
-    assert len(sb) > 100
-    assert sl <= sb, f"{len(sl - sb)} LSH edges outside the brute set"
-    assert len(sl & sb) / len(sb) >= 0.99
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        b = qs["embedding_near_dup"](sf).to_pandas()
+        l = qs["embedding_near_dup_lsh"](sf).to_pandas()
+        sb = set(zip(b["a_id"], b["b_id"]))
+        sl = set(zip(l["a_id"], l["b_id"]))
+        assert len(sb) > 100
+        assert sl <= sb, f"{sf}: {len(sl - sb)} LSH edges outside the brute set"
+        assert len(sl & sb) / len(sb) >= 0.99, sf
 
 
 def test_read_parquet_auto_heterogeneous_schemas(ray_session, tmp_path):
