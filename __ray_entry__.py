@@ -822,6 +822,29 @@ def _q_ngram_jaccard_cc(sf_dir: str):
     return map_copartitioned(cl.map_batches(remap, batch_format="pyarrow"), "c", relabel)
 
 
+def _q_embedding_near_dup_cc(sf_dir: str):
+    """Oracle-checked connected components over the embedding near-dup graph
+    (the clustering step of an embedding-based dedup action): every clustered
+    vector labeled with the MIN vec_id of its component. Runs the DISTRIBUTED
+    min-label-propagation CC (stages/cluster.py) over the exact cosine edges;
+    the SQL oracle is a recursive-CTE transitive closure over the same
+    list_cosine_similarity edge set."""
+    from elasticsearch_minhash_ray.stages.cluster import connected_components_distributed
+    from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_brute
+
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
+    edges = cosine_near_dup_edges_brute(ds, threshold=0.35).map_batches(
+        lambda b: pa.table({"src": b["a_id"], "dst": b["b_id"]}), batch_format="pyarrow"
+    )
+    cc = connected_components_distributed(edges, num_partitions=16)
+    # cluster_id is already the component-min doc_key == min vec_id (node
+    # keys ARE vec_ids here); rename for the embeddings-domain schema
+    return cc.map_batches(
+        lambda b: pa.table({"vec_id": b["doc_key"], "cluster_id": b["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+
+
 def _q_cluster_stats(sf_dir: str):
     """Oracle-checked cluster-size report over the ngram-Jaccard connected
     components: (cluster_id, n_members) — the dedup-rate summary a curation
@@ -1370,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_edges": _q_ngram_jaccard_edges,
         "ngram_jaccard_cc": _q_ngram_jaccard_cc,
         "cluster_stats": _q_cluster_stats,
+        "embedding_near_dup_cc": _q_embedding_near_dup_cc,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
@@ -1630,6 +1654,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "embedding_near_dup_cc": """
+            WITH RECURSIVE eedges AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.35
+            ),
+            und AS (
+              SELECT a AS s, b AS d FROM eedges
+              UNION ALL
+              SELECT b, a FROM eedges
+            ),
+            reach(s, d) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+            )
+            SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster_id
+            FROM reach GROUP BY s
         """,
         "cluster_stats": f"""
             WITH RECURSIVE {_NGRAM_JACCARD_CTES},
