@@ -624,9 +624,19 @@ def run_checkpointed(
 
             _gc.collect()
 
+    if cfg.resolve_key_collisions:
+        # the remap is a pure function of doc_ids (resume-deterministic);
+        # fold the flag into the downstream fingerprint so toggling it
+        # invalidates edges/clusters but never the signature shards
+        fp = ckpt.fingerprint(fp, "resolve-key-collisions")
+
     edges_dir = os.path.join(out_dir, "edges")
     if not ckpt.is_complete(edges_dir, fp):
         sig_ds = read_parquet_auto([os.path.join(d, "data.parquet") for d in shard_dirs])
+        if cfg.resolve_key_collisions:
+            from ..sources.corpus import resolve_key_collisions as _resolve
+
+            sig_ds = _resolve(sig_ds, num_partitions=cfg.lsh.num_partitions)
         edges_all = build_edges(sig_ds, cfg).map_batches(
             # empty groups surface as zero-column blocks — pass them through,
             # write_edges_checkpoint skips them

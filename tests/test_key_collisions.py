@@ -110,3 +110,26 @@ def test_collision_corrupts_dedup_and_resolution_fixes_it(ray_session):
         else pa.Table.from_pandas(clusters_ok.to_pandas())
     )
     assert c_key not in set(np.asarray(cl["doc_key"]))
+
+
+def test_checkpointed_resolution_flag(ray_session, tmp_path):
+    """run_checkpointed with resolve_key_collisions=True completes, yields
+    the same clusters as without on a collision-free corpus, and the flag is
+    part of the edges/clusters fingerprint (toggling it re-derives them
+    while signature shards stay valid)."""
+    import pyarrow.parquet as pq
+
+    from elasticsearch_minhash_ray import run_checkpointed
+    from elasticsearch_minhash_ray.sources.synth import code_corpus
+
+    corpus = tmp_path / "corpus.parquet"
+    pq.write_table(code_corpus().drop_columns(["truth_family"]).slice(0, 300), str(corpus))
+    cfg = lambda **kw: PipelineConfig(  # noqa: E731
+        minhash=CFG, lsh=LSHConfig(num_partitions=4), sig_concurrency=(1, 2), **kw
+    )
+    m0 = run_checkpointed(str(corpus), str(tmp_path / "o0"), cfg())
+    m1 = run_checkpointed(str(corpus), str(tmp_path / "o1"), cfg(resolve_key_collisions=True))
+    assert m1["fingerprint"] != m0["fingerprint"]
+    c0 = pq.read_table(m0["clusters"])
+    c1 = pq.read_table(m1["clusters"])
+    assert c0.equals(c1)  # no real collisions at this scale -> identical
