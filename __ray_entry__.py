@@ -822,6 +822,47 @@ def _q_ngram_jaccard_cc(sf_dir: str):
     return map_copartitioned(cl.map_batches(remap, batch_format="pyarrow"), "c", relabel)
 
 
+def _q_pii_scrub(sf_dir: str):
+    """Oracle-checked PII redaction (the pre-training scrub pass): emails
+    then IPv4 addresses replaced by sentinel tokens, chained exactly like
+    nested regexp_replace(...,'g') in the SQL twin. PII is PLANTED
+    deterministically (every doc_id % 7 == 0 gets an email + an IP suffix
+    built from doc_id, constructed identically in the SQL) so the redaction
+    path is value-hash-exercised, not just passed through."""
+    from elasticsearch_minhash_ray.stages.text import PIIScrubStage
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "")
+            + (f" contact: user{i}@example.com via 10.0.{i % 256}.7" if i % 7 == 0 else "")
+            for i, t in zip(ids, texts)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+        )
+
+    return (
+        ds.map_batches(plant, batch_format="pyarrow")
+        .map_batches(PIIScrubStage(), batch_format="pandas")
+        .drop_columns(["text"])
+    )
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Oracle-checked sequence-packing assignment: docs hash-partitioned,
+    ordered by doc_id, pack_id = floor(preceding-token-sum / budget) within
+    the partition (the sequence a doc's first token lands in when its
+    partition is concatenated and split every `budget` tokens). SQL twin:
+    window cumulative sum per partition."""
+    from elasticsearch_minhash_ray.stages.text import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), budget=2048, num_partitions=8)
+
+
 def _q_embedding_near_dup_cc(sf_dir: str):
     """Oracle-checked connected components over the embedding near-dup graph
     (the clustering step of an embedding-based dedup action): every clustered
@@ -1394,6 +1435,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_cc": _q_ngram_jaccard_cc,
         "cluster_stats": _q_cluster_stats,
         "embedding_near_dup_cc": _q_embedding_near_dup_cc,
+        "pii_scrub": _q_pii_scrub,
+        "pack_sequences": _q_pack_sequences,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
@@ -1654,6 +1697,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "pack_sequences": """
+            WITH t AS (
+              SELECT doc_id, doc_id % 8 AS part,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, part, n_tokens,
+                   CAST((sum(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                                             ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        // 2048 AS BIGINT) AS pack_id
+            FROM t
+        """,
+        "pii_scrub": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     coalesce(text, '') || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com via 10.0.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                       ELSE '' END AS t
+              FROM documents
+            ),
+            em AS (
+              SELECT doc_id, t,
+                     regexp_replace(t, '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9-.]+',
+                                    '<EMAIL>', 'g') AS t1,
+                     len(regexp_extract_all(t, '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9-.]+')) AS n_email
+              FROM planted
+            )
+            SELECT doc_id,
+                   regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                     AS scrubbed_text,
+                   CAST(n_email
+                        + len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                        AS BIGINT) AS n_redactions
+            FROM em
         """,
         "embedding_near_dup_cc": """
             WITH RECURSIVE eedges AS (

@@ -448,3 +448,86 @@ def line_dedup_global(
         hits.map_batches(hit_rows, batch_format="pyarrow")
     )
     return map_copartitioned(unioned, "doc_part", clean_block)
+
+
+class PIIScrubStage:
+    """Redact PII-shaped spans (emails, IPv4) from text — the standard
+    pre-training scrub pass. pandas C regex kernels (str.count/str.replace),
+    patterns compiled once per actor.
+
+    SQL-parity contract (oracle-checked): the patterns are RE2-compatible
+    (no backrefs/lookaround) and applied as a CHAIN — emails first, then
+    IPv4 over the email-scrubbed text; ``n_redactions`` counts each pattern
+    at its stage of the chain, exactly like nested
+    ``regexp_replace(..., 'g')`` in DuckDB."""
+
+    EMAIL = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9-.]+"
+    IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self._email = re.compile(self.EMAIL)
+        self._ip = re.compile(self.IPV4)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[self.text_col].fillna("")
+        n_email = s.str.count(self._email)
+        s1 = s.str.replace(self._email, "<EMAIL>", regex=True)
+        n_ip = s1.str.count(self._ip)
+        batch["scrubbed_text"] = s1.str.replace(self._ip, "<IP>", regex=True)
+        batch["n_redactions"] = (n_email + n_ip).to_numpy(np.int64)
+        return batch
+
+
+def pack_sequences(ds, budget: int = 2048, num_partitions: int = 8,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Sequence-packing assignment (the training-prep step that concatenates
+    docs into fixed token-budget sequences): docs are hash-partitioned
+    (``doc_id % num_partitions`` — SQL-twin-able), ordered by doc_id within
+    the partition, and assigned ``pack_id = floor(preceding_token_sum /
+    budget)`` — i.e. the sequence its FIRST token lands in when the
+    partition's docs are concatenated and split every ``budget`` tokens.
+
+    Scale shape: the cumulative sum is inherently sequential ONLY within a
+    partition; partitions pack in parallel (one keyed exchange), which is
+    how distributed packing is actually run — each worker packs its shard.
+    Deterministic: assignment is a pure function of (doc_id order, token
+    counts), so resume/reshard-stable. Output: (doc_id, part, n_tokens,
+    pack_id)."""
+    import re
+
+    from ..grouping import map_copartitioned
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def count_tokens(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "part": ids % num_partitions,
+                "n_tokens": batch[text_col].fillna("").str.count(word_re).to_numpy(np.int64),
+            }
+        )
+
+    def assign(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                }
+            )
+        # a co-partitioned block can hold SEVERAL part keys — cumsum per part
+        df = block.to_pandas().sort_values(["part", id_col])
+        pre = df.groupby("part")["n_tokens"].cumsum() - df["n_tokens"]
+        df["pack_id"] = (pre // budget).astype(np.int64)
+        return pa.Table.from_pandas(df[[id_col, "part", "n_tokens", "pack_id"]], preserve_index=False)
+
+    return map_copartitioned(
+        ds.map_batches(count_tokens, batch_format="pandas"), "part", assign
+    )
