@@ -56,6 +56,8 @@ HEADLINE = [
     "line_dedup_global",
     "curation_pipeline",
     "decontaminate",
+    "pii_scrub",
+    "pack_sequences",
     "token_df",
     "docs_by_lang",
     "events_by_type",
