@@ -822,6 +822,84 @@ def _q_ngram_jaccard_cc(sf_dir: str):
     return map_copartitioned(cl.map_batches(remap, batch_format="pyarrow"), "c", relabel)
 
 
+def _q_ann_topk_filtered(sf_dir: str):
+    """Oracle-checked FILTERED vector search — the metadata-constrained ANN a
+    retrieval/curation stack actually runs: candidates restricted to vectors
+    whose document has lang='en', then top-10 cosine per query. The allow-set
+    (small metadata side) broadcasts once via ray.put and candidates filter
+    with a vectorized searchsorted inside the scoring map — no join shuffle."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from elasticsearch_minhash_ray.stages.embed import brute_force_topk
+
+    q, qids = _ann_queries(sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    import pyarrow.compute as pc
+
+    allow = np.sort(
+        np.asarray(docs.filter(pc.equal(docs["lang"], "en"))["doc_id"], dtype=np.int64)
+    )
+    allow_ref = ray.put(allow)
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        a = ray.get(allow_ref)
+        v = np.asarray(batch["vec_id"], dtype=np.int64)
+        if len(a) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(a, v), len(a) - 1)
+        return batch.filter(pa.array(a[pos] == v))
+
+    top = brute_force_topk(ds.map_batches(keep, batch_format="pyarrow"), q, qids, k=10)
+    return top.set_column(
+        top.schema.get_field_index("cos_sim"), "cos_sim", pc.round(top["cos_sim"], 9)
+    )
+
+
+def _q_quality_gate(sf_dir: str):
+    """Oracle-checked quality GATE (the curation filter as an operator, not
+    just the stats): docs surviving n_tokens >= 5 and punct_ratio <= 0.3 —
+    the standard heuristic pre-filter before dedup/training. Failing docs
+    are PLANTED deterministically (every 11th doc too short, every 13th
+    punctuation-heavy; same CASE in the SQL twin) so BOTH gate rules
+    actually drop rows under the value-hash check."""
+    import pyarrow.compute as pc
+
+    from elasticsearch_minhash_ray.stages.text import TextStatsStage, quality_filter
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        junk = "one two three four five six " + "!" * 40
+        out = [
+            "a b" if i % 11 == 0 else (junk if i % 13 == 0 else (t or ""))
+            for i, t in zip(ids, texts)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+        )
+
+    stats = ds.map_batches(plant, batch_format="pyarrow").map_batches(
+        TextStatsStage(), batch_format="pandas"
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        kept = quality_filter(batch, min_tokens=5, max_punct_ratio=0.3)
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "n_tokens": kept["n_tokens"],
+                "punct_ratio": pc.round(kept["punct_ratio"], 9),
+            }
+        )
+
+    return stats.map_batches(gate, batch_format="pyarrow")
+
+
 def _q_pii_scrub(sf_dir: str):
     """Oracle-checked PII redaction (the pre-training scrub pass): emails
     then IPv4 addresses replaced by sentinel tokens, chained exactly like
@@ -1437,6 +1515,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_cc": _q_embedding_near_dup_cc,
         "pii_scrub": _q_pii_scrub,
         "pack_sequences": _q_pack_sequences,
+        "ann_topk_filtered": _q_ann_topk_filtered,
+        "quality_gate": _q_quality_gate,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
@@ -1697,6 +1777,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "ann_topk_filtered": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            allow AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9) AS cos_sim,
+                       row_number() OVER (PARTITION BY q.query_id
+                                          ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC,
+                                                   e.vec_id ASC) AS rn
+                FROM embeddings e JOIN allow a ON e.vec_id = a.doc_id CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+        """,
+        "quality_gate": """
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN 'a b'
+                            WHEN doc_id % 13 = 0 THEN 'one two three four five six ' || repeat('!', 40)
+                            ELSE coalesce(text, '') END AS text
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id,
+                       length(coalesce(text,'')) AS n_chars,
+                       CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT) AS n_tokens,
+                       length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[A-Za-z]', '', 'g')) AS n_alpha,
+                       length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[0-9]', '', 'g')) AS n_digit,
+                       length(coalesce(text,'')) - length(regexp_replace(coalesce(text,''), '[ \t\n\r]', '', 'g')) AS n_space
+                FROM planted
+            ),
+            r AS (
+                SELECT doc_id, n_tokens,
+                       CAST(n_chars - n_alpha - n_digit - n_space AS DOUBLE)
+                             / (CASE WHEN n_chars = 0 THEN 1 ELSE n_chars END) AS pr
+                FROM s
+            )
+            -- filter on the RAW ratio (matching the Ray-side gate), round
+            -- only for the output hash
+            SELECT doc_id, n_tokens, round(pr, 9) AS punct_ratio FROM r
+            WHERE n_tokens >= 5 AND pr <= 0.3
         """,
         "pack_sequences": """
             WITH t AS (
