@@ -451,3 +451,43 @@ def test_simhash_banding_matches_bruteforce(ray_session):
     got = set(zip(edges["src"], edges["dst"]))
     assert len(truth) > 10  # the corpus really contains close pairs
     assert got == truth
+
+
+def test_pii_scrub_stage():
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import PIIScrubStage
+
+    df = pd.DataFrame(
+        {"text": ["mail a@b.co and 10.0.0.1", None, "", "plain text only"]}
+    )
+    out = PIIScrubStage()(df.copy())
+    assert out.loc[0, "scrubbed_text"] == "mail <EMAIL> and <IP>"
+    assert out.loc[0, "n_redactions"] == 2
+    assert out.loc[1, "scrubbed_text"] == "" and out.loc[1, "n_redactions"] == 0
+    assert out.loc[3, "scrubbed_text"] == "plain text only"
+    assert out["n_redactions"].tolist() == [2, 0, 0, 0]
+
+
+def test_pack_sequences_semantics(ray_session):
+    from elasticsearch_minhash_ray.stages.text import pack_sequences
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "text": pa.array(["w " * 10] * 8, pa.string()),  # 10 tokens each
+        }
+    )
+    out = (
+        pack_sequences(rd.from_arrow(t), budget=25, num_partitions=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 8
+    assert (out["n_tokens"] == 10).all()
+    # per partition (doc_id % 2) the preceding sums are 0,10,20,30 ->
+    # pack_id 0,0,0,1; partitions pack independently
+    for part in (0, 1):
+        sub = out[out["part"] == part].sort_values("doc_id")
+        assert sub["pack_id"].tolist() == [0, 0, 0, 1]
