@@ -900,6 +900,18 @@ def _q_quality_gate(sf_dir: str):
     return stats.map_batches(gate, batch_format="pyarrow")
 
 
+def _q_unigram_surprisal(sf_dir: str):
+    """Oracle-checked mean unigram surprisal per doc — the cheap LM-quality
+    scoring signal: -ln(count(token)/total_tokens) averaged over a doc's
+    token occurrences, with counts from the corpus itself (pass 1 combiner →
+    broadcast vocabulary → streaming score map). Full-vocab mode here (every
+    token in-vocab by construction = SQL-exact); vocab_limit is the 100-TB
+    knob."""
+    from elasticsearch_minhash_ray.stages.text import unigram_surprisal
+
+    return unigram_surprisal(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_pii_scrub(sf_dir: str):
     """Oracle-checked PII redaction (the pre-training scrub pass): emails
     then IPv4 addresses replaced by sentinel tokens, chained exactly like
@@ -1517,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "ann_topk_filtered": _q_ann_topk_filtered,
         "quality_gate": _q_quality_gate,
+        "unigram_surprisal": _q_unigram_surprisal,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "multimodal_features": _q_multimodal_features,
@@ -1777,6 +1790,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "unigram_surprisal": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+')) AS tok
+                FROM documents
+            ),
+            cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   round(avg(-ln(CAST(cnt.c AS DOUBLE) / tot.n)), 9) AS surprisal
+            FROM toks t JOIN cnt ON t.tok = cnt.tok CROSS JOIN tot
+            GROUP BY t.doc_id
         """,
         "ann_topk_filtered": """
             WITH q AS (

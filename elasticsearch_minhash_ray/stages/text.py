@@ -531,3 +531,79 @@ def pack_sequences(ds, budget: int = 2048, num_partitions: int = 8,
     return map_copartitioned(
         ds.map_batches(count_tokens, batch_format="pandas"), "part", assign
     )
+
+
+def unigram_surprisal(ds, text_col: str = "text", id_col: str = "doc_id",
+                      vocab_limit: int | None = None):
+    """Mean unigram surprisal per doc — the cheap 'LM-quality' scoring signal
+    (gibberish / boilerplate scores high or low vs the corpus distribution;
+    the standard stand-in where a perplexity model isn't available).
+
+    Two passes over the corpus:
+    1. corpus-wide token OCCURRENCE counts: per-block combiner (Counter) →
+       the counts are pulled and broadcast once via ray.put. With
+       ``vocab_limit`` the broadcast keeps only the top-K tokens by count
+       (the 100-TB shape: the head of a Zipf vocabulary carries ~all
+       occurrence mass); out-of-vocab tokens get a count floor of 1.
+       ``vocab_limit=None`` broadcasts the full vocabulary — every doc token
+       is then in-vocab by construction (counted from the same corpus),
+       which is the SQL-twin-exact mode.
+    2. streaming score map: per doc, mean over token occurrences of
+       ``-ln(count(token) / total_tokens)``; zero-token docs emit nothing.
+
+    Output: (doc_id, n_tokens, surprisal[9dp])."""
+    import re
+    from collections import Counter
+    from itertools import chain
+
+    import ray
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col]:
+            c.update(word_re.findall(t or ""))
+        return pd.DataFrame(
+            {"token": list(c.keys()), "c": np.fromiter(c.values(), np.int64, len(c))}
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("token")
+        .sum("c")
+        .to_pandas()
+    )
+    col = "sum(c)" if "sum(c)" in counts.columns else "c"
+    total = int(counts[col].sum())
+    if vocab_limit is not None and len(counts) > vocab_limit:
+        counts = counts.nlargest(vocab_limit, col)
+    vocab = dict(zip(counts["token"], counts[col].astype(int)))
+    ref = ray.put((vocab, total))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        voc, tot = ray.get(ref)
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        n = toks.str.len().to_numpy(np.int64)
+        flat_total = int(n.sum())
+        ids = batch[id_col].to_numpy(np.int64)
+        if flat_total == 0:
+            return pd.DataFrame(
+                {id_col: ids[:0], "n_tokens": n[:0], "surprisal": np.empty(0, np.float64)}
+            )
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=flat_total)
+        codes, uniques = pd.factorize(flat, sort=False)
+        cvals = np.fromiter((voc.get(u, 1) for u in uniques), np.float64, len(uniques))
+        per_tok = -np.log(cvals / tot)
+        doc_idx = np.repeat(np.arange(len(ids)), n)
+        sums = np.bincount(doc_idx, weights=per_tok[codes], minlength=len(ids))
+        nz = n > 0
+        return pd.DataFrame(
+            {
+                id_col: ids[nz],
+                "n_tokens": n[nz],
+                "surprisal": np.round(sums[nz] / n[nz], 9),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

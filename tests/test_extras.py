@@ -491,3 +491,57 @@ def test_pack_sequences_semantics(ray_session):
     for part in (0, 1):
         sub = out[out["part"] == part].sort_values("doc_id")
         assert sub["pack_id"].tolist() == [0, 0, 0, 1]
+
+
+def test_anti_join_keys_edge_cases(ray_session):
+    from elasticsearch_minhash_ray.stages.dedup import anti_join_keys
+
+    t = pa.table(
+        {
+            "doc_key": pa.array([1, 2, 3, 4], pa.int64()),
+            "payload": pa.array(["a", "b", "c", "d"], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    empty = rd.from_arrow(pa.table({"doc_key": pa.array([], pa.int64())}))
+    # empty drop set: both strategies keep everything
+    assert anti_join_keys(ds, empty).count() == 4
+    out_j = anti_join_keys(
+        ds, empty, broadcast_limit=0, num_partitions=2, schema=t.schema
+    ).to_pandas()
+    assert sorted(out_j["doc_key"]) == [1, 2, 3, 4]
+    # drop everything
+    all_keys = rd.from_arrow(pa.table({"doc_key": pa.array([1, 2, 3, 4], pa.int64())}))
+    assert anti_join_keys(ds, all_keys).count() == 0
+    assert (
+        anti_join_keys(ds, all_keys, broadcast_limit=0, num_partitions=2, schema=t.schema).count()
+        == 0
+    )
+    # numpy-array drop side, payload survives intact
+    out = anti_join_keys(ds, np.array([2, 4])).to_pandas().sort_values("doc_key")
+    assert out["payload"].tolist() == ["a", "c"]
+
+
+def test_unigram_surprisal_and_vocab_limit(ray_session):
+    import math
+
+    from elasticsearch_minhash_ray.stages.text import unigram_surprisal
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["aa aa aa bb", "bb cc", ""], pa.string()),
+        }
+    )
+    # corpus counts: aa=3 bb=2 cc=1, total=6
+    full = unigram_surprisal(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    exp1 = -(3 * math.log(3 / 6) + math.log(2 / 6)) / 4
+    exp2 = -(math.log(2 / 6) + math.log(1 / 6)) / 2
+    assert full.loc[1, "surprisal"] == pytest.approx(exp1, abs=1e-9)
+    assert full.loc[2, "surprisal"] == pytest.approx(exp2, abs=1e-9)
+    assert 3 not in full.index  # zero-token docs emit nothing
+    # vocab_limit=1 keeps only 'aa'; bb/cc fall to the OOV count floor of 1
+    lim = unigram_surprisal(rd.from_arrow(t), vocab_limit=1).to_pandas().set_index("doc_id")
+    exp2_lim = -(math.log(1 / 6) + math.log(1 / 6)) / 2
+    assert lim.loc[2, "surprisal"] == pytest.approx(exp2_lim, abs=1e-9)
+    assert lim.loc[1, "surprisal"] > full.loc[1, "surprisal"]  # bb got rarer
