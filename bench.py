@@ -58,6 +58,7 @@ HEADLINE = [
     "decontaminate",
     "pii_scrub",
     "pack_sequences",
+    "unigram_surprisal",
     "token_df",
     "docs_by_lang",
     "events_by_type",
