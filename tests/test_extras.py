@@ -545,3 +545,32 @@ def test_unigram_surprisal_and_vocab_limit(ray_session):
     exp2_lim = -(math.log(1 / 6) + math.log(1 / 6)) / 2
     assert lim.loc[2, "surprisal"] == pytest.approx(exp2_lim, abs=1e-9)
     assert lim.loc[1, "surprisal"] > full.loc[1, "surprisal"]  # bb got rarer
+
+
+def test_anti_join_strategies_property(ray_session):
+    """Property check (randomized, deterministic seeds): broadcast and
+    union-join anti-join strategies agree with the set-difference ground
+    truth for arbitrary key multisets, including duplicate payload keys."""
+    from elasticsearch_minhash_ray.stages.dedup import anti_join_keys
+
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        keys = rng.integers(0, 40, size=rng.integers(1, 60)).astype(np.int64)
+        drop = np.unique(rng.integers(0, 40, size=rng.integers(0, 20)).astype(np.int64))
+        t = pa.table(
+            {
+                "doc_key": pa.array(keys, pa.int64()),
+                "v": pa.array(np.arange(len(keys)), pa.int64()),
+            }
+        )
+        ds = rd.from_arrow(t)
+        drop_ds = rd.from_arrow(pa.table({"doc_key": pa.array(drop, pa.int64())}))
+        expect = sorted(int(v) for k, v in zip(keys, np.arange(len(keys))) if k not in set(drop))
+        got_b = sorted(anti_join_keys(ds, drop_ds).to_pandas()["v"])
+        got_j = sorted(
+            anti_join_keys(
+                ds, drop_ds, broadcast_limit=0, num_partitions=4, schema=t.schema
+            ).to_pandas()["v"]
+        )
+        assert got_b == expect, f"seed {seed} broadcast"
+        assert got_j == expect, f"seed {seed} join"
