@@ -118,6 +118,53 @@ def _q_exact_dedup_keep(sf_dir: str):
     return exact_dedup_keep(_docs_with_sha(sf_dir), num_partitions=16)
 
 
+def _q_latest_snapshot(sf_dir: str):
+    """Snapshot dedup: newest doc per (source, lang) — the keep-latest-crawl
+    /newest-commit-per-file curation step (stages/dedup.py:keep_latest;
+    combiner argmax → one composite-key exchange → partition argmax)."""
+    from elasticsearch_minhash_ray.stages.dedup import keep_latest
+
+    kept = keep_latest(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]),
+        key_cols=["source", "lang"],
+        order_col="doc_id",
+        num_partitions=16,
+    )
+    return kept.map_batches(
+        lambda b: b.select(["source", "lang", "doc_id", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_source_stats(sf_dir: str):
+    """Per-source corpus report (docs, distinct langs, token mass) — the
+    combiner carries one (source, lang) row per block, so the reduce input
+    is ~n_blocks x n_sources x n_langs rows, never the corpus."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.functions.text_stats import TOKEN_RE
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens"] = batch["text"].fillna("").str.count(TOKEN_RE).astype("int64")
+        return batch.groupby(["source", "lang"], as_index=False).agg(
+            n_docs=("doc_id", "size"), total_tokens=("n_tokens", "sum")
+        )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby("source", as_index=False).agg(
+            n_docs=("n_docs", "sum"),
+            n_langs=("lang", "nunique"),
+            total_tokens=("total_tokens", "sum"),
+        )
+
+    return _final_reduce(
+        _docs(sf_dir, ["doc_id", "text", "source", "lang"]).map_batches(
+            partial, batch_format="pandas"
+        ),
+        final,
+    )
+
+
 def _q_text_quality_stats(sf_dir: str):
     from elasticsearch_minhash_ray.stages.text import TextStatsStage
 
@@ -1487,6 +1534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-verifiable
         "exact_dedup_groups": _q_exact_dedup_groups,
         "exact_dedup_keep": _q_exact_dedup_keep,
+        "latest_snapshot": _q_latest_snapshot,
+        "source_stats": _q_source_stats,
         "text_quality_stats": _q_text_quality_stats,
         "token_counts": _q_token_counts,
         "docs_by_lang": _q_docs_by_lang,
@@ -1657,6 +1706,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_keep": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY coalesce(text, '')
+        """,
+        "latest_snapshot": """
+            SELECT source, lang, doc_id, n_chars
+            FROM (
+                SELECT source, lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY source, lang
+                                          ORDER BY doc_id DESC) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "source_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   count(DISTINCT lang) AS n_langs,
+                   CAST(sum(CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT)) AS BIGINT) AS total_tokens
+            FROM documents GROUP BY source
         """,
         "text_quality_stats": """
             WITH s AS (

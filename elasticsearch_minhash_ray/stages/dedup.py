@@ -10,6 +10,7 @@ Operators:
   (hash-partition + per-group min/count; generalizes the reference's
   signature-collapse, MinHashFieldMapper.java:218-221).
 - :func:`exact_dedup_keep` — the kept (representative) row keys.
+- :func:`keep_latest` — snapshot dedup (newest row per composite key).
 - :func:`simhash_near_dup_edges` — SimHash banding (4 x 16-bit bands over the
   64-bit sketch → any pair within Hamming distance 3 shares >= 1 band) +
   exact Hamming verification.
@@ -74,6 +75,58 @@ def exact_dedup_keep(ds, key_col: str = "content_sha256", id_col: str = "doc_id"
         return pa.table({id_col: batch[f"rep_{id_col}"]})
 
     return groups.map_batches(keep, batch_format="pyarrow")
+
+
+def keep_latest(
+    ds,
+    key_cols: list[str],
+    order_col: str,
+    num_partitions: int = 64,
+):
+    """Snapshot dedup: one row per distinct composite key — the row with the
+    MAX ``order_col`` ("keep the newest crawl per URL" / "newest commit per
+    (repo, path)", the first curation step for any multi-snapshot corpus).
+
+    Same combiner shape as :func:`exact_dedup_groups`: per-block argmax per
+    key (≤ one candidate row per distinct key per block, ALL columns riding
+    along) → one hash exchange on the composite key → per-partition argmax.
+    The exchange therefore moves one candidate row per key per block, never
+    the corpus. Determinism: ties on ``order_col`` within a key would be
+    block-layout-dependent, so ``order_col`` must be unique per key (a
+    commit timestamp / monotonically assigned doc_id); asserted cheaply in
+    the final reduce.
+    """
+    cols = list(key_cols) + [order_col]
+
+    def argmax_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # stable idxmax: max order_col per key, one row each, payload intact
+        idx = df.groupby(list(key_cols), sort=False)[order_col].idxmax()
+        return df.loc[idx]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if df.duplicated(subset=cols).any():
+            raise ValueError(
+                f"keep_latest: order_col {order_col!r} is not unique per key"
+            )
+        out = argmax_rows(df)
+        out = out.assign(
+            part=_hash_part_str(out[list(key_cols)], num_partitions)
+        )
+        return table_from_pandas(out)
+
+    def final(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop(columns=["part"])
+        dup = df.duplicated(subset=cols, keep=False)
+        if dup.any():  # two candidates tied on (key, order): non-deterministic
+            raise ValueError(
+                f"keep_latest: order_col {order_col!r} is not unique per key"
+            )
+        return table_from_pandas(argmax_rows(df))
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), "part", final
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -574,3 +574,50 @@ def test_anti_join_strategies_property(ray_session):
         )
         assert got_b == expect, f"seed {seed} broadcast"
         assert got_j == expect, f"seed {seed} join"
+
+
+def test_keep_latest(ray_session):
+    """Snapshot dedup: argmax row per composite key survives with its payload
+    intact regardless of block layout; duplicate (key, order) raises."""
+    from elasticsearch_minhash_ray.stages.dedup import keep_latest
+
+    rng = np.random.default_rng(7)
+    n = 300
+    repo = rng.integers(0, 8, n)
+    path = rng.integers(0, 5, n)
+    order = rng.permutation(n).astype(np.int64)  # unique per row -> per key
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i}" for i in repo], pa.string()),
+            "path": pa.array([f"p{i}" for i in path], pa.string()),
+            "commit_seq": pa.array(order, pa.int64()),
+            "payload": pa.array(order * 10, pa.int64()),
+        }
+    )
+    # pandas ground truth
+    df = t.to_pandas()
+    want = (
+        df.loc[df.groupby(["repo", "path"])["commit_seq"].idxmax()]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = (
+            keep_latest(ds, ["repo", "path"], "commit_seq", num_partitions=4)
+            .to_pandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)[want.columns.tolist()]
+        )
+        assert got.equals(want), f"nblocks={nblocks}"
+
+    # tie on (key, order) is detected, not silently resolved
+    tie = pa.table(
+        {
+            "repo": pa.array(["a", "a"], pa.string()),
+            "path": pa.array(["x", "x"], pa.string()),
+            "commit_seq": pa.array([1, 1], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="not unique"):
+        keep_latest(rd.from_arrow(tie), ["repo", "path"], "commit_seq").to_pandas()
