@@ -326,6 +326,44 @@ def _q_near_dup_edges(sf_dir: str):
     )
 
 
+def _q_near_dup_delta(sf_dir: str):
+    """Incremental near-dup (rows-only — LSH bit math): the corpus splits
+    ~80/20 into an indexed OLD half and a NEW delta batch; the delta runs
+    against a freshly built persistent band index (pipelines/delta.py) plus
+    the old run's edges. Shuffle cost of the delta is ∝ the new batch, not
+    the corpus — the old side is read per-partition from the index. Cluster
+    equivalence with the one-shot full run is pinned by
+    tests/test_delta_index.py (exact edge-set equality uncapped; partition
+    equality through the chunk+star skew path)."""
+    import tempfile
+
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import near_dup_delta, near_dup_pipeline
+    from elasticsearch_minhash_ray.pipelines.delta import build_band_index
+    from elasticsearch_minhash_ray.pipelines.neardup import compute_signatures
+
+    cfg = _pipeline_cfg()
+
+    def half(new: bool):
+        def split(batch: pd.DataFrame) -> pd.DataFrame:
+            h = pd.util.hash_pandas_object(batch["path"], index=False) % 5
+            return batch[(h == 0) if new else (h != 0)]
+
+        return _corpus(sf_dir).map_batches(split, batch_format="pandas")
+
+    old_run = near_dup_pipeline(half(False), cfg)
+    index_dir = tempfile.mkdtemp(prefix="bandindex_", dir="/tmp")
+    sigs_old = compute_signatures(
+        half(False), cfg, keep_columns=("doc_key", f"minhash_{cfg.minhash.name}")
+    )
+    build_band_index(sigs_old, cfg, index_dir)
+    res = near_dup_delta(
+        half(True), index_dir, cfg, old_edges=old_run.edges, run_id="d1"
+    )
+    return res.clusters
+
+
 def _q_near_dup_clusters_distributed(sf_dir: str):
     """Scale path: distributed min-label-propagation connected components
     (no driver state) — same clusters as the driver union-find."""
@@ -1548,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters": _q_near_dup_clusters,
         "near_dup_edges": _q_near_dup_edges,
         "ngram_jaccard_clusters": _q_ngram_jaccard_clusters,
+        "near_dup_delta": _q_near_dup_delta,
         "near_dup_clusters_distributed": _q_near_dup_clusters_distributed,
         "near_dup_clusters_salted": _q_near_dup_clusters_salted,
         "near_dup_clusters_collapsed": _q_near_dup_clusters_collapsed,

@@ -19,6 +19,7 @@ from ._malloc import tune_malloc
 tune_malloc()
 
 from .functions.minhash import MinHashConfig, MinHasher, compare, to_base64, to_bit_string
+from .pipelines.delta import DeltaResult, build_band_index, near_dup_delta
 from .pipelines.neardup import (
     LSHConfig,
     NearDupResult,
@@ -40,6 +41,9 @@ __all__ = [
     "near_dup_keep",
     "near_dup_pipeline",
     "run_checkpointed",
+    "DeltaResult",
+    "build_band_index",
+    "near_dup_delta",
 ]
 
 __version__ = "0.1.0"

@@ -17,6 +17,8 @@ Subcommands:
     neardup  full pipeline with checkpoint/lineage/resume (run_checkpointed)
     keep     dedup ACTION: near-dup pipeline + keep one representative per
              cluster (+ all unclustered docs) -> curated-corpus keys parquet
+    index    build the persistent band index (incremental-dedup base)
+    delta    incremental near-dup of NEW docs vs a band index (shuffle ∝ delta)
     clean    substring- or line-level dedup cleaning: corpus parquet ->
              (doc_id, n_tokens|n_lines, n_removed, cleaned_text) parquet
 """
@@ -145,6 +147,58 @@ def cmd_keep(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build the persistent band index (the incremental-dedup base): corpus
+    parquet -> part=K/ band shards + lineage at --output."""
+    from .pipelines.delta import build_band_index
+    from .pipelines.neardup import compute_signatures
+    from .sources.corpus import read_corpus
+
+    cfg = _configs(args)
+    sigs = compute_signatures(
+        read_corpus(args.input), cfg, keep_columns=("doc_key", f"minhash_{cfg.minhash.name}")
+    )
+    lin = build_band_index(sigs, cfg, args.output, run_id=args.run_id)
+    print(json.dumps(lin, default=str))
+    return 0
+
+
+def cmd_delta(args) -> int:
+    """Incremental near-dup: NEW corpus vs an existing band index. Shuffle
+    cost ∝ delta size; the old corpus is read per-partition from the index,
+    never re-banded or re-shuffled. Writes new edges (and clusters when
+    --old-edges is given) under --output, and appends the new band rows to
+    the index unless --no-update-index."""
+    from .pipelines.delta import near_dup_delta
+    from .sources.corpus import read_corpus
+
+    cfg = _configs(args)
+    res = near_dup_delta(
+        read_corpus(args.input),
+        args.index,
+        cfg,
+        old_edges=args.old_edges,
+        update_index=not args.no_update_index,
+        run_id=args.run_id,
+    )
+    res.new_edges.write_parquet(f"{args.output}/new_edges")
+    out = {"output": args.output, **res.metrics}
+    if res.clusters is not None:
+        import ray.data as rd
+
+        clusters = res.clusters
+        if not isinstance(clusters, rd.Dataset):
+            import pyarrow.parquet as pq
+
+            pq.write_table(clusters, f"{args.output}/clusters.parquet")
+            out["n_clustered_docs"] = clusters.num_rows
+        else:
+            clusters.write_parquet(f"{args.output}/clusters")
+            out["n_clustered_docs"] = clusters.count()
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="elasticsearch_minhash_ray", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -175,6 +229,24 @@ def main(argv: list[str] | None = None) -> int:
         help="drop-sets above this take the doc_key-partitioned union anti-join",
     )
 
+    p_ix = sub.add_parser("index", help="build the persistent band index (incremental-dedup base)")
+    _add_common(p_ix)
+    p_ix.add_argument("--n-bands", type=int, default=None)
+    p_ix.add_argument("--num-partitions", type=int, default=64,
+                      help="FROZEN into the index layout — size for the FULL corpus (≈ band bytes / 32MB)")
+    p_ix.add_argument("--run-id", default="base")
+
+    p_dl = sub.add_parser("delta", help="incremental near-dup of NEW docs vs a band index")
+    _add_common(p_dl)
+    p_dl.add_argument("--index", required=True, help="band index dir (from the 'index' subcommand)")
+    p_dl.add_argument("--threshold", type=float, default=None, help="verify threshold (fraction of equal bits)")
+    p_dl.add_argument("--n-bands", type=int, default=None)
+    p_dl.add_argument("--num-partitions", type=int, default=64, help="must equal the index's (lineage-checked)")
+    p_dl.add_argument("--old-edges", default=None, help="previous run's edges parquet (enables cluster output)")
+    p_dl.add_argument("--no-update-index", action="store_true", help="dry run: don't append the new band rows")
+    p_dl.add_argument("--run-id", required=True, help="unique id for this delta batch (replays are refused)")
+    p_dl.add_argument("--distributed-cc", action="store_true", help="distributed connected components")
+
     p_cl = sub.add_parser("clean", help="substring/line dedup cleaning -> cleaned-text parquet")
     p_cl.add_argument("--input", required=True, help="corpus parquet file/dir")
     p_cl.add_argument("--output", required=True, help="output directory")
@@ -191,9 +263,14 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
     try:
-        return {"sign": cmd_sign, "neardup": cmd_neardup, "clean": cmd_clean, "keep": cmd_keep}[
-            args.cmd
-        ](args)
+        return {
+            "sign": cmd_sign,
+            "neardup": cmd_neardup,
+            "clean": cmd_clean,
+            "keep": cmd_keep,
+            "index": cmd_index,
+            "delta": cmd_delta,
+        }[args.cmd](args)
     finally:
         ray.shutdown()
 

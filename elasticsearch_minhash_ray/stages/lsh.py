@@ -260,14 +260,35 @@ class BucketPairer:
     one representative row per (bucket, salt) group — src=-3, dst=min
     doc_key, bucket=unsalted bucket, sig=rep signature — for the second
     verified rep-linking pass that reconnects salt-split buckets.
+
+    ``delta_col`` (incremental mode, pipelines/delta.py): names an int8
+    column marking NEW rows (1) vs rows already indexed by a previous run
+    (0). Buckets sort new-first and only pairs with >= 1 new member are
+    emitted/verified — old-old edges already exist in the prior run's edge
+    checkpoint, so re-deriving them would duplicate work proportional to
+    the CORPUS instead of the delta. Connectivity of mixed buckets is
+    preserved: capped buckets still chunk+star, and the star hub (first
+    row, new-first order) is always a new doc, linking the delta into the
+    old component.
     """
 
-    def __init__(self, lsh: LSHConfig, width: int, emit_reps: bool = False):
+    def __init__(
+        self,
+        lsh: LSHConfig,
+        width: int,
+        emit_reps: bool = False,
+        delta_col: str | None = None,
+    ):
         self.lsh = lsh
         self.width = width
         self.emit_reps = emit_reps
+        self.delta_col = delta_col
         if emit_reps and lsh.verify_mode == "jaccard":
             raise ValueError("n_salts > 1 currently supports verify_mode='bbit' only")
+        if delta_col and emit_reps:
+            raise NotImplementedError("delta mode does not compose with salted reps yet")
+        if delta_col and lsh.verify_mode == "jaccard":
+            raise NotImplementedError("delta mode supports verify_mode='bbit' only")
         # scratch-buffered kernels: buffers stay empty on the driver (pickled
         # small) and grow once inside each worker, then persist across tasks
         self._sigb = SigMatrixBuilder()
@@ -278,12 +299,23 @@ class BucketPairer:
             return self._table(
                 np.array([], np.int64), np.array([], np.int64), np.array([]), 0
             )
-        order = np.lexsort(
-            (
-                batch["doc_key"].to_numpy(zero_copy_only=False),
-                batch["bucket"].to_numpy(zero_copy_only=False),
+        delta = self.delta_col is not None
+        if delta:
+            is_new = batch[self.delta_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort(
+                (
+                    batch["doc_key"].to_numpy(zero_copy_only=False),
+                    1 - is_new,  # new rows FIRST within each bucket
+                    batch["bucket"].to_numpy(zero_copy_only=False),
+                )
             )
-        )
+        else:
+            order = np.lexsort(
+                (
+                    batch["doc_key"].to_numpy(zero_copy_only=False),
+                    batch["bucket"].to_numpy(zero_copy_only=False),
+                )
+            )
         buckets = batch["bucket"].to_numpy(zero_copy_only=False)[order]
         doc_keys = batch["doc_key"].to_numpy(zero_copy_only=False)[order]
         mat, lens = self._sigb(batch["sig"], self.width)
@@ -291,6 +323,7 @@ class BucketPairer:
         # bucket boundaries
         starts = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
         ends = np.r_[starts[1:], len(buckets)]
+        m_new = np.add.reduceat(is_new[order], starts) if delta else None
         reps = None
         if self.emit_reps:
             # sorted by (bucket, doc_key): first row of each group = min key;
@@ -310,16 +343,41 @@ class BucketPairer:
         # one broadcast per distinct size instead of a python loop with two
         # small allocations per bucket (10^4+ buckets/partition otherwise)
         small = (sizes >= 2) & (sizes <= cap)
-        for m in np.unique(sizes[small]):
-            rows = starts[small & (sizes == m)]
-            ia_t, ib_t = _triu_cached(int(m))
-            ia_all.append((rows[:, None] + ia_t[None, :]).ravel())
-            ib_all.append((rows[:, None] + ib_t[None, :]).ravel())
-        for s, e in zip(starts[sizes > cap], ends[sizes > cap]):
+        if delta:
+            small &= m_new > 0  # no new member -> every pair is old-old -> skip
+            # group by (size, n_new) — one filtered template per combo; the
+            # combo key packs both into one int64 so np.unique stays 1-D
+            combo = sizes[small] * np.int64(cap + 2) + m_new[small]
+            srows = starts[small]
+            for c in np.unique(combo):
+                rows = srows[combo == c]
+                m, mn = int(c) // (cap + 2), int(c) % (cap + 2)
+                ia_t, ib_t = _triu_cached(m)
+                keep = ia_t < mn  # new-first order: smaller index < mn => new
+                ia_t, ib_t = ia_t[keep], ib_t[keep]
+                ia_all.append((rows[:, None] + ia_t[None, :]).ravel())
+                ib_all.append((rows[:, None] + ib_t[None, :]).ravel())
+        else:
+            for m in np.unique(sizes[small]):
+                rows = starts[small & (sizes == m)]
+                ia_t, ib_t = _triu_cached(int(m))
+                ia_all.append((rows[:, None] + ia_t[None, :]).ravel())
+                ib_all.append((rows[:, None] + ib_t[None, :]).ravel())
+        capped = sizes > cap
+        if delta:
+            capped &= m_new > 0
+        for bi in np.flatnonzero(capped):
+            s, e = int(starts[bi]), int(ends[bi])
             m = e - s
             # skew guard: all-pairs within consecutive cap-sized chunks +
             # chain of chunk heads keeps the bucket connected
-            dropped += m * (m - 1) // 2
+            if delta:
+                mn = int(m_new[bi])
+                mo = m - mn
+                # candidate universe = pairs with >= 1 new member
+                dropped += m * (m - 1) // 2 - mo * (mo - 1) // 2
+            else:
+                dropped += m * (m - 1) // 2
             heads = []
             for cs in range(s, e, cap):
                 ce = min(cs + cap, e)
@@ -327,14 +385,23 @@ class BucketPairer:
                 heads.append(cs)
                 if cm >= 2:
                     ia, ib = _triu_cached(int(cm))
+                    if delta:
+                        # new rows occupy [s, s + mn): chunk-local new count
+                        local_new = min(max(s + mn - cs, 0), cm)
+                        if local_new == 0:
+                            continue
+                        keep = ia < local_new
+                        ia, ib = ia[keep], ib[keep]
                     ia_all.append(ia + cs)
                     ib_all.append(ib + cs)
-                    dropped -= cm * (cm - 1) // 2
+                    dropped -= len(ia)
             h = np.asarray(heads)
             if len(h) >= 2:
                 # STAR-link chunk heads (not a chain): keeps the capped
                 # bucket connected with O(1) component diameter, which the
-                # distributed min-label CC relies on for round count
+                # distributed min-label CC relies on for round count.
+                # Delta mode: h[0] is a NEW doc (new-first order), so every
+                # star link involves the delta — old chunk heads attach to it
                 ia_all.append(np.full(len(h) - 1, h[0]))
                 ib_all.append(h[1:])
                 dropped -= len(h) - 1
