@@ -676,6 +676,32 @@ def _q_token_df(sf_dir: str):
     return token_df_topk(ds, k=200)
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """Oracle-checked per-doc top-5 TF-IDF terms: distinct (doc, token, tf)
+    combiner → token-keyed exchange (df + idf attached in place, no join,
+    no vocab broadcast — rare tail kept exact) → doc-keyed exchange →
+    top-5 by (9dp-rounded score desc, token asc)."""
+    from elasticsearch_minhash_ray.stages.text import tfidf_topk
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    )
+    return tfidf_topk(ds, k=5)
+
+
+def _q_length_quantiles(sf_dir: str):
+    """Oracle-checked exact per-language char-length quantiles: per-batch
+    (lang, n_chars, cnt) partial histogram → one lang-keyed exchange →
+    per-group cumsum; q = smallest value with cumulative share >= q
+    (== SQL min(v) where cume_dist >= q)."""
+    from elasticsearch_minhash_ray.stages.text import column_quantiles
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"], dense=True
+    )
+    return column_quantiles(ds, col="n_chars", by="lang")
+
+
 def _q_line_dedup_stats(sf_dir: str):
     """Oracle-checked intra-document repetition stats: per doc, line count
     and distinct-line count (the 'repetitive document' curation signal)."""
@@ -1620,6 +1646,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
+        "tfidf_topk": _q_tfidf_topk,
+        "length_quantiles": _q_length_quantiles,
         "multimodal_features": _q_multimodal_features,
         "substring_spans": _q_substring_spans,
         "substring_stats": _q_substring_stats,
@@ -2186,6 +2214,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "tfidf_topk": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS token
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, token
+            ),
+            df AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token
+            ),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                     round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 9) AS score
+              FROM tf JOIN df USING (token) CROSS JOIN n
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rn
+              FROM scored
+            )
+            SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 5
+        """,
+        "length_quantiles": """
+            WITH cd AS (
+              SELECT lang, n_chars AS v,
+                     cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+              FROM documents
+            ),
+            qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q),
+            counts AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_rows FROM documents GROUP BY lang
+            )
+            SELECT cd.lang, qs.q, min(cd.v) AS value, counts.n_rows
+            FROM cd CROSS JOIN qs JOIN counts USING (lang)
+            WHERE cd.cd >= qs.q
+            GROUP BY cd.lang, qs.q, counts.n_rows
         """,
         "ann_topk_ivf_exact": """
             WITH q AS (

@@ -19,6 +19,12 @@ default       time the headline pipelines over ``$GRAFT_SF_DIR`` (default
 
 --_worker C P internal: one fresh-process flagship run at C cpus on corpus P.
 
+--delta       incremental-dedup cost model on the bench corpus: time a FULL
+              flagship run over all docs vs a near_dup_delta of the last 5%
+              of corpus files against a band index of the other 95%
+              (pipelines/delta.py). Prints one JSON line with both times,
+              the delta speedup, and the one-time index build cost.
+
 This script OWNS its Ray session (the only places allowed to: bench.py, CLI
 entry points, the test fixture).
 """
@@ -308,9 +314,111 @@ def main_scaling() -> None:
     )
 
 
+def main_delta() -> None:
+    """Full-run vs incremental-run cost on the bench corpus (one session,
+    NUM_CPUS): the delta signs/bands/shuffles only the new 5% of files and
+    reads the indexed 95% per-partition — the measured speedup IS the scale
+    argument for the daily-ingest path."""
+    import glob
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        from elasticsearch_minhash_ray import (
+            PipelineConfig,
+            build_band_index,
+            near_dup_delta,
+            near_dup_pipeline,
+        )
+        from elasticsearch_minhash_ray.functions.minhash import MinHashConfig
+        from elasticsearch_minhash_ray.pipelines.neardup import compute_signatures
+        from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
+        from elasticsearch_minhash_ray.sources.synth import make_bench_corpus
+        from elasticsearch_minhash_ray.stages.lsh import LSHConfig
+
+        make_bench_corpus(BENCH_CORPUS, BENCH_DOCS)
+        files = sorted(glob.glob(os.path.join(BENCH_CORPUS, "*.parquet")))
+        cut = max(1, int(len(files) * 0.95))
+        old_files, new_files = files[:cut], files[cut:]
+        cfg = PipelineConfig(
+            minhash=MinHashConfig(name="sig"),
+            lsh=LSHConfig(num_partitions=64),
+            # autoscaling pool, NOT run_flagship's fixed (NUM_CPUS, NUM_CPUS):
+            # a fixed full-width pool at the session's full cpu count claims
+            # every CPU before the parquet read emits a block — observed as a
+            # hard 5-min stall at 32 cpus (reads backpressured at 0 blocks,
+            # 32 idle actors). min=1 always leaves read headroom; this mode
+            # measures the full/delta RATIO, both sides share the config.
+            sig_concurrency=(1, NUM_CPUS),
+        )
+
+        # full run over everything — what a non-incremental engine pays daily
+        t0 = time.perf_counter()
+        full = near_dup_pipeline(read_parquet_auto(files), cfg)
+        n_full = _consume(full.clusters)
+        full_sec = time.perf_counter() - t0
+
+        # one-time base: old-run edges + band index (timed separately)
+        t0 = time.perf_counter()
+        old_run = near_dup_pipeline(read_parquet_auto(old_files), cfg)
+        _consume(old_run.clusters)
+        old_edges = old_run.edges.materialize()
+        index_dir = f"/tmp/graft_band_index_{BENCH_DOCS}_{NUM_CPUS}"
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+        sigs_old = compute_signatures(
+            read_parquet_auto(old_files), cfg, keep_columns=("doc_key", "minhash_sig")
+        )
+        build_band_index(sigs_old, cfg, index_dir)
+        base_sec = time.perf_counter() - t0
+
+        # the recurring cost: delta batch vs the index (incl. CC on old ∪ new)
+        t0 = time.perf_counter()
+        res = near_dup_delta(
+            read_parquet_auto(new_files),
+            index_dir,
+            cfg,
+            old_edges=old_edges,
+            update_index=False,  # keep the run re-executable
+            run_id="bench",
+        )
+        n_delta = _consume(res.clusters)
+        delta_sec = time.perf_counter() - t0
+
+        n_new_docs = sum(
+            int(x) for x in [read_parquet_auto(new_files, columns=["path"]).count()]
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "delta_vs_full_speedup",
+                    "value": round(full_sec / delta_sec, 2),
+                    "unit": "ratio",
+                    "full_sec": round(full_sec, 2),
+                    "delta_sec": round(delta_sec, 2),
+                    "index_base_sec": round(base_sec, 2),
+                    "n_docs": BENCH_DOCS,
+                    "n_new_docs": n_new_docs,
+                    "new_frac": round(n_new_docs / BENCH_DOCS, 4),
+                    "delta_files_per_sec": round(n_new_docs / delta_sec, 1),
+                    "full_clustered": n_full,
+                    "delta_clustered": n_delta,
+                    "delta_metrics": res.metrics,
+                    "num_cpus": NUM_CPUS,
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         main_scaling()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--delta":
+        main_delta()
     elif len(sys.argv) > 1 and sys.argv[1] == "--_worker":
         main_worker(int(sys.argv[2]), sys.argv[3])
     else:

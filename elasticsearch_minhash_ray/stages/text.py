@@ -607,3 +607,116 @@ def unigram_surprisal(ds, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
+               n_docs: int | None = None):
+    """Per-doc top-``k`` TF-IDF terms — the standard keyword-extraction /
+    doc-representation operator over a curated corpus.
+
+    Fully distributed, no broadcast table (TF-IDF keyword extraction wants
+    the RARE tail of the vocabulary, so a top-V vocab broadcast — the
+    unigram_surprisal shape — would be wrong here). Dataflow:
+
+    1. per-batch combiner: distinct ``(doc, token, tf)`` rows (each doc lives
+       in one input row, so rows are globally unique by construction);
+    2. exchange keyed by ``token``: df(token) = row count within the token's
+       block (``map_copartitioned`` co-locates every row of a token), idf
+       attached in place — no join;
+    3. exchange keyed by doc: rank by (rounded score desc, token asc), keep
+       the top ``k`` per doc.
+
+    Both exchanges carry the distinct (doc, token) stream (~tens of bytes a
+    row), not token occurrences. ``n_docs`` (the N in idf = ln(N/df)) is
+    taken from ``ds.count()`` when not given — metadata-only for parquet
+    reads. Scores are rounded to 9dp BEFORE ranking so the ordering is
+    engine-portable (ties broken by token); output
+    (doc_id, token, tf, df, score)."""
+    import re
+
+    from ..grouping import map_copartitioned
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+    if n_docs is None:
+        n_docs = ds.count()
+    n_docs_f = float(n_docs)
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        n = toks.str.len().to_numpy(np.int64)
+        flat = np.fromiter(
+            (t for lst in toks for t in lst), dtype=object, count=int(n.sum())
+        )
+        ids = np.repeat(batch[id_col].to_numpy(np.int64), n)
+        df = pd.DataFrame({id_col: ids, "token": flat})
+        out = df.groupby([id_col, "token"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "tf"}).astype({"tf": np.int64})
+
+    def attach_idf(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch.assign(df=np.empty(0, np.int64), score=np.empty(0, np.float64))
+        dfc = batch.groupby("token", sort=False)["token"].transform("size")
+        batch = batch.assign(df=dfc.to_numpy(np.int64))
+        batch["score"] = np.round(
+            batch["tf"].to_numpy(np.float64) * np.log(n_docs_f / batch["df"].to_numpy(np.float64)),
+            9,
+        )
+        return batch
+
+    def per_doc_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        batch = batch.sort_values(
+            [id_col, "score", "token"], ascending=[True, False, True], kind="mergesort"
+        )
+        return batch.groupby(id_col, sort=False).head(k).reset_index(drop=True)
+
+    tf = ds.map_batches(tf_rows, batch_format="pandas")
+    with_idf = map_copartitioned(tf, "token", attach_idf, batch_format="pandas")
+    return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
+
+
+def column_quantiles(ds, col: str = "n_chars", by: str = "lang",
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)):
+    """EXACT distributed quantiles of an integer column, grouped by ``by`` —
+    the corpus-profiling report (length percentiles per language/source).
+
+    Combiner shape: per-batch ``(by, value, cnt)`` partial histogram (rows ∝
+    distinct values per block, not rows) → one exchange keyed by ``by`` →
+    per-group merge + cumsum; quantile q = smallest value whose cumulative
+    share ≥ q (== SQL ``min(v) where cume_dist >= q``). Exactness relies on
+    the per-group distinct-value count being exchange-sized — true for int
+    columns like char/token lengths; unbounded float columns would need a
+    fixed-width bucketing pass first (not implemented, documented limit).
+
+    Output: (``by``, q, value, n_rows) — one row per group per quantile."""
+
+    from ..grouping import map_copartitioned
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby([by, col], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    qarr = np.asarray(qs, np.float64)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {by: pd.Series([], dtype=batch[by].dtype), "q": pd.Series([], dtype=np.float64),
+                 "value": pd.Series([], dtype=np.int64), "n_rows": pd.Series([], dtype=np.int64)}
+            )
+        merged = batch.groupby([by, col], sort=True, as_index=False)["cnt"].sum()
+        frames = []
+        for g, sub in merged.groupby(by, sort=True):
+            vals = sub[col].to_numpy(np.int64)  # sorted (groupby sort=True)
+            cum = np.cumsum(sub["cnt"].to_numpy(np.int64))
+            n = int(cum[-1])
+            cd = cum / float(n)
+            idx = np.searchsorted(cd, qarr, side="left")
+            idx = np.minimum(idx, len(vals) - 1)  # fp slack at q=max(cd)=1.0
+            frames.append(pd.DataFrame({by: g, "q": qarr, "value": vals[idx], "n_rows": n}))
+        return pd.concat(frames, ignore_index=True)
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), by, finish, batch_format="pandas"
+    )
