@@ -66,6 +66,8 @@ HEADLINE = [
     "pack_sequences",
     "unigram_surprisal",
     "token_df",
+    "tfidf_topk",
+    "length_quantiles",
     "docs_by_lang",
     "events_by_type",
     "orders_by_region",
