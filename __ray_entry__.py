@@ -676,6 +676,19 @@ def _q_token_df(sf_dir: str):
     return token_df_topk(ds, k=200)
 
 
+def _q_mix_sources(sf_dir: str):
+    """Oracle-checked domain-mixing resampler: per-source counts (combiner
+    aggregate) → integer-exact keep-percentages hitting target weights
+    {src0:5, src1:3, src2:2} with the binding source kept whole → stateless
+    deterministic hash filter. Sources outside the mix are dropped."""
+    from elasticsearch_minhash_ray.stages.sample import mix_to_weights
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"], dense=True
+    )
+    return mix_to_weights(ds, {"src0": 5, "src1": 3, "src2": 2})
+
+
 def _q_tfidf_topk(sf_dir: str):
     """Oracle-checked per-doc top-5 TF-IDF terms: distinct (doc, token, tf)
     combiner → token-keyed exchange (df + idf attached in place, no join,
@@ -1646,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
+        "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
         "multimodal_features": _q_multimodal_features,
@@ -2214,6 +2228,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "mix_sources": """
+            WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+            c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY source
+            ),
+            cw AS (SELECT w.source, w.w, c.c FROM w JOIN c USING (source) WHERE c.c > 0),
+            b AS (
+              SELECT source AS bsource, w AS bw, c AS bc FROM cw
+              ORDER BY (c * 1000000) // w, source LIMIT 1
+            ),
+            pct AS (
+              SELECT cw.source,
+                     least(100, (100 * cw.w * b.bc) // (b.bw * cw.c)) AS pct
+              FROM cw CROSS JOIN b
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN pct USING (source)
+            WHERE ((d.doc_id * 2654435761) % 4294967296) % 100 < pct.pct
         """,
         "tfidf_topk": """
             WITH toks AS (

@@ -70,3 +70,50 @@ def hash_sample(
         return batch.filter(pa.array(b < limit))
 
     return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def mix_to_weights(
+    ds,
+    weights: dict[str, int],
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 0,
+):
+    """Domain-mixing resampler: subsample each source so the OUTPUT
+    composition approximates integer target ``weights``, keeping as much
+    data as possible (the binding source — the one that runs out first at
+    its target share — keeps 100%).
+
+    The derivation is INTEGER-exact so a SQL twin reproduces it bit-for-bit
+    (no float rates): with per-source counts ``c_s`` and weights ``w_s``,
+
+    - binding source b minimizes ``(c_s * 10^6) // w_s`` (ties: source asc);
+    - ``pct_s = min(100, (100 * w_s * c_b) // (w_b * c_s))`` — BIGINT-safe
+      for counts up to ~10^15;
+    - keep a row iff :func:`hash_bucket`(key) < pct_s (deterministic,
+      reshard/resume-stable). Sources not in ``weights`` are dropped.
+
+    Dataflow: one combiner-sized count aggregate (rows ∝ sources × blocks),
+    pcts derived on the driver (a ≤ |sources| dict in the filter closure),
+    then one streaming stateless filter — nothing corpus-sized moves.
+
+    The 100-bucket hash granularity means realized shares deviate from the
+    target by up to ~1% of a source; callers needing finer control can scale
+    the bucket space (both sides of the oracle the same way)."""
+    import pandas as pd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(source_col, sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    counts = ds.map_batches(partial, batch_format="pandas").groupby(source_col).sum("cnt").to_pandas()
+    ccol = "sum(cnt)" if "sum(cnt)" in counts.columns else "cnt"
+    c = dict(zip(counts[source_col], counts[ccol].astype(int)))
+    present = sorted(s for s in weights if c.get(s, 0) > 0)
+    if not present:
+        return hash_sample(ds, key_col, {}, strata_col=source_col, salt=salt, default_pct=0)
+    b = min(present, key=lambda s: ((c[s] * 10**6) // weights[s], s))
+    pct = {
+        s: min(100, (100 * weights[s] * c[b]) // (weights[b] * c[s])) for s in present
+    }
+    return hash_sample(ds, key_col, pct, strata_col=source_col, salt=salt, default_pct=0)

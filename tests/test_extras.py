@@ -621,3 +621,39 @@ def test_keep_latest(ray_session):
     )
     with pytest.raises(Exception, match="not unique"):
         keep_latest(rd.from_arrow(tie), ["repo", "path"], "commit_seq").to_pandas()
+
+
+def test_mix_to_weights_composition(ray_session):
+    """Binding source kept whole; realized composition ≈ target weights
+    (within the 100-bucket hash granularity); non-mix sources dropped;
+    reshard-stable (same rows at a different block count)."""
+    from elasticsearch_minhash_ray.stages.sample import mix_to_weights
+
+    rng = np.random.default_rng(7)
+    n = {"a": 4000, "b": 1000, "c": 2000, "other": 500}
+    ids, srcs = [], []
+    base = 0
+    for s, cnt in n.items():
+        ids.extend(range(base, base + cnt))
+        srcs.extend([s] * cnt)
+        base += cnt
+    perm = rng.permutation(len(ids))
+    tbl = pa.table({"doc_id": np.asarray(ids)[perm], "source": np.asarray(srcs)[perm]})
+    weights = {"a": 1, "b": 1, "c": 1}  # equal target shares
+    out = mix_to_weights(
+        rd.from_arrow(tbl).map_batches(lambda b: b, batch_format="pyarrow"),
+        weights,
+    ).to_pandas()
+
+    got = out.groupby("source").size().to_dict()
+    assert "other" not in got
+    # binding source: b has the fewest docs per weight unit -> kept 100%
+    assert got["b"] == n["b"]
+    # a and c subsample toward b's count; hash granularity is 1% of a source
+    for s in ("a", "c"):
+        assert abs(got[s] - n["b"]) <= 0.05 * n[s] + 30
+    # deterministic under resharding
+    out2 = mix_to_weights(
+        rd.from_arrow(tbl).repartition(7), weights
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
