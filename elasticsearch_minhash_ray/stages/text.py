@@ -620,9 +620,10 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
 
     1. per-batch combiner: distinct ``(doc, token, tf)`` rows (each doc lives
        in one input row, so rows are globally unique by construction);
-    2. exchange keyed by ``token``: df(token) = row count within the token's
-       block (``map_copartitioned`` co-locates every row of a token), idf
-       attached in place — no join;
+    2. exchange keyed by an int64 token hash (cheaper to sort than the
+       string; collisions only co-locate, see tf_rows): df(token) = row
+       count of the token within its block (``map_copartitioned`` co-locates
+       every row of a token), idf attached in place — no join;
     3. exchange keyed by doc: rank by (rounded score desc, token asc), keep
        the top ``k`` per doc.
 
@@ -650,9 +651,21 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
         ids = np.repeat(batch[id_col].to_numpy(np.int64), n)
         df = pd.DataFrame({id_col: ids, "token": flat})
         out = df.groupby([id_col, "token"], sort=False, as_index=False).size()
-        return out.rename(columns={"size": "tf"}).astype({"tf": np.int64})
+        out = out.rename(columns={"size": "tf"}).astype({"tf": np.int64})
+        # exchange key: deterministic 64-bit siphash of the token, NOT the
+        # string itself — the range-partition sort only needs every row of a
+        # token CO-LOCATED, not token-ordered; fixed 8-byte keys keep range
+        # boundaries and comparisons cheap where variable-length strings
+        # would not. Measured at sf0.1 (5k docs, warm session) the two are
+        # a tie (0.54 s string vs 0.48-0.6 s hashed) — the key choice is for
+        # the distinct-token-table scale, not this corpus. A tkey collision
+        # merely co-locates two token groups in one block; attach_idf groups
+        # by the string internally, so df stays per-token exact.
+        out["tkey"] = pd.util.hash_array(out["token"].to_numpy(object)).view(np.int64)
+        return out
 
     def attach_idf(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.drop(columns=["tkey"])
         if not len(batch):
             return batch.assign(df=np.empty(0, np.int64), score=np.empty(0, np.float64))
         dfc = batch.groupby("token", sort=False)["token"].transform("size")
@@ -672,7 +685,7 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
         return batch.groupby(id_col, sort=False).head(k).reset_index(drop=True)
 
     tf = ds.map_batches(tf_rows, batch_format="pandas")
-    with_idf = map_copartitioned(tf, "token", attach_idf, batch_format="pandas")
+    with_idf = map_copartitioned(tf, "tkey", attach_idf, batch_format="pandas")
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
