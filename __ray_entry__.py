@@ -676,6 +676,34 @@ def _q_token_df(sf_dir: str):
     return token_df_topk(ds, k=200)
 
 
+def _q_asof_join(sf_dir: str):
+    """Oracle-checked distributed AS-OF join (DuckDB ASOF JOIN twin): each
+    event attributed to its customer's latest order at-or-before the event
+    time. Right side first deduped per (user, orderdate) via keep_latest
+    (max orderkey — determinism), then one tagged-union by-key exchange +
+    per-block pd.merge_asof. No broadcast; both sides stream."""
+    from elasticsearch_minhash_ray.stages.dedup import keep_latest
+    from elasticsearch_minhash_ray.stages.join import asof_join
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"], dense=True
+    )
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        dense=True,
+    ).map_batches(
+        lambda b: b.rename_columns(
+            [{"o_custkey": "user_id"}.get(c, c) for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = keep_latest(orders, ["user_id", "o_orderdate"], "o_orderkey")
+    return asof_join(
+        ev, orders, by="user_id", left_on="ts", right_on="o_orderdate", how="inner"
+    )
+
+
 def _q_mix_sources(sf_dir: str):
     """Oracle-checked domain-mixing resampler: per-source counts (combiner
     aggregate) → integer-exact keep-percentages hitting target weights
@@ -1659,6 +1687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_surprisal": _q_unigram_surprisal,
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
+        "asof_join": _q_asof_join,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
@@ -2228,6 +2257,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "asof_join": """
+            WITH o AS (
+              SELECT o_custkey AS user_id, o_orderdate, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                         PARTITION BY o_custkey, o_orderdate
+                         ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+            ),
+            od AS (
+              SELECT user_id, o_orderdate, o_orderkey, o_totalprice
+              FROM o WHERE rn = 1
+            )
+            SELECT e.user_id, e.ts, e.event_id,
+                   od.o_orderdate, od.o_orderkey, od.o_totalprice
+            FROM events e ASOF JOIN od
+              ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
         """,
         "mix_sources": """
             WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),

@@ -59,3 +59,120 @@ def broadcast_join_column(ds, lookup_ref, fk_col: str, out_col: str, drop_unmatc
         return batch.append_column(out_col, pa.array(out, typ))
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+):
+    """Distributed AS-OF join (big-big): for each left row, the right row
+    with the same ``by`` key and the greatest ``right_on`` <= ``left_on``
+    (DuckDB ``ASOF JOIN l ON l.by = r.by AND l.on >= r.on`` semantics) —
+    the event-attribution / point-in-time-feature join Ray Data has no
+    native operator for.
+
+    Dataflow: both sides are tagged into ONE explicit unified schema
+    (other side's payload columns typed-null, the established union-join
+    shape of dedup/substring/text), unioned, then a SINGLE by-key exchange
+    co-locates every row of a key (:func:`~..grouping.map_copartitioned`);
+    within each block the sides split and join via ``pd.merge_asof`` (C
+    merge over sorted frames, vectorized ``by`` grouping). One exchange
+    over left+right rows — no broadcast, both sides may be corpus-sized;
+    per-key row mass is the partitioning assumption (skewed hot keys would
+    need the LSH stages' salting pattern).
+
+    DETERMINISM: make the right side unique per ``(by, right_on)`` first
+    (e.g. keep the max-id row) — with duplicated timestamps the as-of
+    winner is engine-defined and no oracle twin can match. The matched
+    right ``right_on`` value is returned as column ``{right_on}`` (copied
+    through the merge); ``how='inner'`` drops left rows with no prior
+    right row (the SQL ASOF default), ``how='left'`` keeps them with null
+    right columns."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+
+    lsch, rsch = left_ds.schema(), right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    overlap = (set(ltypes) & set(rtypes)) - {by}
+    if overlap:
+        raise ValueError(f"non-key column name overlap between sides: {sorted(overlap)}")
+    if ltypes[by] != rtypes[by]:
+        raise ValueError(f"by-key dtype mismatch: {ltypes[by]} vs {rtypes[by]}")
+
+    lpayload = [c for c in lsch.names if c not in (by, left_on)]
+    rpayload = [c for c in rsch.names if c not in (by, right_on)]
+    unified = pa.schema(
+        [
+            pa.field("_asof_by", ltypes[by]),
+            pa.field("_asof_on", ltypes[left_on]),
+            pa.field("_asof_side", pa.int8()),
+            pa.field("_asof_ron", rtypes[right_on]),
+            *[pa.field(c, ltypes[c]) for c in lpayload],
+            *[pa.field(c, rtypes[c]) for c in rpayload],
+        ]
+    )
+
+    def tag(side: int, key: str, on: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = []
+            for f in unified:
+                if f.name == "_asof_by":
+                    cols.append(batch[key].cast(f.type))
+                elif f.name == "_asof_on":
+                    cols.append(batch[on].cast(f.type))
+                elif f.name == "_asof_side":
+                    cols.append(pa.array(np.full(n, side, np.int8), f.type))
+                elif f.name == "_asof_ron" and side == 1:
+                    cols.append(batch[on].cast(f.type))
+                elif f.name in batch.column_names:
+                    cols.append(batch[f.name])
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=unified)
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(0, by, left_on), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, by, right_on), batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field(by, ltypes[by]),
+            pa.field(left_on, ltypes[left_on]),
+            *[pa.field(c, ltypes[c]) for c in lpayload],
+            pa.field(right_on, rtypes[right_on]),
+            *[pa.field(c, rtypes[c]) for c in rpayload],
+        ]
+    )
+
+    def join_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        batch = block.to_pandas()
+        side = batch["_asof_side"].to_numpy()
+        lhs = batch.loc[side == 0, ["_asof_by", "_asof_on", *lpayload]]
+        rhs = batch.loc[side == 1, ["_asof_by", "_asof_on", "_asof_ron", *rpayload]]
+        lhs = lhs.sort_values("_asof_on", kind="mergesort")
+        rhs = rhs.sort_values("_asof_on", kind="mergesort")
+        out = pd.merge_asof(
+            lhs, rhs, on="_asof_on", by="_asof_by", direction="backward"
+        )
+        if how == "inner":
+            out = out[out["_asof_ron"].notna()]
+        out = out.rename(columns={"_asof_by": by, "_asof_on": left_on, "_asof_ron": right_on})
+        out = out[[f.name for f in out_schema]]
+        # null-filled right payloads decay to float/NaT in pandas; restore
+        # the declared arrow types (safe: inner has no nulls, left keeps
+        # them as proper arrow nulls)
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    from ..grouping import map_copartitioned
+
+    return map_copartitioned(tagged, "_asof_by", join_block, batch_format="pyarrow")

@@ -657,3 +657,65 @@ def test_mix_to_weights_composition(ray_session):
         rd.from_arrow(tbl).repartition(7), weights
     ).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    """inner + left semantics vs a per-row brute force; reshard-stable;
+    typed output (int payload stays int64 through the null-union path)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(11)
+    left = pa.table(
+        {
+            "k": rng.integers(0, 20, 500),
+            "t": rng.integers(0, 1000, 500),
+            "lid": np.arange(500, dtype=np.int64),
+        }
+    )
+    # unique (k, t) on the right — the documented determinism precondition
+    rt = pd.DataFrame(
+        {"k": rng.integers(0, 25, 400), "t": rng.integers(0, 1000, 400)}
+    ).drop_duplicates(["k", "t"])
+    right = pa.table(
+        {
+            "k": rt["k"].to_numpy(np.int64),
+            "t2": rt["t"].to_numpy(np.int64),
+            "rv": np.arange(len(rt), dtype=np.int64),
+        }
+    )
+
+    def brute(how):
+        lf, rf = left.to_pandas(), right.to_pandas()
+        rows = []
+        for _, lrow in lf.iterrows():
+            cand = rf[(rf["k"] == lrow["k"]) & (rf["t2"] <= lrow["t"])]
+            if len(cand):
+                w = cand.loc[cand["t2"].idxmax()]
+                rows.append((*lrow, w["t2"], w["rv"]))
+            elif how == "left":
+                rows.append((*lrow, None, None))
+        return sorted((a, b, c, d, e) for a, b, c, d, e in rows)
+
+    for how in ("inner", "left"):
+        out = asof_join(
+            rd.from_arrow(left).repartition(5),
+            rd.from_arrow(right).repartition(3),
+            by="k",
+            left_on="t",
+            right_on="t2",
+            how=how,
+        ).to_pandas()
+        assert list(out.columns) == ["k", "t", "lid", "t2", "rv"]
+        if how == "inner":
+            assert out["rv"].dtype == np.int64  # typed through the null union
+        got = sorted(
+            (r.k, r.t, r.lid, None if pd.isna(r.t2) else int(r.t2),
+             None if pd.isna(r.rv) else int(r.rv))
+            for r in out.itertuples()
+        )
+        assert got == brute(how), how
+
+    with pytest.raises(ValueError):
+        asof_join(rd.from_arrow(left), rd.from_arrow(left), by="k", left_on="t", right_on="t")
