@@ -698,9 +698,27 @@ def _q_asof_join(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+    import pyarrow as _pa
+
     orders = keep_latest(orders, ["user_id", "o_orderdate"], "o_orderkey")
+    # explicit right schema: the right side is a keep_latest pipeline and
+    # ds.schema() would execute it a full extra time just to read the types
+    right_schema = _pa.schema(
+        [
+            ("o_orderkey", _pa.int64()),
+            ("user_id", _pa.int64()),
+            ("o_orderdate", _pa.timestamp("us")),
+            ("o_totalprice", _pa.float64()),
+        ]
+    )
     return asof_join(
-        ev, orders, by="user_id", left_on="ts", right_on="o_orderdate", how="inner"
+        ev,
+        orders,
+        by="user_id",
+        left_on="ts",
+        right_on="o_orderdate",
+        how="inner",
+        right_schema=right_schema,
     )
 
 

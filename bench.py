@@ -70,6 +70,8 @@ HEADLINE = [
     "length_quantiles",
     "docs_by_lang",
     "events_by_type",
+    "asof_join",
+    "mix_sources",
     "orders_by_region",
     "user_sessions",
     "events_daily",

@@ -68,6 +68,8 @@ def asof_join(
     left_on: str,
     right_on: str,
     how: str = "inner",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
 ):
     """Distributed AS-OF join (big-big): for each left row, the right row
     with the same ``by`` key and the greatest ``right_on`` <= ``left_on``
@@ -91,11 +93,19 @@ def asof_join(
     right ``right_on`` value is returned as column ``{right_on}`` (copied
     through the merge); ``how='inner'`` drops left rows with no prior
     right row (the SQL ASOF default), ``how='left'`` keeps them with null
-    right columns."""
+    right columns.
+
+    Pass ``left_schema`` / ``right_schema`` (arrow) when the side is the
+    output of an exchange-bearing pipeline: the ``ds.schema()`` fallback
+    EXECUTES such a pipeline end-to-end just to learn its schema (measured:
+    a keep_latest right side cost a full extra 2.9 s run at sf0.1 before
+    these params existed), and the side then re-executes for the join
+    itself."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
 
-    lsch, rsch = left_ds.schema(), right_ds.schema()
+    lsch = left_schema if left_schema is not None else left_ds.schema()
+    rsch = right_schema if right_schema is not None else right_ds.schema()
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
     overlap = (set(ltypes) & set(rtypes)) - {by}
