@@ -1575,6 +1575,46 @@ def _q_events_daily(sf_dir: str):
     return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping (sliding) window aggregate — 6 h windows every 1 h, per event
+    type: each event fans out to its 6 containing windows (vectorized
+    np.repeat on integer epoch arithmetic, shared with the SQL twin), is
+    pre-aggregated per (type, window) inside the batch, then one tiny
+    groupby. The overlap-factor fan-out happens in the combiner, so the
+    exchange carries ~windows × types rows, not events × 6."""
+    import pandas as pd
+
+    HOP = 3_600_000_000  # 1 h in us
+    S = 6  # windows containing an event = window / hop
+
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["ts"].astype("int64").to_numpy()
+        w0 = (t // HOP) * HOP
+        ws = np.repeat(w0, S) - np.tile(np.arange(S, dtype=np.int64) * HOP, len(w0))
+        out = pd.DataFrame(
+            {
+                "event_type": np.repeat(batch["event_type"].to_numpy(), S),
+                "ws": ws,
+                "value": np.repeat(batch["value"].to_numpy(), S),
+            }
+        )
+        return out.groupby(["event_type", "ws"], as_index=False).agg(
+            n_events=("value", "size"), total_value=("value", "sum")
+        )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby(["event_type", "ws"], as_index=False).agg(
+            n_events=("n_events", "sum"), total_value=("total_value", "sum")
+        )
+        out["window_start"] = out.pop("ws").to_numpy().astype("datetime64[us]")
+        out["total_value_cents"] = (out.pop("total_value") * 100).round().astype("int64")
+        return out
+
+    return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
+
+
 def _q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary over lineitem: predicate pushed to the
     parquet READ (row groups skipped at the source — "prune at the read"),
@@ -1727,6 +1767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": _q_user_sessions,
         "pricing_summary": _q_pricing_summary,
         "events_daily": _q_events_daily,
+        "events_hopping": _q_events_hopping,
     }
 
 
@@ -1940,6 +1981,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "events_hopping": """
+            WITH p AS (SELECT event_type, value, epoch_us(ts) AS t FROM events),
+            i AS (SELECT unnest(range(6)) AS i),
+            w AS (
+              SELECT event_type, value,
+                     (t // 3600000000) * 3600000000 - i.i * 3600000000 AS ws
+              FROM p CROSS JOIN i
+            )
+            SELECT event_type, make_timestamp(ws) AS window_start,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
+            FROM w GROUP BY event_type, ws
         """,
         "top_docs_by_len": """
             SELECT doc_id, length(coalesce(text,'')) AS n_chars

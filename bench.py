@@ -75,6 +75,7 @@ HEADLINE = [
     "orders_by_region",
     "user_sessions",
     "events_daily",
+    "events_hopping",
 ]
 
 
