@@ -722,6 +722,18 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_ngram_repetition(sf_dir: str):
+    """Oracle-checked per-doc duplicate-2-gram fraction (Gopher-style
+    repetition signal). Map-only; one factorize per batch, integer
+    pair-packed gram codes, distinct-per-doc via lexsort + run bincount."""
+    from elasticsearch_minhash_ray.stages.text import ngram_repetition
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    )
+    return ngram_repetition(ds)
+
+
 def _q_mix_sources(sf_dir: str):
     """Oracle-checked domain-mixing resampler: per-source counts (combiner
     aggregate) → integer-exact keep-percentages hitting target weights
@@ -1746,6 +1758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "token_df": _q_token_df,
         "asof_join": _q_asof_join,
+        "ngram_repetition": _q_ngram_repetition,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
@@ -2329,6 +2342,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "ngram_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+') AS t
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) AS grams
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_2grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                         / len(grams), 9)
+                        ELSE 0.0 END AS dup_frac
+            FROM g
         """,
         "asof_join": """
             WITH o AS (

@@ -733,3 +733,55 @@ def column_quantiles(ds, col: str = "n_chars", by: str = "lang",
     return map_copartitioned(
         ds.map_batches(partial, batch_format="pandas"), by, finish, batch_format="pandas"
     )
+
+
+def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc duplicate-n-gram fraction — the Gopher-style repetition
+    signal (`1 - distinct_ngrams / ngrams`); high values flag boilerplate /
+    degenerate generations. Map-only combiner shape, no exchange.
+
+    Vectorized: one factorize over the batch's flat token stream, n-gram
+    codes built by integer packing of adjacent code pairs (doc boundaries
+    masked), distinct-per-doc via one lexsort + unique-run bincount.
+    Docs with < n tokens emit (0, 0, 0.0)."""
+    import re
+
+    if n != 2:
+        raise NotImplementedError("integer pair-packing is written for n=2")
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        counts = toks.str.len().to_numpy(np.int64)
+        ids = batch[id_col].to_numpy(np.int64)
+        total = int(counts.sum())
+        ngrams = np.maximum(counts - (n - 1), 0)
+        if total == 0:
+            z = np.zeros(len(ids), np.int64)
+            return pd.DataFrame(
+                {id_col: ids, "n_2grams": z, "n_distinct": z, "dup_frac": z.astype(np.float64)}
+            )
+        from itertools import chain
+
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        codes, uniques = pd.factorize(flat, sort=False)
+        codes = codes.astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        V = np.int64(len(uniques))
+        grams = codes[:-1] * V + codes[1:]
+        gdoc = doc_idx[:-1][same_doc]
+        grams = grams[same_doc]
+        order = np.lexsort((grams, gdoc))
+        gdoc_s, grams_s = gdoc[order], grams[order]
+        newrun = np.ones(len(gdoc_s), dtype=bool)
+        newrun[1:] = (gdoc_s[1:] != gdoc_s[:-1]) | (grams_s[1:] != grams_s[:-1])
+        distinct = np.bincount(gdoc_s[newrun], minlength=len(ids)).astype(np.int64)
+        frac = np.zeros(len(ids), np.float64)
+        nz = ngrams > 0
+        frac[nz] = np.round(1.0 - distinct[nz] / ngrams[nz], 9)
+        return pd.DataFrame(
+            {id_col: ids, "n_2grams": ngrams, "n_distinct": distinct, "dup_frac": frac}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
