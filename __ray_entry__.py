@@ -722,6 +722,30 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_hash_join(sf_dir: str):
+    """Oracle-checked big-big shuffle equi-join via Ray Data's NATIVE
+    hash join (Dataset.join, hash-partitioned aggregators on both sides —
+    the idiomatic path when NEITHER side fits a broadcast; compare
+    orders_by_region for the broadcast small-side shape)."""
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        dense=True,
+    )
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+        dense=True,
+    )
+    return orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+
 def _q_ngram_repetition(sf_dir: str):
     """Oracle-checked per-doc duplicate-2-gram fraction (Gopher-style
     repetition signal). Map-only; one factorize per batch, integer
@@ -1759,6 +1783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df": _q_token_df,
         "asof_join": _q_asof_join,
         "ngram_repetition": _q_ngram_repetition,
+        "hash_join": _q_hash_join,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
@@ -2342,6 +2367,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "hash_join": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+                   c.c_name, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "ngram_repetition": """
             WITH toks AS (

@@ -65,6 +65,7 @@ HEADLINE = [
     "pii_scrub",
     "pack_sequences",
     "unigram_surprisal",
+    "ngram_repetition",
     "token_df",
     "tfidf_topk",
     "length_quantiles",
