@@ -109,11 +109,12 @@ def run_flagship(corpus_path: str) -> dict:
         # measured scheduling is clean because the signature output hits a
         # materialize() barrier, so the only concurrent op is the read
         # (measured: fixed 20.2s vs autoscaling 26.6s at 8 cpus, tie at 2)
-        # ≥16 cpus: leave 2 CPUs of read headroom — a fixed full-width pool
-        # at the session's whole cpu count can claim every CPU before the
-        # parquet read emits a block and deadlock (observed at 32 cpus in
-        # --delta; at the measured 2/8-cpu series widths reads win the
-        # pool ramp-up race, and that config is kept bit-identical here)
+        # above the measured 2/8-cpu series widths (NUM_CPUS > 8): leave 2
+        # CPUs of read headroom — a fixed full-width pool at the session's
+        # whole cpu count can claim every CPU before the parquet read emits
+        # a block and deadlock (observed at 32 cpus in --delta; at the
+        # measured 2/8-cpu widths reads win the pool ramp-up race, and that
+        # config is kept bit-identical here)
         sig_concurrency=None
         if sig_mode == "task"
         else ((NUM_CPUS, NUM_CPUS) if NUM_CPUS <= 8 else (NUM_CPUS - 2, NUM_CPUS)),

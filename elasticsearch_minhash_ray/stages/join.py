@@ -93,7 +93,10 @@ def asof_join(
     right ``right_on`` value is returned as column ``{right_on}`` (copied
     through the merge); ``how='inner'`` drops left rows with no prior
     right row (the SQL ASOF default), ``how='left'`` keeps them with null
-    right columns.
+    right columns. Null ``by``/``on`` values never match (SQL semantics):
+    such right rows and, under 'inner', left rows are dropped at the tag
+    stage; under 'left' null-key left rows pass through with null right
+    columns.
 
     Pass ``left_schema`` / ``right_schema`` (arrow) when the side is the
     output of an exchange-bearing pipeline: the ``ds.schema()`` fallback
@@ -111,6 +114,10 @@ def asof_join(
     overlap = (set(ltypes) & set(rtypes)) - {by}
     if overlap:
         raise ValueError(f"non-key column name overlap between sides: {sorted(overlap)}")
+    reserved = {"_asof_by", "_asof_on", "_asof_side", "_asof_ron"}
+    bad = (set(ltypes) | set(rtypes)) & reserved
+    if bad:
+        raise ValueError(f"input columns collide with reserved names: {sorted(bad)}")
     if ltypes[by] != rtypes[by]:
         raise ValueError(f"by-key dtype mismatch: {ltypes[by]} vs {rtypes[by]}")
 
@@ -129,6 +136,16 @@ def asof_join(
 
     def tag(side: int, key: str, on: str):
         def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # null by/on values can never match (SQL ASOF semantics) and
+            # would crash pd.merge_asof; drop them here — except left-side
+            # rows under how='left', which must survive to the output with
+            # null right columns (handled in join_block)
+            if side == 1 or how == "inner":
+                batch = batch.filter(
+                    pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
+                )
             n = batch.num_rows
             cols = []
             for f in unified:
@@ -169,6 +186,10 @@ def asof_join(
         side = batch["_asof_side"].to_numpy()
         lhs = batch.loc[side == 0, ["_asof_by", "_asof_on", *lpayload]]
         rhs = batch.loc[side == 1, ["_asof_by", "_asof_on", "_asof_ron", *rpayload]]
+        lnull = lhs.iloc[0:0]
+        if how == "left":
+            ok = lhs["_asof_by"].notna() & lhs["_asof_on"].notna()
+            lnull, lhs = lhs[~ok], lhs[ok]
         lhs = lhs.sort_values("_asof_on", kind="mergesort")
         rhs = rhs.sort_values("_asof_on", kind="mergesort")
         out = pd.merge_asof(
@@ -176,6 +197,9 @@ def asof_join(
         )
         if how == "inner":
             out = out[out["_asof_ron"].notna()]
+        elif len(lnull):
+            # null-key left rows pass through with null right columns
+            out = pd.concat([out, lnull], ignore_index=True)
         out = out.rename(columns={"_asof_by": by, "_asof_on": left_on, "_asof_ron": right_on})
         out = out[[f.name for f in out_schema]]
         # null-filled right payloads decay to float/NaT in pandas; restore

@@ -99,8 +99,17 @@ def mix_to_weights(
 
     The 100-bucket hash granularity means realized shares deviate from the
     target by up to ~1% of a source; callers needing finer control can scale
-    the bucket space (both sides of the oracle the same way)."""
+    the bucket space (both sides of the oracle the same way).
+
+    NOTE: ``ds`` executes twice — once for the count aggregate, once for
+    the filter. Cheap for parquet-read inputs (pruned re-read, the
+    line_dedup_global rationale); materialize first when ``ds`` is the
+    output of an expensive pipeline."""
     import pandas as pd
+
+    bad = {s: w for s, w in weights.items() if int(w) != w or w <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive integers, got {bad}")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.groupby(source_col, sort=False, as_index=False).size()

@@ -746,9 +746,11 @@ def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_
     Docs with < n tokens emit (0, 0, 0.0)."""
     import re
 
+    from ..functions.text_stats import TOKEN_RE
+
     if n != 2:
         raise NotImplementedError("integer pair-packing is written for n=2")
-    word_re = re.compile(r"[0-9A-Za-z_]+")
+    word_re = re.compile(TOKEN_RE)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[text_col].fillna("").str.findall(word_re)

@@ -719,3 +719,39 @@ def test_asof_join_matches_bruteforce(ray_session):
 
     with pytest.raises(ValueError):
         asof_join(rd.from_arrow(left), rd.from_arrow(left), by="k", left_on="t", right_on="t")
+
+
+def test_asof_join_null_keys(ray_session):
+    """Null by/on values never match (SQL ASOF semantics): dropped under
+    inner, passed through with null right columns under left — not a
+    pd.merge_asof crash."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.join import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, None, 2], pa.int64()),
+            "t": pa.array([10, None, 5, 7], pa.int64()),
+            "lid": pa.array([0, 1, 2, 3], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, None, 2], pa.int64()),
+            "t2": pa.array([5, 1, None], pa.int64()),
+            "rv": pa.array([100, 200, 300], pa.int64()),
+        }
+    )
+    inner = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", left_on="t", right_on="t2"
+    ).to_pandas()
+    # only (k=1, t=10) matches (k=1, t2=5); null-key right rows never match
+    assert [(r.k, r.t, r.lid, r.t2, r.rv) for r in inner.itertuples()] == [(1, 10, 0, 5, 100)]
+
+    left_out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", left_on="t",
+        right_on="t2", how="left",
+    ).to_pandas().sort_values("lid")
+    assert list(left_out["lid"]) == [0, 1, 2, 3]
+    assert left_out["rv"].notna().tolist() == [True, False, False, False]
