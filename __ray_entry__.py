@@ -722,6 +722,20 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_top_events_per_user(sf_dir: str):
+    """Oracle-checked grouped top-k (windowed ranking): each user's 3
+    highest-value events. One by-keyed exchange + per-block sort/head —
+    no global sort; ties broken by event_id asc for engine portability."""
+    from elasticsearch_minhash_ray.stages.sample import topk_per_group
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "event_type", "value"],
+        dense=True,
+    )
+    return topk_per_group(ds, by="user_id", order_col="value", k=3, tiebreak="event_id")
+
+
 def _q_hash_join(sf_dir: str):
     """Oracle-checked big-big shuffle equi-join via Ray Data's NATIVE
     hash join (Dataset.join, hash-partitioned aggregators on both sides —
@@ -1784,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "ngram_repetition": _q_ngram_repetition,
         "hash_join": _q_hash_join,
+        "top_events_per_user": _q_top_events_per_user,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
@@ -2367,6 +2382,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, event_type, value FROM (
+              SELECT *, row_number() OVER (
+                  PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+              FROM events
+            ) WHERE rn <= 3
         """,
         "hash_join": """
             SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,

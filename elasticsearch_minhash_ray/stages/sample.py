@@ -126,3 +126,27 @@ def mix_to_weights(
         s: min(100, (100 * weights[s] * c[b]) // (weights[b] * c[s])) for s in present
     }
     return hash_sample(ds, key_col, pct, strata_col=source_col, salt=salt, default_pct=0)
+
+
+def topk_per_group(ds, by: str, order_col: str, k: int, tiebreak: str | None = None):
+    """Top-``k`` rows per group by ``order_col`` desc — the windowed-ranking
+    primitive (`row_number() OVER (PARTITION BY by ORDER BY order_col DESC)
+    <= k`). One ``by``-keyed exchange (:func:`~..grouping.map_copartitioned`)
+    then a vectorized per-block sort + ``groupby.head`` — rows of a group
+    are co-located so no global sort of the full table is needed.
+
+    Determinism: ties on ``order_col`` are broken by ``tiebreak`` asc
+    (required when ``order_col`` values can repeat within a group — an
+    engine-defined pick cannot match an oracle twin)."""
+    order_cols = [by, order_col] + ([tiebreak] if tiebreak else [])
+    asc = [True, False] + ([True] if tiebreak else [])
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        batch = batch.sort_values(order_cols, ascending=asc, kind="mergesort")
+        return batch.groupby(by, sort=False).head(k).reset_index(drop=True)
+
+    from ..grouping import map_copartitioned
+
+    return map_copartitioned(ds, by, pick, batch_format="pandas")
