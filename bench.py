@@ -77,6 +77,8 @@ HEADLINE = [
     "user_sessions",
     "events_daily",
     "events_hopping",
+    "hash_join",
+    "top_events_per_user",
 ]
 
 
