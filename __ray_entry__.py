@@ -722,6 +722,26 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_normalize_text(sf_dir: str):
+    """Oracle-checked canonical text normalization (NFC → lower → ASCII-ws
+    collapse → strip). The corpus is all-ASCII, so a combining-mark + tab
+    prefix is PLANTED identically on both sides (the pii_scrub precedent)
+    to genuinely exercise the NFC composition and the collapse."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import normalize_text
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    )
+
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["text"] = "Café\t" + batch["text"].fillna("")
+        return batch
+
+    return normalize_text(ds.map_batches(plant, batch_format="pandas"))
+
+
 def _q_top_events_per_user(sf_dir: str):
     """Oracle-checked grouped top-k (windowed ranking): each user's 3
     highest-value events. One by-keyed exchange + per-block sort/head —
@@ -1799,6 +1819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": _q_ngram_repetition,
         "hash_join": _q_hash_join,
         "top_events_per_user": _q_top_events_per_user,
+        "normalize_text": _q_normalize_text,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
@@ -2382,6 +2403,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "normalize_text": """
+            WITH planted AS (
+              SELECT doc_id,
+                     'Cafe' || chr(769) || chr(9) || coalesce(text, '') AS text
+              FROM documents
+            ),
+            n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(
+                         lower(nfc_normalize(text)),
+                         '[ \t\r\n\f\v]+', ' ', 'g')) AS norm_text
+              FROM planted
+            )
+            SELECT doc_id, norm_text,
+                   CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+            FROM n
         """,
         "top_events_per_user": """
             SELECT user_id, event_id, event_type, value FROM (
