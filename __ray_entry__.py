@@ -722,6 +722,20 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_value_zscore(sf_dir: str):
+    """Oracle-checked per-event-type z-score of event value. Deterministic
+    by construction: integer-cents stats (exact BIGINT sums) + identical
+    IEEE operation order on both engines — bit-exact, no tolerance."""
+    from elasticsearch_minhash_ray.stages.sample import zscore_by_group
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        dense=True,
+    )
+    return zscore_by_group(ds, value_col="value", by="event_type", id_col="event_id")
+
+
 def _q_normalize_text(sf_dir: str):
     """Oracle-checked canonical text normalization (NFC → lower → ASCII-ws
     collapse → strip). The corpus is all-ASCII, so a combining-mark + tab
@@ -1820,6 +1834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": _q_hash_join,
         "top_events_per_user": _q_top_events_per_user,
         "normalize_text": _q_normalize_text,
+        "value_zscore": _q_value_zscore,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
@@ -2403,6 +2418,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "value_zscore": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     sum(cents) AS s, sum(cents * cents) AS ss
+              FROM c GROUP BY event_type
+            )
+            SELECT c.event_id, c.event_type,
+                   CASE WHEN (CAST(ss AS DOUBLE) / n
+                              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)) > 0
+                        THEN round((c.cents - CAST(s AS DOUBLE) / n)
+                                   / sqrt(CAST(ss AS DOUBLE) / n
+                                          - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 9)
+                        ELSE 0.0 END AS z
+            FROM c JOIN s USING (event_type)
         """,
         "normalize_text": """
             WITH planted AS (

@@ -159,3 +159,63 @@ def topk_per_group(ds, by: str, order_col: str, k: int, tiebreak: str | None = N
     return map_copartitioned(
         ds.map_batches(pick, batch_format="pandas"), by, pick, batch_format="pandas"
     )
+
+
+def zscore_by_group(ds, value_col: str, by: str, id_col: str):
+    """Per-group z-score normalization (population std) — the standard
+    feature-scaling op, engineered for EXACT cross-engine determinism:
+    values are first fixed to integer cents (``round(value*100)``), group
+    statistics (count, sum, sum-of-squares) are exact BIGINTs, and the
+    z-score is derived from those integers with an identical IEEE operation
+    order on both engines — no float-summation-order divergence, so the
+    oracle matches bit-for-bit, not just to a tolerance.
+
+    Dataflow: combiner-sized stats aggregate (3 ints per group per block) →
+    tiny driver dict in the score closure → streaming map. Zero-variance
+    groups score 0.0. NOTE: ``ds`` executes twice (stats pass + score
+    pass) — cheap for parquet reads, materialize first otherwise.
+    sumsq fits BIGINT for |cents| ≤ ~3e4 over ≤ ~1e13 rows."""
+    import pandas as pd
+
+    def cents(v: np.ndarray) -> np.ndarray:
+        return np.round(v * 100.0).astype(np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents(batch[value_col].to_numpy(np.float64))
+        g = pd.DataFrame({by: batch[by], "c": c, "cc": c * c})
+        out = g.groupby(by, sort=False).agg(
+            n=("c", "size"), s=("c", "sum"), ss=("cc", "sum")
+        )
+        return out.reset_index()
+
+    stats = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(by)
+        .sum(["n", "s", "ss"])
+        .to_pandas()
+    )
+    cols = {c.replace("sum(", "").rstrip(")"): c for c in stats.columns}
+    lut = {
+        row[by]: (int(row[cols.get("n", "n")]), int(row[cols.get("s", "s")]),
+                  int(row[cols.get("ss", "ss")]))
+        for _, row in stats.iterrows()
+    }
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c = cents(batch[value_col].to_numpy(np.float64)).astype(np.float64)
+        gb = batch[by]
+        n = gb.map({g: v[0] for g, v in lut.items()}).to_numpy(np.float64)
+        s = gb.map({g: v[1] for g, v in lut.items()}).to_numpy(np.float64)
+        ss = gb.map({g: v[2] for g, v in lut.items()}).to_numpy(np.float64)
+        # operation ORDER mirrors the SQL twin exactly: m = s/n;
+        # var = ss/n - m*m; z = (c - m)/sqrt(var)
+        m = s / n
+        var = ss / n - m * m
+        z = np.zeros(len(c), np.float64)
+        pos = var > 0
+        z[pos] = np.round((c[pos] - m[pos]) / np.sqrt(var[pos]), 9)
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(np.int64), by: batch[by], "z": z}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
