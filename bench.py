@@ -79,6 +79,8 @@ HEADLINE = [
     "events_hopping",
     "hash_join",
     "top_events_per_user",
+    "normalize_text",
+    "value_zscore",
 ]
 
 
