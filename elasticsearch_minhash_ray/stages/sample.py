@@ -1,4 +1,9 @@
-"""Deterministic hash-based sampling — reproducible corpus subsetting.
+"""Deterministic row selection & scoring primitives: hash sampling,
+domain mixing, grouped top-k ranking, per-group z-score scaling.
+
+The common thread is ORACLE-EXACT determinism — every operator's arithmetic
+is chosen so a DuckDB SQL twin reproduces it bit-for-bit (integer hash
+buckets, integer mixing rates, explicit tiebreaks, integer-cents stats).
 
 Training-data pipelines sample by a HASH of a stable key, not by RNG state:
 the decision for a row never depends on partitioning, ordering, resharding or

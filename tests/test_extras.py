@@ -755,3 +755,54 @@ def test_asof_join_null_keys(ray_session):
     ).to_pandas().sort_values("lid")
     assert list(left_out["lid"]) == [0, 1, 2, 3]
     assert left_out["rv"].notna().tolist() == [True, False, False, False]
+
+
+def test_column_quantiles_vs_numpy(ray_session):
+    """Exact quantiles vs a brute-force 'smallest v with cum share >= q'
+    per group, including a single-value group."""
+    from elasticsearch_minhash_ray.stages.text import column_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate(
+        [rng.integers(0, 500, 3000), rng.integers(100, 200, 1000), np.full(7, 42)]
+    )
+    grp = np.array(["a"] * 3000 + ["b"] * 1000 + ["c"] * 7)
+    tbl = pa.table({"lang": grp, "n_chars": vals})
+    out = column_quantiles(rd.from_arrow(tbl).repartition(6)).to_pandas()
+
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    for g in ("a", "b", "c"):
+        v = np.sort(vals[grp == g])
+        cd = np.arange(1, len(v) + 1) / len(v)
+        for q in qs:
+            expect = v[np.searchsorted(cd, q, side="left")]
+            got = out[(out["lang"] == g) & (out["q"] == q)]["value"].iloc[0]
+            assert got == expect, (g, q)
+        assert (out[out["lang"] == g]["n_rows"] == len(v)).all()
+
+
+def test_zscore_by_group_zero_variance(ray_session):
+    """Zero-variance group scores 0.0; normal group matches a direct
+    integer-cents computation."""
+    from elasticsearch_minhash_ray.stages.sample import zscore_by_group
+
+    tbl = pa.table(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "event_type": ["flat"] * 3 + ["mix"] * 3,
+            "value": [5.0, 5.0, 5.0, 1.0, 2.0, 3.0],
+        }
+    )
+    out = (
+        zscore_by_group(
+            rd.from_arrow(tbl), value_col="value", by="event_type", id_col="event_id"
+        )
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert (out[out["event_type"] == "flat"]["z"] == 0.0).all()
+    c = np.array([100.0, 200.0, 300.0])
+    m = c.sum() / 3
+    sd = np.sqrt((c * c).sum() / 3 - m * m)
+    expect = np.round((c - m) / sd, 9)
+    assert np.array_equal(out[out["event_type"] == "mix"]["z"].to_numpy(), expect)
