@@ -2424,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, event_type,
                      CAST(round(value * 100) AS BIGINT) AS cents
               FROM events
+              WHERE value IS NOT NULL AND event_type IS NOT NULL
             ),
             s AS (
               SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -147,13 +147,19 @@ def topk_per_group(ds, by: str, order_col: str, k: int, tiebreak: str | None = N
     Combiner: the same pick runs per INPUT block first — a group's global
     top-k is a subset of the union of its per-block top-k's — so the
     exchange carries ≤ k rows per (group, block), not the full table
-    (measured sf0.1, 1M events / 1.5k users: 1.23 s → 0.52 s warm)."""
+    (measured sf0.1, 1M events / 1.5k users: 1.23 s → 0.52 s warm).
+
+    Null ``by`` keys are DROPPED (explicitly — the hash_sample null
+    convention; note SQL ``PARTITION BY`` would instead rank NULLs as
+    their own group, so filter nulls on the oracle side too when they can
+    occur)."""
     import pandas as pd
 
     order_cols = [by, order_col] + ([tiebreak] if tiebreak else [])
     asc = [True, False] + ([True] if tiebreak else [])
 
     def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[by].notna()]
         if not len(batch):
             return batch
         batch = batch.sort_values(order_cols, ascending=asc, kind="mergesort")
@@ -179,13 +185,27 @@ def zscore_by_group(ds, value_col: str, by: str, id_col: str):
     tiny driver dict in the score closure → streaming map. Zero-variance
     groups score 0.0. NOTE: ``ds`` executes twice (stats pass + score
     pass) — cheap for parquet reads, materialize first otherwise.
-    sumsq fits BIGINT for |cents| ≤ ~3e4 over ≤ ~1e13 rows."""
+
+    Contract limits: rows with a null group key OR null value are DROPPED
+    in both passes (the hash_sample null convention; the SQL twin filters
+    the same way). Cents rounding is half-AWAY-from-zero to match SQL
+    ``round()`` (numpy's default np.round is half-even and would diverge
+    on exact sub-cent .5 ties); the floor(|x|+0.5) formulation shares the
+    pathological-double caveat of that classic idiom. sumsq stays inside
+    BIGINT for |cents| ≤ ~3e4 over ≤ ~1e10 rows (9e8 × 1e10 ≈ int64 max;
+    DuckDB promotes to HUGEINT, so overflow here would be a SILENT
+    divergence — shard the stats pass or widen cents beyond that)."""
     import pandas as pd
 
     def cents(v: np.ndarray) -> np.ndarray:
-        return np.round(v * 100.0).astype(np.int64)
+        # half-away-from-zero, matching SQL round()
+        return (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+
+    def drop_nulls(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch[by].notna() & batch[value_col].notna()]
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = drop_nulls(batch)
         c = cents(batch[value_col].to_numpy(np.float64))
         g = pd.DataFrame({by: batch[by], "c": c, "cc": c * c})
         out = g.groupby(by, sort=False).agg(
@@ -200,18 +220,20 @@ def zscore_by_group(ds, value_col: str, by: str, id_col: str):
         .to_pandas()
     )
     cols = {c.replace("sum(", "").rstrip(")"): c for c in stats.columns}
-    lut = {
-        row[by]: (int(row[cols.get("n", "n")]), int(row[cols.get("s", "s")]),
-                  int(row[cols.get("ss", "ss")]))
-        for _, row in stats.iterrows()
-    }
+    n_map, s_map, ss_map = {}, {}, {}
+    for _, row in stats.iterrows():
+        g = row[by]
+        n_map[g] = int(row[cols.get("n", "n")])
+        s_map[g] = int(row[cols.get("s", "s")])
+        ss_map[g] = int(row[cols.get("ss", "ss")])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = drop_nulls(batch)
         c = cents(batch[value_col].to_numpy(np.float64)).astype(np.float64)
         gb = batch[by]
-        n = gb.map({g: v[0] for g, v in lut.items()}).to_numpy(np.float64)
-        s = gb.map({g: v[1] for g, v in lut.items()}).to_numpy(np.float64)
-        ss = gb.map({g: v[2] for g, v in lut.items()}).to_numpy(np.float64)
+        n = gb.map(n_map).to_numpy(np.float64)
+        s = gb.map(s_map).to_numpy(np.float64)
+        ss = gb.map(ss_map).to_numpy(np.float64)
         # operation ORDER mirrors the SQL twin exactly: m = s/n;
         # var = ss/n - m*m; z = (c - m)/sqrt(var)
         m = s / n

@@ -806,3 +806,53 @@ def test_zscore_by_group_zero_variance(ray_session):
     sd = np.sqrt((c * c).sum() / 3 - m * m)
     expect = np.round((c - m) / sd, 9)
     assert np.array_equal(out[out["event_type"] == "mix"]["z"].to_numpy(), expect)
+
+
+def test_zscore_and_topk_null_handling(ray_session):
+    """Null group keys / values are dropped (documented convention) — not
+    poisoned stats, not a crash, not silent propagation."""
+    from elasticsearch_minhash_ray.stages.sample import topk_per_group, zscore_by_group
+
+    tbl = pa.table(
+        {
+            "event_id": np.arange(5, dtype=np.int64),
+            "event_type": pa.array(["a", "a", None, "a", "a"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, None, 3.0], pa.float64()),
+        }
+    )
+    z = zscore_by_group(
+        rd.from_arrow(tbl), value_col="value", by="event_type", id_col="event_id"
+    ).to_pandas()
+    assert sorted(z["event_id"]) == [0, 1, 4]  # null key + null value dropped
+    c = np.array([100.0, 200.0, 300.0])
+    m = c.sum() / 3
+    sd = np.sqrt((c * c).sum() / 3 - m * m)
+    assert np.array_equal(
+        z.sort_values("event_id")["z"].to_numpy(), np.round((c - m) / sd, 9)
+    )
+
+    top = topk_per_group(
+        rd.from_arrow(tbl), by="event_type", order_col="value", k=2, tiebreak="event_id"
+    ).to_pandas()
+    assert top["event_type"].notna().all()
+
+
+def test_zscore_cents_half_away_from_zero(ray_session):
+    """Sub-cent .5 ties round half-AWAY like SQL round(), not numpy
+    half-even: ±0.125 -> ±13 cents (np.round would give 12)."""
+    tbl = pa.table(
+        {
+            "event_id": np.arange(3, dtype=np.int64),
+            "event_type": ["a"] * 3,
+            "value": [0.125, -0.125, 1.0],
+        }
+    )
+    from elasticsearch_minhash_ray.stages.sample import zscore_by_group
+
+    z = zscore_by_group(
+        rd.from_arrow(tbl), value_col="value", by="event_type", id_col="event_id"
+    ).to_pandas().sort_values("event_id")
+    c = np.array([13.0, -13.0, 100.0])  # half-away cents
+    m = c.sum() / 3
+    sd = np.sqrt((c * c).sum() / 3 - m * m)
+    assert np.array_equal(z["z"].to_numpy(), np.round((c - m) / sd, 9))
