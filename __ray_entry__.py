@@ -722,6 +722,52 @@ def _q_asof_join(sf_dir: str):
     )
 
 
+def _q_range_join(sf_dir: str):
+    """Oracle-checked distributed RANGE join — windowed attribution: every
+    (purchase, click) pair of the same user with the click in the 24 h
+    BEFORE the purchase. Tagged-union by-key exchange + per-block
+    lexsort/searchsorted pair expansion (no per-row Python); inner,
+    one output row per matching pair."""
+    import pyarrow as _pa
+
+    from elasticsearch_minhash_ray.stages.join import range_join
+
+    def typed(kind: str, idc: str, tsc: str):
+        def fn(b: _pa.Table) -> _pa.Table:
+            import pyarrow.compute as pc
+
+            b = b.filter(pc.equal(b["event_type"], kind))
+            return _pa.table(
+                {idc: b["event_id"], tsc: b["ts"], "user_id": b["user_id"]}
+            )
+
+        return fn
+
+    ev = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        dense=True,
+    )
+    purchases = ev.map_batches(typed("purchase", "event_id", "ts"), batch_format="pyarrow")
+    clicks = ev.map_batches(typed("click", "click_id", "click_ts"), batch_format="pyarrow")
+    day_us = 86400 * 1_000_000
+    return range_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_on="ts",
+        right_on="click_ts",
+        lower_offset=-day_us,
+        upper_offset=0,
+        left_schema=_pa.schema(
+            [("event_id", _pa.int64()), ("ts", _pa.timestamp("us")), ("user_id", _pa.int64())]
+        ),
+        right_schema=_pa.schema(
+            [("click_id", _pa.int64()), ("click_ts", _pa.timestamp("us")), ("user_id", _pa.int64())]
+        ),
+    )
+
+
 def _q_value_zscore(sf_dir: str):
     """Oracle-checked per-event-type z-score of event value. Deterministic
     by construction: integer-cents stats (exact BIGINT sums) + identical
@@ -1840,6 +1886,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": _q_top_events_per_user,
         "normalize_text": _q_normalize_text,
         "value_zscore": _q_value_zscore,
+        "range_join": _q_range_join,
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
@@ -2423,6 +2470,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS df
             FROM toks GROUP BY token
             ORDER BY df DESC, token LIMIT 200
+        """,
+        "range_join": """
+            SELECT p.user_id, p.ts, p.event_id,
+                   c.ts AS click_ts, c.event_id AS click_id
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND epoch_us(c.ts)
+                 BETWEEN epoch_us(p.ts) - 86400000000 AND epoch_us(p.ts)
         """,
         "value_zscore": """
             WITH c AS (

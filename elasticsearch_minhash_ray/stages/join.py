@@ -210,3 +210,163 @@ def asof_join(
     from ..grouping import map_copartitioned
 
     return map_copartitioned(tagged, "_asof_by", join_block, batch_format="pyarrow")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    by: str,
+    left_on: str,
+    right_on: str,
+    lower_offset: int,
+    upper_offset: int,
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+):
+    """Distributed RANGE (interval) join: emit one row per (left, right)
+    pair with the same ``by`` key and ``left_on + lower_offset <=
+    right_on <= left_on + upper_offset`` (offsets in the column's int64
+    units — microseconds for timestamp[us]). The windowed-attribution
+    join ("orders within 7 days before the event"); inner semantics —
+    left rows with no match are dropped, null by/on rows never match.
+
+    Same dataflow as :func:`asof_join` (tagged union → ONE by-key
+    exchange); inside each block the right side is lexsorted by
+    (key, time) once, per-left-row group bounds come from two vectorized
+    searchsorteds, per-group time bounds from one searchsorted pair per
+    key, and the pair expansion is the repeat/cumsum multi-range gather —
+    no per-row Python. Scale assumption: the OUTPUT pair mass per key
+    fits a block (window × per-key rate bounds it; cap upstream for
+    adversarial keys)."""
+    if lower_offset > upper_offset:
+        raise ValueError("lower_offset must be <= upper_offset")
+    lsch = left_schema if left_schema is not None else left_ds.schema()
+    rsch = right_schema if right_schema is not None else right_ds.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    rtypes = dict(zip(rsch.names, rsch.types))
+    overlap = (set(ltypes) & set(rtypes)) - {by}
+    if overlap:
+        raise ValueError(f"non-key column name overlap between sides: {sorted(overlap)}")
+    reserved = {"_asof_by", "_asof_on", "_asof_side", "_asof_ron"}
+    bad = (set(ltypes) | set(rtypes)) & reserved
+    if bad:
+        raise ValueError(f"input columns collide with reserved names: {sorted(bad)}")
+
+    lpayload = [c for c in lsch.names if c not in (by, left_on)]
+    rpayload = [c for c in rsch.names if c not in (by, right_on)]
+    unified = pa.schema(
+        [
+            pa.field("_asof_by", ltypes[by]),
+            pa.field("_asof_on", ltypes[left_on]),
+            pa.field("_asof_side", pa.int8()),
+            pa.field("_asof_ron", rtypes[right_on]),
+            *[pa.field(c, ltypes[c]) for c in lpayload],
+            *[pa.field(c, rtypes[c]) for c in rpayload],
+        ]
+    )
+
+    def tag(side: int, key: str, on: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            batch = batch.filter(
+                pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
+            )
+            n = batch.num_rows
+            cols = []
+            for f in unified:
+                if f.name == "_asof_by":
+                    cols.append(batch[key].cast(f.type))
+                elif f.name == "_asof_on":
+                    cols.append(batch[on].cast(f.type))
+                elif f.name == "_asof_side":
+                    cols.append(pa.array(np.full(n, side, np.int8), f.type))
+                elif f.name == "_asof_ron" and side == 1:
+                    cols.append(batch[on].cast(f.type))
+                elif f.name in batch.column_names:
+                    cols.append(batch[f.name])
+                else:
+                    cols.append(pa.nulls(n, f.type))
+            return pa.Table.from_arrays(cols, schema=unified)
+
+        return fn
+
+    tagged = left_ds.map_batches(tag(0, by, left_on), batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, by, right_on), batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [
+            pa.field(by, ltypes[by]),
+            pa.field(left_on, ltypes[left_on]),
+            *[pa.field(c, ltypes[c]) for c in lpayload],
+            pa.field(right_on, rtypes[right_on]),
+            *[pa.field(c, rtypes[c]) for c in rpayload],
+        ]
+    )
+
+    lo_off = np.int64(lower_offset)
+    hi_off = np.int64(upper_offset)
+    on_np_unit = (
+        f"datetime64[{ltypes[left_on].unit}]"
+        if pa.types.is_timestamp(ltypes[left_on])
+        else None
+    )
+
+    def _on_int64(arr: np.ndarray) -> np.ndarray:
+        # offsets are in the ARROW on-column's unit; pandas may hand the
+        # column back as datetime64[ns] after the exchange, which would
+        # shrink a microsecond window 1000x — normalize before viewing
+        if on_np_unit is not None:
+            arr = arr.astype(on_np_unit)
+        return arr.view(np.int64)
+
+    def join_block(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        batch = block.to_pandas()
+        side = batch["_asof_side"].to_numpy()
+        lhs = batch.loc[side == 0]
+        rhs = batch.loc[side == 1]
+        if not len(lhs) or not len(rhs):
+            return out_schema.empty_table()
+        RK = rhs["_asof_by"].to_numpy()
+        RT = _on_int64(rhs["_asof_on"].to_numpy())
+        order = np.lexsort((RT, RK))
+        RK, RT = RK[order], RT[order]
+        rhs = rhs.iloc[order]
+        LK = lhs["_asof_by"].to_numpy()
+        LT = _on_int64(lhs["_asof_on"].to_numpy())
+        gs = np.searchsorted(RK, LK, "left")
+        ge = np.searchsorted(RK, LK, "right")
+        lo = np.empty(len(LK), np.int64)
+        hi = np.empty(len(LK), np.int64)
+        # one searchsorted pair per DISTINCT key (groups, not rows)
+        lorder = np.argsort(LK, kind="stable")
+        runs = np.r_[0, np.nonzero(LK[lorder][1:] != LK[lorder][:-1])[0] + 1, len(LK)]
+        for a, b in zip(runs[:-1], runs[1:]):
+            rows = lorder[a:b]
+            g0, g1 = gs[rows[0]], ge[rows[0]]
+            seg = RT[g0:g1]
+            lo[rows] = g0 + np.searchsorted(seg, LT[rows] + lo_off, "left")
+            hi[rows] = g0 + np.searchsorted(seg, LT[rows] + hi_off, "right")
+        counts = hi - lo
+        keep = counts > 0
+        if not keep.any():
+            return out_schema.empty_table()
+        lidx = np.repeat(np.arange(len(LK))[keep], counts[keep])
+        starts = np.repeat(lo[keep], counts[keep])
+        csum = np.r_[0, np.cumsum(counts[keep])][:-1]
+        ridx = starts + (np.arange(counts[keep].sum()) - np.repeat(csum, counts[keep]))
+        lout = lhs.iloc[lidx][["_asof_by", "_asof_on", *lpayload]].reset_index(drop=True)
+        rout = rhs.iloc[ridx][["_asof_ron", *rpayload]].reset_index(drop=True)
+        out = pd.concat([lout, rout], axis=1).rename(
+            columns={"_asof_by": by, "_asof_on": left_on, "_asof_ron": right_on}
+        )
+        return pa.Table.from_pandas(
+            out[[f.name for f in out_schema]], schema=out_schema, preserve_index=False
+        )
+
+    from ..grouping import map_copartitioned
+
+    return map_copartitioned(tagged, "_asof_by", join_block, batch_format="pyarrow")

@@ -856,3 +856,47 @@ def test_zscore_cents_half_away_from_zero(ray_session):
     m = c.sum() / 3
     sd = np.sqrt((c * c).sum() / 3 - m * m)
     assert np.array_equal(z["z"].to_numpy(), np.round((c - m) / sd, 9))
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """All (left, right) pairs in [t+lower, t+upper] per key vs a brute
+    double loop; empty-window rows dropped; null keys never match."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.join import range_join
+
+    rng = np.random.default_rng(5)
+    left = pa.table(
+        {
+            "k": pa.array(list(rng.integers(0, 10, 200)) + [None], pa.int64()),
+            "t": pa.array(list(rng.integers(0, 500, 200)) + [5], pa.int64()),
+            "lid": np.arange(201, dtype=np.int64),
+        }
+    )
+    right = pa.table(
+        {
+            "k": rng.integers(0, 12, 300),
+            "t2": rng.integers(0, 500, 300),
+            "rid": np.arange(300, dtype=np.int64),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(left).repartition(4),
+        rd.from_arrow(right).repartition(3),
+        by="k",
+        left_on="t",
+        right_on="t2",
+        lower_offset=-50,
+        upper_offset=10,
+    ).to_pandas()
+
+    lf, rf = left.to_pandas(), right.to_pandas()
+    expect = set()
+    for _, lrow in lf.iterrows():
+        if pd.isna(lrow["k"]):
+            continue
+        m = rf[(rf["k"] == lrow["k"]) & (rf["t2"] >= lrow["t"] - 50) & (rf["t2"] <= lrow["t"] + 10)]
+        for _, rrow in m.iterrows():
+            expect.add((int(lrow["lid"]), int(rrow["rid"])))
+    got = set(zip(out["lid"].astype(int), out["rid"].astype(int)))
+    assert got == expect and len(expect) > 0
