@@ -78,6 +78,7 @@ HEADLINE = [
     "events_daily",
     "events_hopping",
     "hash_join",
+    "range_join",
     "top_events_per_user",
     "normalize_text",
     "value_zscore",
