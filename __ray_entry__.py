@@ -883,6 +883,20 @@ def _q_tfidf_topk(sf_dir: str):
     return tfidf_topk(ds, k=5)
 
 
+def _q_length_percentile_rank(sf_dir: str):
+    """Oracle-checked per-row windowed analytic — cume_dist of each doc's
+    char length within its language — WITHOUT a global sort: combiner
+    histogram → broadcast per-group (values, cumcounts) → streaming
+    searchsorted rank. Exact-int division makes the double bit-identical
+    to the SQL window function."""
+    from elasticsearch_minhash_ray.stages.text import cume_dist_by_group
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"], dense=True
+    )
+    return cume_dist_by_group(ds, col="n_chars", by="lang")
+
+
 def _q_length_quantiles(sf_dir: str):
     """Oracle-checked exact per-language char-length quantiles: per-batch
     (lang, n_chars, cnt) partial histogram → one lang-keyed exchange →
@@ -1890,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mix_sources": _q_mix_sources,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
+        "length_percentile_rank": _q_length_percentile_rank,
         "multimodal_features": _q_multimodal_features,
         "substring_spans": _q_substring_spans,
         "substring_stats": _q_substring_stats,
@@ -2612,6 +2627,11 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT doc_id, token, tf, df, score FROM ranked WHERE rn <= 5
+        """,
+        "length_percentile_rank": """
+            SELECT doc_id, lang, n_chars,
+                   cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+            FROM documents
         """,
         "length_quantiles": """
             WITH cd AS (

@@ -815,3 +815,55 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(norm, batch_format="pandas")
+
+
+def cume_dist_by_group(ds, col: str = "n_chars", by: str = "lang",
+                       id_col: str = "doc_id"):
+    """Per-row ``cume_dist() OVER (PARTITION BY by ORDER BY col)`` — the
+    windowed analytic (percentile rank of every doc's length within its
+    language), distributed WITHOUT a global sort: the same combiner
+    histogram as :func:`column_quantiles` (rows ∝ distinct values) is
+    pulled once, per-group (sorted values, cumulative counts) arrays are
+    broadcast via ``ray.put``, and a streaming map computes each row's
+    rank with one vectorized searchsorted per group per batch.
+
+    cume_dist = count(col' <= col) / N — both operands exact ints, so the
+    double division is bit-identical to the SQL window function. Exactness
+    requires the per-group distinct-value table to be broadcastable (int
+    columns; same limit as column_quantiles)."""
+    import ray
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby([by, col], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([by, col])
+        .sum("cnt")
+        .to_pandas()
+    )
+    ccol = "sum(cnt)" if "sum(cnt)" in hist.columns else "cnt"
+    lut = {}
+    for g, sub in hist.groupby(by, sort=False):
+        sub = sub.sort_values(col)
+        vals = sub[col].to_numpy(np.int64)
+        cum = np.cumsum(sub[ccol].to_numpy(np.int64))
+        lut[g] = (vals, cum, int(cum[-1]))
+    ref = ray.put(lut)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        cd = np.empty(len(batch), np.float64)
+        v = batch[col].to_numpy(np.int64)
+        gvals = batch[by].to_numpy()
+        for g in pd.unique(gvals):
+            vals, cum, n = table[g]
+            m = gvals == g
+            idx = np.searchsorted(vals, v[m], "right") - 1
+            cd[m] = cum[idx] / n  # idx >= 0: every value is in the histogram
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(np.int64), by: batch[by], col: v, "cd": cd}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
