@@ -69,6 +69,7 @@ HEADLINE = [
     "token_df",
     "tfidf_topk",
     "length_quantiles",
+    "length_percentile_rank",
     "docs_by_lang",
     "events_by_type",
     "asof_join",
