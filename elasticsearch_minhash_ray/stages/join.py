@@ -61,66 +61,24 @@ def broadcast_join_column(ds, lookup_ref, fk_col: str, out_col: str, drop_unmatc
     return ds.map_batches(add, batch_format="pyarrow")
 
 
-def asof_join(
-    left_ds,
-    right_ds,
-    by: str,
-    left_on: str,
-    right_on: str,
-    how: str = "inner",
-    left_schema: "pa.Schema | None" = None,
-    right_schema: "pa.Schema | None" = None,
-):
-    """Distributed AS-OF join (big-big): for each left row, the right row
-    with the same ``by`` key and the greatest ``right_on`` <= ``left_on``
-    (DuckDB ``ASOF JOIN l ON l.by = r.by AND l.on >= r.on`` semantics) —
-    the event-attribution / point-in-time-feature join Ray Data has no
-    native operator for.
+# ---------------------------------------------------------------------------
+# big-big keyed time joins (AS-OF, RANGE) — shared tagged-union machinery
+# ---------------------------------------------------------------------------
 
-    Dataflow: both sides are tagged into ONE explicit unified schema
-    (other side's payload columns typed-null, the established union-join
-    shape of dedup/substring/text), unioned, then a SINGLE by-key exchange
-    co-locates every row of a key (:func:`~..grouping.map_copartitioned`);
-    within each block the sides split and join via ``pd.merge_asof`` (C
-    merge over sorted frames, vectorized ``by`` grouping). One exchange
-    over left+right rows — no broadcast, both sides may be corpus-sized;
-    per-key row mass is the partitioning assumption (skewed hot keys would
-    need the LSH stages' salting pattern).
+_RESERVED = ("_asof_by", "_asof_on", "_asof_side", "_asof_ron")
 
-    DETERMINISM: make the right side unique per ``(by, right_on)`` first
-    (e.g. keep the max-id row) — with duplicated timestamps the as-of
-    winner is engine-defined and no oracle twin can match. The matched
-    right ``right_on`` value is returned as column ``{right_on}`` (copied
-    through the merge); ``how='inner'`` drops left rows with no prior
-    right row (the SQL ASOF default), ``how='left'`` keeps them with null
-    right columns. Null ``by``/``on`` values never match (SQL semantics):
-    such right rows and, under 'inner', left rows are dropped at the tag
-    stage; under 'left' null-key left rows pass through with null right
-    columns.
 
-    Pass ``left_schema`` / ``right_schema`` (arrow) when the side is the
-    output of an exchange-bearing pipeline: the ``ds.schema()`` fallback
-    EXECUTES such a pipeline end-to-end just to learn its schema (measured:
-    a keep_latest right side cost a full extra 2.9 s run at sf0.1 before
-    these params existed), and the side then re-executes for the join
-    itself."""
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-
-    lsch = left_schema if left_schema is not None else left_ds.schema()
-    rsch = right_schema if right_schema is not None else right_ds.schema()
+def _validate_sides(lsch, rsch, by, left_on, right_on):
     ltypes = dict(zip(lsch.names, lsch.types))
     rtypes = dict(zip(rsch.names, rsch.types))
     overlap = (set(ltypes) & set(rtypes)) - {by}
     if overlap:
         raise ValueError(f"non-key column name overlap between sides: {sorted(overlap)}")
-    reserved = {"_asof_by", "_asof_on", "_asof_side", "_asof_ron"}
-    bad = (set(ltypes) | set(rtypes)) & reserved
+    bad = (set(ltypes) | set(rtypes)) & set(_RESERVED)
     if bad:
         raise ValueError(f"input columns collide with reserved names: {sorted(bad)}")
     if ltypes[by] != rtypes[by]:
         raise ValueError(f"by-key dtype mismatch: {ltypes[by]} vs {rtypes[by]}")
-
     lpayload = [c for c in lsch.names if c not in (by, left_on)]
     rpayload = [c for c in rsch.names if c not in (by, right_on)]
     unified = pa.schema(
@@ -133,16 +91,31 @@ def asof_join(
             *[pa.field(c, rtypes[c]) for c in rpayload],
         ]
     )
+    out_schema = pa.schema(
+        [
+            pa.field(by, ltypes[by]),
+            pa.field(left_on, ltypes[left_on]),
+            *[pa.field(c, ltypes[c]) for c in lpayload],
+            pa.field(right_on, rtypes[right_on]),
+            *[pa.field(c, rtypes[c]) for c in rpayload],
+        ]
+    )
+    return ltypes, rtypes, lpayload, rpayload, unified, out_schema
+
+
+def _tagged_union(left_ds, right_ds, by, left_on, right_on, unified,
+                  keep_left_nulls: bool = False):
+    """Tag both sides into ONE explicit unified schema (other side's payload
+    typed-null — the established union-join shape) and union them. Null
+    by/on rows can never match (SQL semantics) and are dropped here; pass
+    ``keep_left_nulls`` for how='left' so the caller can emit them with
+    null right columns."""
 
     def tag(side: int, key: str, on: str):
         def fn(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            # null by/on values can never match (SQL ASOF semantics) and
-            # would crash pd.merge_asof; drop them here — except left-side
-            # rows under how='left', which must survive to the output with
-            # null right columns (handled in join_block)
-            if side == 1 or how == "inner":
+            if side == 1 or not keep_left_nulls:
                 batch = batch.filter(
                     pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
                 )
@@ -165,47 +138,145 @@ def asof_join(
 
         return fn
 
-    tagged = left_ds.map_batches(tag(0, by, left_on), batch_format="pyarrow").union(
+    return left_ds.map_batches(tag(0, by, left_on), batch_format="pyarrow").union(
         right_ds.map_batches(tag(1, by, right_on), batch_format="pyarrow")
     )
 
-    out_schema = pa.schema(
-        [
-            pa.field(by, ltypes[by]),
-            pa.field(left_on, ltypes[left_on]),
-            *[pa.field(c, ltypes[c]) for c in lpayload],
-            pa.field(right_on, rtypes[right_on]),
-            *[pa.field(c, rtypes[c]) for c in rpayload],
-        ]
+
+def _split_sides(block: pa.Table):
+    """(left_table, right_table) from a unified block — pure arrow filters,
+    no pandas: int64 payloads keep full 64-bit precision (a to_pandas
+    round-trip coerces null-bearing int columns to float64, silently
+    corrupting values above 2^53 — e.g. this repo's 63-bit doc_key)."""
+    import pyarrow.compute as pc
+
+    side = block["_asof_side"]
+    return (
+        block.filter(pc.equal(side, 0)),
+        block.filter(pc.equal(side, 1)),
+    )
+
+
+def _emit_pairs(lhs: pa.Table, rhs: pa.Table, lidx, ridx, out_schema,
+                lpayload, rpayload, by, left_on, right_on) -> pa.Table:
+    """Gather output rows by POSITION with arrow take (null indices yield
+    null rows — typed, exact)."""
+    lcols = lhs.select(["_asof_by", "_asof_on", *lpayload]).take(pa.array(lidx, pa.int64()))
+    rcols = rhs.select(["_asof_ron", *rpayload]).take(
+        pa.array(ridx, pa.int64(), from_pandas=True)
+    )
+    cols = {
+        by: lcols["_asof_by"],
+        left_on: lcols["_asof_on"],
+        **{c: lcols[c] for c in lpayload},
+        right_on: rcols["_asof_ron"],
+        **{c: rcols[c] for c in rpayload},
+    }
+    return pa.Table.from_arrays([cols[f.name] for f in out_schema], schema=out_schema)
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    by: str,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    left_schema: "pa.Schema | None" = None,
+    right_schema: "pa.Schema | None" = None,
+):
+    """Distributed AS-OF join (big-big): for each left row, the right row
+    with the same ``by`` key and the greatest ``right_on`` <= ``left_on``
+    (DuckDB ``ASOF JOIN l ON l.by = r.by AND l.on >= r.on`` semantics) —
+    the event-attribution / point-in-time-feature join Ray Data has no
+    native operator for.
+
+    Dataflow: tagged union into one explicit schema → a SINGLE by-key
+    exchange co-locates every key (:func:`~..grouping.map_copartitioned`)
+    → within each block ``pd.merge_asof`` runs over (key, time, POSITION)
+    triples only; payload columns are gathered by position with arrow
+    ``take`` so null-bearing int64 columns never round-trip through
+    float64 (values above 2^53 stay exact). One exchange over left+right
+    rows; per-key row mass is the partitioning assumption (skewed hot
+    keys would need the LSH stages' salting pattern).
+
+    DETERMINISM: make the right side unique per ``(by, right_on)`` first
+    (e.g. keep the max-id row via keep_latest) — with duplicated
+    timestamps the as-of winner is engine-defined and no oracle twin can
+    match. ``how='inner'`` drops left rows with no prior right row (the
+    SQL ASOF default); 'left' keeps them with null right columns. Null
+    ``by``/``on`` values never match: right rows and, under 'inner', left
+    rows are dropped at the tag stage; under 'left' null-key left rows
+    pass through with null right columns.
+
+    Pass ``left_schema`` / ``right_schema`` (arrow) when a side is the
+    output of an exchange-bearing pipeline: the ``ds.schema()`` fallback
+    EXECUTES such a pipeline end-to-end just to learn its schema
+    (measured: a keep_latest right side cost a full extra 2.9 s run at
+    sf0.1), and the side then re-executes for the join itself."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    lsch = left_schema if left_schema is not None else left_ds.schema()
+    rsch = right_schema if right_schema is not None else right_ds.schema()
+    _lt, _rt, lpayload, rpayload, unified, out_schema = _validate_sides(
+        lsch, rsch, by, left_on, right_on
+    )
+    tagged = _tagged_union(
+        left_ds, right_ds, by, left_on, right_on, unified,
+        keep_left_nulls=(how == "left"),
     )
 
     def join_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return out_schema.empty_table()
-        batch = block.to_pandas()
-        side = batch["_asof_side"].to_numpy()
-        lhs = batch.loc[side == 0, ["_asof_by", "_asof_on", *lpayload]]
-        rhs = batch.loc[side == 1, ["_asof_by", "_asof_on", "_asof_ron", *rpayload]]
-        lnull = lhs.iloc[0:0]
-        if how == "left":
-            ok = lhs["_asof_by"].notna() & lhs["_asof_on"].notna()
-            lnull, lhs = lhs[~ok], lhs[ok]
-        lhs = lhs.sort_values("_asof_on", kind="mergesort")
-        rhs = rhs.sort_values("_asof_on", kind="mergesort")
-        out = pd.merge_asof(
-            lhs, rhs, on="_asof_on", by="_asof_by", direction="backward"
+        lhs, rhs = _split_sides(block)
+        if not lhs.num_rows:
+            return out_schema.empty_table()
+        if not rhs.num_rows:
+            if how == "inner":
+                return out_schema.empty_table()
+            lidx = np.arange(lhs.num_rows, dtype=np.int64)
+            return _emit_pairs(
+                lhs, rhs, lidx, pd.Series([np.nan] * lhs.num_rows), out_schema,
+                lpayload, rpayload, by, left_on, right_on,
+            )
+        import pyarrow.compute as pc
+
+        # filter how='left' null-key passthrough rows in ARROW, so the
+        # merge-key to_pandas below never sees nulls and never coerces
+        # int64 keys through float64 (exact above 2^53)
+        lvalid = pc.and_(pc.is_valid(lhs["_asof_by"]), pc.is_valid(lhs["_asof_on"]))
+        lok = np.asarray(lvalid)
+        lval = lhs.filter(lvalid)
+        lpd = pd.DataFrame(
+            {"_asof_by": lval["_asof_by"].to_pandas(),
+             "_asof_on": lval["_asof_on"].to_pandas(),
+             "_lpos": np.arange(lhs.num_rows, dtype=np.int64)[lok]}
+        ).sort_values("_asof_on", kind="mergesort")
+        rpd = pd.DataFrame(
+            {"_asof_by": rhs["_asof_by"].to_pandas(),
+             "_asof_on": rhs["_asof_on"].to_pandas(),
+             "_rpos": np.arange(rhs.num_rows, dtype=np.int64)}
+        ).sort_values("_asof_on", kind="mergesort")
+        merged = pd.merge_asof(
+            lpd, rpd, on="_asof_on", by="_asof_by", direction="backward"
         )
         if how == "inner":
-            out = out[out["_asof_ron"].notna()]
-        elif len(lnull):
-            # null-key left rows pass through with null right columns
-            out = pd.concat([out, lnull], ignore_index=True)
-        out = out.rename(columns={"_asof_by": by, "_asof_on": left_on, "_asof_ron": right_on})
-        out = out[[f.name for f in out_schema]]
-        # null-filled right payloads decay to float/NaT in pandas; restore
-        # the declared arrow types (safe: inner has no nulls, left keeps
-        # them as proper arrow nulls)
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+            merged = merged[merged["_rpos"].notna()]
+            lidx = merged["_lpos"].to_numpy(np.int64)
+            ridx = merged["_rpos"].to_numpy(np.int64)
+        else:
+            lidx = np.r_[
+                merged["_lpos"].to_numpy(np.int64),
+                np.arange(lhs.num_rows, dtype=np.int64)[~lok],
+            ]
+            rpos = merged["_rpos"]
+            ridx = pd.concat(
+                [rpos, pd.Series([np.nan] * int((~lok).sum()))], ignore_index=True
+            )
+        return _emit_pairs(
+            lhs, rhs, lidx, ridx, out_schema, lpayload, rpayload, by, left_on, right_on
+        )
 
     from ..grouping import map_copartitioned
 
@@ -225,85 +296,29 @@ def range_join(
 ):
     """Distributed RANGE (interval) join: emit one row per (left, right)
     pair with the same ``by`` key and ``left_on + lower_offset <=
-    right_on <= left_on + upper_offset`` (offsets in the column's int64
-    units — microseconds for timestamp[us]). The windowed-attribution
-    join ("orders within 7 days before the event"); inner semantics —
-    left rows with no match are dropped, null by/on rows never match.
+    right_on <= left_on + upper_offset`` (offsets in the on-column's
+    int64 units — microseconds for timestamp[us]; the offsets must not
+    push values past the int64 range: numpy addition wraps silently, so
+    keep |on| + |offset| < 2^63 — true for any real timestamp). The
+    windowed-attribution join; inner semantics — left rows with no match
+    are dropped, null by/on rows never match.
 
-    Same dataflow as :func:`asof_join` (tagged union → ONE by-key
-    exchange); inside each block the right side is lexsorted by
-    (key, time) once, per-left-row group bounds come from two vectorized
-    searchsorteds, per-group time bounds from one searchsorted pair per
-    key, and the pair expansion is the repeat/cumsum multi-range gather —
-    no per-row Python. Scale assumption: the OUTPUT pair mass per key
-    fits a block (window × per-key rate bounds it; cap upstream for
-    adversarial keys)."""
+    Same dataflow as :func:`asof_join` (shared tagged-union + one by-key
+    exchange); inside each block the right side lexsorts once, per-row
+    group bounds come from vectorized searchsorteds, per-group time
+    bounds from one searchsorted pair per key, pair expansion is the
+    repeat/cumsum multi-range gather, and payload emission is arrow
+    ``take`` by position (int64-exact, see asof_join). Scale assumption:
+    the OUTPUT pair mass per key fits a block (window × per-key rate
+    bounds it; cap upstream for adversarial keys)."""
     if lower_offset > upper_offset:
         raise ValueError("lower_offset must be <= upper_offset")
     lsch = left_schema if left_schema is not None else left_ds.schema()
     rsch = right_schema if right_schema is not None else right_ds.schema()
-    ltypes = dict(zip(lsch.names, lsch.types))
-    rtypes = dict(zip(rsch.names, rsch.types))
-    overlap = (set(ltypes) & set(rtypes)) - {by}
-    if overlap:
-        raise ValueError(f"non-key column name overlap between sides: {sorted(overlap)}")
-    reserved = {"_asof_by", "_asof_on", "_asof_side", "_asof_ron"}
-    bad = (set(ltypes) | set(rtypes)) & reserved
-    if bad:
-        raise ValueError(f"input columns collide with reserved names: {sorted(bad)}")
-
-    lpayload = [c for c in lsch.names if c not in (by, left_on)]
-    rpayload = [c for c in rsch.names if c not in (by, right_on)]
-    unified = pa.schema(
-        [
-            pa.field("_asof_by", ltypes[by]),
-            pa.field("_asof_on", ltypes[left_on]),
-            pa.field("_asof_side", pa.int8()),
-            pa.field("_asof_ron", rtypes[right_on]),
-            *[pa.field(c, ltypes[c]) for c in lpayload],
-            *[pa.field(c, rtypes[c]) for c in rpayload],
-        ]
+    ltypes, _rt, lpayload, rpayload, unified, out_schema = _validate_sides(
+        lsch, rsch, by, left_on, right_on
     )
-
-    def tag(side: int, key: str, on: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            batch = batch.filter(
-                pc.and_(pc.is_valid(batch[key]), pc.is_valid(batch[on]))
-            )
-            n = batch.num_rows
-            cols = []
-            for f in unified:
-                if f.name == "_asof_by":
-                    cols.append(batch[key].cast(f.type))
-                elif f.name == "_asof_on":
-                    cols.append(batch[on].cast(f.type))
-                elif f.name == "_asof_side":
-                    cols.append(pa.array(np.full(n, side, np.int8), f.type))
-                elif f.name == "_asof_ron" and side == 1:
-                    cols.append(batch[on].cast(f.type))
-                elif f.name in batch.column_names:
-                    cols.append(batch[f.name])
-                else:
-                    cols.append(pa.nulls(n, f.type))
-            return pa.Table.from_arrays(cols, schema=unified)
-
-        return fn
-
-    tagged = left_ds.map_batches(tag(0, by, left_on), batch_format="pyarrow").union(
-        right_ds.map_batches(tag(1, by, right_on), batch_format="pyarrow")
-    )
-
-    out_schema = pa.schema(
-        [
-            pa.field(by, ltypes[by]),
-            pa.field(left_on, ltypes[left_on]),
-            *[pa.field(c, ltypes[c]) for c in lpayload],
-            pa.field(right_on, rtypes[right_on]),
-            *[pa.field(c, rtypes[c]) for c in rpayload],
-        ]
-    )
+    tagged = _tagged_union(left_ds, right_ds, by, left_on, right_on, unified)
 
     lo_off = np.int64(lower_offset)
     hi_off = np.int64(upper_offset)
@@ -314,9 +329,9 @@ def range_join(
     )
 
     def _on_int64(arr: np.ndarray) -> np.ndarray:
-        # offsets are in the ARROW on-column's unit; pandas may hand the
-        # column back as datetime64[ns] after the exchange, which would
-        # shrink a microsecond window 1000x — normalize before viewing
+        # offsets are in the ARROW on-column's unit; pandas/numpy may hand
+        # the column back as datetime64[ns], which would shrink a
+        # microsecond window 1000x — normalize before viewing
         if on_np_unit is not None:
             arr = arr.astype(on_np_unit)
         return arr.view(np.int64)
@@ -324,18 +339,14 @@ def range_join(
     def join_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return out_schema.empty_table()
-        batch = block.to_pandas()
-        side = batch["_asof_side"].to_numpy()
-        lhs = batch.loc[side == 0]
-        rhs = batch.loc[side == 1]
-        if not len(lhs) or not len(rhs):
+        lhs, rhs = _split_sides(block)
+        if not lhs.num_rows or not rhs.num_rows:
             return out_schema.empty_table()
-        RK = rhs["_asof_by"].to_numpy()
+        RK = np.asarray(rhs["_asof_by"])
         RT = _on_int64(rhs["_asof_on"].to_numpy())
         order = np.lexsort((RT, RK))
         RK, RT = RK[order], RT[order]
-        rhs = rhs.iloc[order]
-        LK = lhs["_asof_by"].to_numpy()
+        LK = np.asarray(lhs["_asof_by"])
         LT = _on_int64(lhs["_asof_on"].to_numpy())
         gs = np.searchsorted(RK, LK, "left")
         ge = np.searchsorted(RK, LK, "right")
@@ -357,14 +368,11 @@ def range_join(
         lidx = np.repeat(np.arange(len(LK))[keep], counts[keep])
         starts = np.repeat(lo[keep], counts[keep])
         csum = np.r_[0, np.cumsum(counts[keep])][:-1]
-        ridx = starts + (np.arange(counts[keep].sum()) - np.repeat(csum, counts[keep]))
-        lout = lhs.iloc[lidx][["_asof_by", "_asof_on", *lpayload]].reset_index(drop=True)
-        rout = rhs.iloc[ridx][["_asof_ron", *rpayload]].reset_index(drop=True)
-        out = pd.concat([lout, rout], axis=1).rename(
-            columns={"_asof_by": by, "_asof_on": left_on, "_asof_ron": right_on}
-        )
-        return pa.Table.from_pandas(
-            out[[f.name for f in out_schema]], schema=out_schema, preserve_index=False
+        # positions into the SORTED right view -> original row positions
+        sidx = starts + (np.arange(counts[keep].sum()) - np.repeat(csum, counts[keep]))
+        ridx = order[sidx]
+        return _emit_pairs(
+            lhs, rhs, lidx, ridx, out_schema, lpayload, rpayload, by, left_on, right_on
         )
 
     from ..grouping import map_copartitioned

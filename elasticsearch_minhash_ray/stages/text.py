@@ -689,6 +689,19 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
+def _histogram_partial(by: str, col: str):
+    """Per-batch ``(by, value, cnt)`` partial-histogram combiner — the
+    shared primitive behind :func:`column_quantiles` and
+    :func:`cume_dist_by_group` (rows ∝ distinct values per block, not
+    rows; null by/value rows dropped by the groupby)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.groupby([by, col], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    return partial
+
+
 def column_quantiles(ds, col: str = "n_chars", by: str = "lang",
                      qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99)):
     """EXACT distributed quantiles of an integer column, grouped by ``by`` —
@@ -702,14 +715,15 @@ def column_quantiles(ds, col: str = "n_chars", by: str = "lang",
     columns like char/token lengths; unbounded float columns would need a
     fixed-width bucketing pass first (not implemented, documented limit).
 
+    Null ``by``/``col`` rows are DROPPED (combiner groupby; document-side
+    twin of the hash_sample null convention — note SQL window functions
+    would rank NULLs as their own partition).
+
     Output: (``by``, q, value, n_rows) — one row per group per quantile."""
 
     from ..grouping import map_copartitioned
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.groupby([by, col], sort=False, as_index=False).size()
-        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
-
+    partial = _histogram_partial(by, col)
     qarr = np.asarray(qs, np.float64)
 
     def finish(batch: pd.DataFrame) -> pd.DataFrame:
@@ -830,15 +844,15 @@ def cume_dist_by_group(ds, col: str = "n_chars", by: str = "lang",
     cume_dist = count(col' <= col) / N — both operands exact ints, so the
     double division is bit-identical to the SQL window function. Exactness
     requires the per-group distinct-value table to be broadcastable (int
-    columns; same limit as column_quantiles)."""
+    columns; same limit as column_quantiles). Null ``by``/``col`` rows are
+    DROPPED in both passes (the combiner groupby excludes them from the
+    histogram; scoring them would KeyError — note SQL's window would rank
+    NULLs as their own partition, so filter the oracle too when nulls can
+    occur)."""
     import ray
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.groupby([by, col], sort=False, as_index=False).size()
-        return out.rename(columns={"size": "cnt"})
-
     hist = (
-        ds.map_batches(partial, batch_format="pandas")
+        ds.map_batches(_histogram_partial(by, col), batch_format="pandas")
         .groupby([by, col])
         .sum("cnt")
         .to_pandas()
@@ -853,15 +867,20 @@ def cume_dist_by_group(ds, col: str = "n_chars", by: str = "lang",
     ref = ray.put(lut)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[by].notna() & batch[col].notna()]
         table = ray.get(ref)
         cd = np.empty(len(batch), np.float64)
         v = batch[col].to_numpy(np.int64)
-        gvals = batch[by].to_numpy()
-        for g in pd.unique(gvals):
+        # one pass over rows: factorize groups, then one searchsorted per
+        # DISTINCT group over just its rows (no per-group full-batch scans)
+        codes, uniques = pd.factorize(batch[by].to_numpy(), sort=False)
+        order = np.argsort(codes, kind="stable")
+        bounds = np.searchsorted(codes[order], np.arange(len(uniques) + 1))
+        for gi, g in enumerate(uniques):
+            rows = order[bounds[gi]:bounds[gi + 1]]
             vals, cum, n = table[g]
-            m = gvals == g
-            idx = np.searchsorted(vals, v[m], "right") - 1
-            cd[m] = cum[idx] / n  # idx >= 0: every value is in the histogram
+            idx = np.searchsorted(vals, v[rows], "right") - 1
+            cd[rows] = cum[idx] / n  # idx >= 0: every value is in the histogram
         return pd.DataFrame(
             {id_col: batch[id_col].to_numpy(np.int64), by: batch[by], col: v, "cd": cd}
         )

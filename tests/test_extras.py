@@ -900,3 +900,39 @@ def test_range_join_matches_bruteforce(ray_session):
             expect.add((int(lrow["lid"]), int(rrow["rid"])))
     got = set(zip(out["lid"].astype(int), out["rid"].astype(int)))
     assert got == expect and len(expect) > 0
+
+
+def test_joins_preserve_63bit_int_payloads(ray_session):
+    """Payload ints above 2^53 (this repo's 63-bit doc_key regime) must
+    round-trip EXACTLY through asof_join and range_join — the null-bearing
+    union would corrupt them if any int column passed through float64
+    (verified failure mode of a pandas gather: 2^60+1 -> 2^60)."""
+    from elasticsearch_minhash_ray.stages.join import asof_join, range_join
+
+    big = (1 << 60) + 1
+    left = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "t": pa.array([100, 200], pa.int64()),
+            "lid": pa.array([big, big + 2], pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1], pa.int64()),
+            "t2": pa.array([50, 150], pa.int64()),
+            "rid": pa.array([big + 4, big + 6], pa.int64()),
+        }
+    )
+    a = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", left_on="t", right_on="t2"
+    ).to_pandas().sort_values("t")
+    assert a["lid"].tolist() == [big, big + 2]
+    assert a["rid"].tolist() == [big + 4, big + 6]
+
+    r = range_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", left_on="t",
+        right_on="t2", lower_offset=-60, upper_offset=0,
+    ).to_pandas().sort_values(["t", "t2"])
+    assert r["lid"].tolist() == [big, big + 2]
+    assert r["rid"].tolist() == [big + 4, big + 6]
