@@ -857,6 +857,19 @@ def _q_ngram_repetition(sf_dir: str):
     return ngram_repetition(ds)
 
 
+def _q_sample_exact_n(sf_dir: str):
+    """Oracle-checked exact-size deterministic sample: the 137 docs with
+    the smallest (knuth_hash(doc_id), doc_id) — per-block local top-n
+    combiner, then a tiny sort+limit over <= n x blocks rows (the full
+    table never globally sorts)."""
+    from elasticsearch_minhash_ray.stages.sample import hash_sample_n
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"], dense=True
+    )
+    return hash_sample_n(ds, "doc_id", 137)
+
+
 def _q_mix_sources(sf_dir: str):
     """Oracle-checked domain-mixing resampler: per-source counts (combiner
     aggregate) → integer-exact keep-percentages hitting target weights
@@ -1902,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore": _q_value_zscore,
         "range_join": _q_range_join,
         "mix_sources": _q_mix_sources,
+        "sample_exact_n": _q_sample_exact_n,
         "tfidf_topk": _q_tfidf_topk,
         "length_quantiles": _q_length_quantiles,
         "length_percentile_rank": _q_length_percentile_rank,
@@ -2581,6 +2595,11 @@ def oracle_sql() -> dict[str, str]:
                    od.o_orderdate, od.o_orderkey, od.o_totalprice
             FROM events e ASOF JOIN od
               ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+        """,
+        "sample_exact_n": """
+            SELECT doc_id, source FROM documents
+            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+            LIMIT 137
         """,
         "mix_sources": """
             WITH w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),

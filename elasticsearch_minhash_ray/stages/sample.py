@@ -246,3 +246,42 @@ def zscore_by_group(ds, value_col: str, by: str, id_col: str):
         )
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+def hash_sample_n(ds, key_col: str, n: int, salt: int = 0):
+    """EXACT-size deterministic sample: the ``n`` rows with the smallest
+    ``(hash(key), key)`` — the fixed-budget companion to the pct-based
+    :func:`hash_sample` ("give me exactly 100k eval docs, reproducibly").
+    Membership is stable under resharding/resume and monotone under corpus
+    growth only at the margin (a grown corpus can only displace rows near
+    the hash boundary).
+
+    Combiner shape: each block keeps its own n smallest (rows ≤ n per
+    block) before a tiny sort+limit over ≤ n × blocks rows — the full
+    table never sorts. Same SQL-exact Knuth arithmetic as hash_bucket
+    (full 32-bit hash, not the 100-bucket projection); ties broken by
+    key asc; null keys dropped."""
+    import pandas as pd
+
+    def h(keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.int64) + np.int64(salt)
+        if len(k) and (k.min() < 0 or k.max() > _KEY_MAX):
+            raise ValueError(
+                f"hash_sample_n keys+salt must be in [0, {_KEY_MAX}]; "
+                "pre-fold wider keys with % 2**32"
+            )
+        return (k * np.int64(_KNUTH)) % np.int64(4294967296)
+
+    def local_topn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[key_col].notna()]
+        if not len(batch):
+            return batch.assign(_hkey=np.empty(0, np.int64))
+        batch = batch.assign(_hkey=h(batch[key_col].to_numpy(np.int64)))
+        return batch.nsmallest(n, ["_hkey", key_col]).reset_index(drop=True)
+
+    return (
+        ds.map_batches(local_topn, batch_format="pandas")
+        .sort(["_hkey", key_col])
+        .limit(n)
+        .drop_columns(["_hkey"])
+    )
