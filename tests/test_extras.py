@@ -936,3 +936,41 @@ def test_joins_preserve_63bit_int_payloads(ray_session):
     ).to_pandas().sort_values(["t", "t2"])
     assert r["lid"].tolist() == [big, big + 2]
     assert r["rid"].tolist() == [big + 4, big + 6]
+
+
+def test_asof_equals_argmax_of_range_join(ray_session):
+    """Cross-operator consistency: asof (greatest right <= left) must equal
+    taking the max-right_on row per left row from a range_join with an
+    effectively unbounded lower window."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.join import asof_join, range_join
+
+    rng = np.random.default_rng(21)
+    left = pa.table(
+        {
+            "k": rng.integers(0, 8, 120),
+            "t": rng.integers(0, 300, 120),
+            "lid": np.arange(120, dtype=np.int64),
+        }
+    )
+    rt = pd.DataFrame({"k": rng.integers(0, 8, 90), "t": rng.integers(0, 300, 90)})
+    rt = rt.drop_duplicates(["k", "t"])  # asof determinism precondition
+    right = pa.table(
+        {
+            "k": rt["k"].to_numpy(np.int64),
+            "t2": rt["t"].to_numpy(np.int64),
+            "rv": np.arange(len(rt), dtype=np.int64),
+        }
+    )
+    a = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", left_on="t", right_on="t2"
+    ).to_pandas()
+    r = range_join(
+        rd.from_arrow(left), rd.from_arrow(right), by="k", left_on="t",
+        right_on="t2", lower_offset=-1_000_000, upper_offset=0,
+    ).to_pandas()
+    r_best = r.loc[r.groupby("lid")["t2"].idxmax()]
+    lhs = a.sort_values("lid")[["lid", "t2", "rv"]].reset_index(drop=True)
+    rhs = r_best.sort_values("lid")[["lid", "t2", "rv"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs, rhs)
