@@ -74,6 +74,7 @@ HEADLINE = [
     "events_by_type",
     "asof_join",
     "mix_sources",
+    "sample_exact_n",
     "orders_by_region",
     "user_sessions",
     "events_daily",
