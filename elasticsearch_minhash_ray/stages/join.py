@@ -240,17 +240,25 @@ def asof_join(
                 lhs, rhs, lidx, pd.Series([np.nan] * lhs.num_rows), out_schema,
                 lpayload, rpayload, by, left_on, right_on,
             )
-        import pyarrow.compute as pc
+        lkeys = lhs.select(["_asof_by", "_asof_on"])
+        if how == "left":
+            import pyarrow.compute as pc
 
-        # filter how='left' null-key passthrough rows in ARROW, so the
-        # merge-key to_pandas below never sees nulls and never coerces
-        # int64 keys through float64 (exact above 2^53)
-        lvalid = pc.and_(pc.is_valid(lhs["_asof_by"]), pc.is_valid(lhs["_asof_on"]))
-        lok = np.asarray(lvalid)
-        lval = lhs.filter(lvalid)
+            # filter null-key passthrough rows in ARROW, so the merge-key
+            # to_pandas below never sees nulls and never coerces int64
+            # keys through float64 (exact above 2^53). Inner mode skipped
+            # this: the tag stage already dropped nulls, the mask would
+            # be a per-block no-op copy.
+            lvalid = pc.and_(
+                pc.is_valid(lkeys["_asof_by"]), pc.is_valid(lkeys["_asof_on"])
+            )
+            lok = np.asarray(lvalid)
+            lkeys = lkeys.filter(lvalid)
+        else:
+            lok = np.ones(lhs.num_rows, dtype=bool)
         lpd = pd.DataFrame(
-            {"_asof_by": lval["_asof_by"].to_pandas(),
-             "_asof_on": lval["_asof_on"].to_pandas(),
+            {"_asof_by": lkeys["_asof_by"].to_pandas(),
+             "_asof_on": lkeys["_asof_on"].to_pandas(),
              "_lpos": np.arange(lhs.num_rows, dtype=np.int64)[lok]}
         ).sort_values("_asof_on", kind="mergesort")
         rpd = pd.DataFrame(
@@ -271,8 +279,13 @@ def asof_join(
                 np.arange(lhs.num_rows, dtype=np.int64)[~lok],
             ]
             rpos = merged["_rpos"]
-            ridx = pd.concat(
-                [rpos, pd.Series([np.nan] * int((~lok).sum()))], ignore_index=True
+            n_null = int((~lok).sum())
+            # guard: concat with an empty entry is deprecated (pandas 2.2
+            # FutureWarning on every all-valid block otherwise)
+            ridx = (
+                pd.concat([rpos, pd.Series([np.nan] * n_null)], ignore_index=True)
+                if n_null
+                else rpos
             )
         return _emit_pairs(
             lhs, rhs, lidx, ridx, out_schema, lpayload, rpayload, by, left_on, right_on

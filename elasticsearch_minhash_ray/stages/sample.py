@@ -28,22 +28,30 @@ _KNUTH = 2654435761  # 2^32 / golden ratio
 _KEY_MAX = (2**63 - 1) // _KNUTH  # product must fit SQL BIGINT (no wraparound)
 
 
-def hash_bucket(keys: np.ndarray, salt: int = 0) -> np.ndarray:
-    """Bucket 0..99 per key; int64 arithmetic mirrors the SQL expression
-    ``((key + salt) * 2654435761) % 4294967296 % 100`` exactly.
+def _hash32(keys: np.ndarray, salt: int, caller: str) -> np.ndarray:
+    """``((key + salt) * 2654435761) % 2^32`` with the shared SQL-mirror
+    range guard — the single home of the Knuth arithmetic used by
+    :func:`hash_bucket` and :func:`hash_sample_n`.
 
-    Keys must be in [0, 2^63/2654435761): numpy's % is floored while SQL's
-    follows the dividend sign, so negatives would silently diverge from the
-    oracle, and larger keys would wrap in numpy where SQL errors — both are
-    rejected rather than mis-sampled. For wider key spaces pre-fold with
-    ``% 2**32`` on BOTH sides."""
+    Keys+salt must be in [0, 2^63/2654435761): numpy's % is floored while
+    SQL's follows the dividend sign, so negatives would silently diverge
+    from the oracle, and larger keys would wrap in numpy where SQL errors —
+    both are rejected rather than mis-sampled. For wider key spaces
+    pre-fold with ``% 2**32`` on BOTH sides."""
     k = keys.astype(np.int64) + np.int64(salt)
     if len(k) and (k.min() < 0 or k.max() > _KEY_MAX):
         raise ValueError(
-            f"hash_bucket keys+salt must be in [0, {_KEY_MAX}] to mirror SQL "
+            f"{caller} keys+salt must be in [0, {_KEY_MAX}] to mirror SQL "
             "BIGINT arithmetic exactly; pre-fold wider keys with % 2**32"
         )
-    return ((k * np.int64(_KNUTH)) % np.int64(4294967296)) % np.int64(100)
+    return (k * np.int64(_KNUTH)) % np.int64(4294967296)
+
+
+def hash_bucket(keys: np.ndarray, salt: int = 0) -> np.ndarray:
+    """Bucket 0..99 per key; int64 arithmetic mirrors the SQL expression
+    ``((key + salt) * 2654435761) % 4294967296 % 100`` exactly (see
+    :func:`_hash32` for the key-domain contract)."""
+    return _hash32(keys, salt, "hash_bucket") % np.int64(100)
 
 
 def hash_sample(
@@ -259,28 +267,28 @@ def hash_sample_n(ds, key_col: str, n: int, salt: int = 0):
     Combiner shape: each block keeps its own n smallest (rows ≤ n per
     block) before a tiny sort+limit over ≤ n × blocks rows — the full
     table never sorts. Same SQL-exact Knuth arithmetic as hash_bucket
-    (full 32-bit hash, not the 100-bucket projection); ties broken by
-    key asc; null keys dropped."""
-    import pandas as pd
+    (:func:`_hash32`; full 32-bit hash, not the 100-bucket projection);
+    ties broken by key asc. Pure-arrow block handling: null keys are
+    filtered in pyarrow BEFORE any conversion, so null-bearing int64
+    key/payload columns never coerce through pandas float64 (exact above
+    2^53 — this repo's doc_key regime)."""
 
-    def h(keys: np.ndarray) -> np.ndarray:
-        k = keys.astype(np.int64) + np.int64(salt)
-        if len(k) and (k.min() < 0 or k.max() > _KEY_MAX):
-            raise ValueError(
-                f"hash_sample_n keys+salt must be in [0, {_KEY_MAX}]; "
-                "pre-fold wider keys with % 2**32"
-            )
-        return (k * np.int64(_KNUTH)) % np.int64(4294967296)
+    def local_topn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def local_topn(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch[batch[key_col].notna()]
-        if not len(batch):
-            return batch.assign(_hkey=np.empty(0, np.int64))
-        batch = batch.assign(_hkey=h(batch[key_col].to_numpy(np.int64)))
-        return batch.nsmallest(n, ["_hkey", key_col]).reset_index(drop=True)
+        batch = batch.filter(pc.is_valid(batch[key_col]))
+        if not batch.num_rows:
+            return batch.append_column("_hkey", pa.array([], pa.int64()))
+        keys = np.asarray(batch[key_col], dtype=np.int64)
+        hk = _hash32(keys, salt, "hash_sample_n")
+        if batch.num_rows > n:
+            idx = np.lexsort((keys, hk))[:n]
+            batch = batch.take(pa.array(idx, pa.int64()))
+            hk = hk[idx]
+        return batch.append_column("_hkey", pa.array(hk, pa.int64()))
 
     return (
-        ds.map_batches(local_topn, batch_format="pandas")
+        ds.map_batches(local_topn, batch_format="pyarrow")
         .sort(["_hkey", key_col])
         .limit(n)
         .drop_columns(["_hkey"])

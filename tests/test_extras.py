@@ -974,3 +974,24 @@ def test_asof_equals_argmax_of_range_join(ray_session):
     lhs = a.sort_values("lid")[["lid", "t2", "rv"]].reset_index(drop=True)
     rhs = r_best.sort_values("lid")[["lid", "t2", "rv"]].reset_index(drop=True)
     pd.testing.assert_frame_equal(lhs, rhs)
+
+
+def test_hash_sample_n_null_and_bigint(ray_session):
+    """Null keys dropped in arrow (no float64 coercion); 63-bit payloads
+    survive exactly; reshard-stable."""
+    from elasticsearch_minhash_ray.stages.sample import hash_sample_n
+
+    big = (1 << 60) + 1
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(50)) + [None], pa.int64()),
+            "payload": pa.array([big + i for i in range(51)], pa.int64()),
+        }
+    )
+    out = hash_sample_n(rd.from_arrow(t).repartition(4), "doc_id", 10).to_pandas()
+    assert len(out) == 10
+    assert out["doc_id"].notna().all()
+    assert out["payload"].map(lambda v: v - big).between(0, 50).all()
+    assert (out["payload"] - big == out["doc_id"]).all()  # exact above 2^53
+    out2 = hash_sample_n(rd.from_arrow(t).repartition(9), "doc_id", 10).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
