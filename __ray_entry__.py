@@ -990,6 +990,63 @@ def _q_substring_clean(sf_dir: str):
     return substring_dedup_clean(ds, k=20, num_partitions=16)
 
 
+def _q_curation_pipeline_v2(sf_dir: str):
+    """Oracle-checked v2 curation composition chaining FOUR round-4
+    operators end-to-end, with the full SQL twin: (1) canonical text
+    normalization (NFC/lower/ws-collapse), (2) quality filter (>= 5 word
+    tokens of the NORMALIZED text), (3) domain mixing to target weights
+    {src0:5, src1:3, src2:2} — integer-exact rates computed on the
+    FILTERED corpus, (4) exact dedup on sha256(norm_text) keeping min
+    doc_id. Output: (doc_id, source, n_tokens, norm_sha256)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+    from elasticsearch_minhash_ray.stages.sample import mix_to_weights
+    from elasticsearch_minhash_ray.stages.text import normalize_text
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"], dense=True
+    )
+    normed = normalize_text(ds, keep_cols=("source",))
+
+    def quality(batch: pd.DataFrame) -> pd.DataFrame:
+        from elasticsearch_minhash_ray.functions.text_stats import TOKEN_RE
+
+        batch["n_tokens"] = batch["norm_text"].str.count(TOKEN_RE).astype("int64")
+        return batch[batch["n_tokens"] >= 5]
+
+    filtered = normed.map_batches(quality, batch_format="pandas")
+    mixed = mix_to_weights(filtered, {"src0": 5, "src1": 3, "src2": 2})
+
+    def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        shas, parts = [], []
+        for t in batch["norm_text"]:
+            d = hashlib.sha256(t.encode("utf-8"))
+            shas.append(d.hexdigest())
+            parts.append(int.from_bytes(d.digest()[:4], "big") % 16)
+        batch["norm_sha256"] = shas
+        batch["part"] = np.asarray(parts, dtype=np.int32)
+        return batch[["doc_id", "source", "n_tokens", "norm_sha256", "part"]]
+
+    hashed = mixed.map_batches(hash_rows, batch_format="pandas")
+
+    def keep_first(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        df = df.sort_values(["norm_sha256", "doc_id"]).drop_duplicates(
+            "norm_sha256", keep="first"
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "source": pa.array(df["source"].to_numpy(), pa.string()),
+                "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
+                "norm_sha256": pa.array(df["norm_sha256"].to_numpy(), pa.string()),
+            }
+        )
+
+    return map_copartitioned(hashed, "part", keep_first)
+
+
 def _q_curation_pipeline(sf_dir: str):
     """Oracle-checked END-TO-END curation composition — the shape a real
     training-data run takes, chaining three oracle-checked operators:
@@ -1925,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_clean": _q_substring_clean,
         "line_dedup_global": _q_line_dedup_global,
         "curation_pipeline": _q_curation_pipeline,
+        "curation_pipeline_v2": _q_curation_pipeline_v2,
         "near_dup_keep": _q_near_dup_keep,
         "near_dup_keep_join": _q_near_dup_keep_join,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
@@ -2406,6 +2464,46 @@ def oracle_sql() -> dict[str, str]:
               FROM cross_e
             )
             SELECT doc_id, ref_doc_id, jaccard FROM ranked WHERE rn = 1
+        """,
+        "curation_pipeline_v2": """
+            WITH n AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(
+                         lower(nfc_normalize(coalesce(text, ''))),
+                         '[ \t\r\n\f\v]+', ' ', 'g')) AS norm_text
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, source, norm_text,
+                     CAST(length(regexp_extract_all(norm_text, '[0-9A-Za-z_]+')) AS BIGINT) AS n_tokens
+              FROM n
+              WHERE length(regexp_extract_all(norm_text, '[0-9A-Za-z_]+')) >= 5
+            ),
+            w(source, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
+            c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY source
+            ),
+            cw AS (SELECT w.source, w.w, c.c FROM w JOIN c USING (source) WHERE c.c > 0),
+            b AS (
+              SELECT source AS bsource, w AS bw, c AS bc FROM cw
+              ORDER BY (c * 1000000) // w, source LIMIT 1
+            ),
+            pct AS (
+              SELECT cw.source,
+                     least(100, (100 * cw.w * b.bc) // (b.bw * cw.c)) AS pct
+              FROM cw CROSS JOIN b
+            ),
+            mixed AS (
+              SELECT f.doc_id, f.source, f.n_tokens, sha256(f.norm_text) AS norm_sha256
+              FROM f JOIN pct USING (source)
+              WHERE ((f.doc_id * 2654435761) % 4294967296) % 100 < pct.pct
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY norm_sha256 ORDER BY doc_id) AS rn
+              FROM mixed
+            )
+            SELECT doc_id, source, n_tokens, norm_sha256 FROM ranked WHERE rn = 1
         """,
         "curation_pipeline": """
             WITH docs2 AS (

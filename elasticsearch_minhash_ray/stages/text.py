@@ -803,7 +803,8 @@ def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_
     return ds.map_batches(score, batch_format="pandas")
 
 
-def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
+def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id",
+                   keep_cols: tuple = ()):
     """Canonical text normalization — the first step of any dedup/tokenize
     chain on web text: NFC unicode normalization → lowercase → collapse
     ASCII whitespace runs ([ \\t\\r\\n\\f\\v]+) to one space → strip. All
@@ -813,20 +814,23 @@ def normalize_text(ds, text_col: str = "text", id_col: str = "doc_id"):
     nfc_normalize/lower/regexp_replace/trim): the whitespace class is the
     explicit ASCII set on BOTH sides (Python's \\s and RE2's \\s disagree on
     unicode spaces), and after the collapse only ' ' can lead/trail, so
-    Python strip() == SQL trim(). Output: (id, norm_text, n_chars_norm) —
-    lengths in code points in both engines."""
+    Python strip() == SQL trim(). Output: (id, norm_text, n_chars_norm,
+    *keep_cols passthrough) — lengths in code points in both engines."""
 
     def norm(batch: pd.DataFrame) -> pd.DataFrame:
         t = batch[text_col].fillna("")
         t = t.str.normalize("NFC").str.lower()
         t = t.str.replace(r"[ \t\r\n\f\v]+", " ", regex=True).str.strip()
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 id_col: batch[id_col].to_numpy(np.int64),
                 "norm_text": t.to_numpy(object),
                 "n_chars_norm": t.str.len().to_numpy(np.int64),
             }
         )
+        for c in keep_cols:
+            out[c] = batch[c].to_numpy()
+        return out
 
     return ds.map_batches(norm, batch_format="pandas")
 
