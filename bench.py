@@ -61,6 +61,7 @@ HEADLINE = [
     "substring_clean",
     "line_dedup_global",
     "curation_pipeline",
+    "curation_pipeline_v2",
     "decontaminate",
     "pii_scrub",
     "pack_sequences",
