@@ -995,3 +995,48 @@ def test_hash_sample_n_null_and_bigint(ray_session):
     assert (out["payload"] - big == out["doc_id"]).all()  # exact above 2^53
     out2 = hash_sample_n(rd.from_arrow(t).repartition(9), "doc_id", 10).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_normalize_text_edges_vs_duckdb(ray_session):
+    """Planted edge inputs (decomposed unicode, mixed ws runs, empty, null,
+    ws-only) through normalize_text == the SQL twin chain, incl. keep_cols
+    passthrough."""
+    import duckdb
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import normalize_text
+
+    texts = [
+        "Café  DECOMPOSED",     # NFD -> NFC composes to é
+        "Café precomposed",      # already NFC
+        "tabs\tand\nnewlines\r\nhere",
+        "",
+        None,
+        "   ",
+        "MiXeD CaSe_42",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "src": pa.array([f"s{i}" for i in range(len(texts))], pa.string()),
+        }
+    )
+    out = (
+        normalize_text(rd.from_arrow(t), keep_cols=("src",))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ora = duckdb.connect().execute(
+        """
+        SELECT trim(regexp_replace(lower(nfc_normalize(coalesce(t, ''))),
+                                   '[ \t\r\n\f\v]+', ' ', 'g')) AS norm_text
+        FROM (SELECT unnest(?) AS t)
+        """,
+        [texts],
+    ).df()
+    assert out["norm_text"].tolist() == ora["norm_text"].tolist()
+    assert out["norm_text"][0].startswith("café ")  # composed + lowered
+    assert out["n_chars_norm"].tolist() == [len(s) for s in ora["norm_text"]]
+    assert out["src"].tolist() == [f"s{i}" for i in range(len(texts))]
