@@ -29,6 +29,17 @@ A delta run then:
    run) file — task retries overwrite with identical content), so the next
    delta sees today's docs as "old".
 
+Crash consistency: ``_lineage.json`` is the COMMIT POINT. A delta appends
+its run record to lineage only after every shard is written, and readers
+only treat shard files whose run_id is committed in lineage as "old" —
+so a run that crashes mid-write leaves orphaned ``delta-<run>.parquet``
+files that are ignored (its docs' edges were never emitted either, keeping
+"old rows ⟺ old-old edges already checkpointed" intact). A failed delta is
+retried with ANY run_id: retrying with the same run_id atomically
+overwrites the orphans; retrying with a new one leaves them as dead bytes
+(a warning names them). Single writer at a time is assumed (the lineage
+append is last-writer-wins, as is the duplicate-run_id check).
+
 Clusters come from old-edges ∪ new-edges through the same
 :func:`cluster_edges` used by the full pipeline. Equivalence to a full run
 on old ∪ new is exact for the edge SET when no bucket exceeds
@@ -186,7 +197,7 @@ def build_band_index(sig_ds, cfg: PipelineConfig, index_dir: str, run_id: str = 
         fp,
         num_partitions=cfg.lsh.num_partitions,
         rows=rows,
-        runs=[{"run_id": run_id, "rows": rows}],
+        runs=[{"run_id": run_id, "rows": rows, "file": f"base-{run_id}.parquet"}],
     )
     return read_lineage(index_dir)
 
@@ -203,12 +214,16 @@ class _DeltaPartPairer:
         lsh,
         width: int,
         run_file: str | None,  # None = don't update the index
+        committed: frozenset[str],  # shard file names committed in lineage
     ):
         self.index_dir = index_dir
         self.run_file = run_file
+        self.committed = committed
         self._pairer = BucketPairer(lsh, width, delta_col="is_new")
 
     def _read_old(self, part: int, new_buckets: np.ndarray) -> pa.Table | None:
+        import warnings
+
         import pyarrow.parquet as pq
         from pyarrow import fs as pafs
 
@@ -221,6 +236,19 @@ class _DeltaPartPairer:
             name = posixpath.basename(info.path)
             if not name.endswith(".parquet") or name == self.run_file:
                 continue  # never read this run's own (possibly retried) file
+            if name not in self.committed:
+                # orphan from a delta that crashed before its lineage commit:
+                # its docs' edges were never emitted, so treating it as "old"
+                # would silently lose those edges from every future cluster.
+                # Ignore it (retrying with the crashed run's run_id overwrites
+                # it; otherwise it is dead bytes).
+                warnings.warn(
+                    f"band index {self.index_dir} part={part}: ignoring "
+                    f"uncommitted shard file {name!r} (crashed delta run?) — "
+                    "retry that delta, or remove the file",
+                    RuntimeWarning,
+                )
+                continue
             t = pq.read_table(info.path, columns=_BAND_COLS, filesystem=f)
             if t.num_rows == 0:
                 continue
@@ -314,10 +342,20 @@ def near_dup_delta(
         zero_copy_batch=True,
     )
     run_file = f"delta-{run_id}.parquet" if update_index else None
+    # lineage is the commit point: only shard files whose run_id is recorded
+    # there are "old". Run records carry their file name; tolerate older
+    # lineages (pre-"file") by allowing both prefixes for a committed run_id.
+    committed = frozenset(
+        r["file"]
+        if "file" in r
+        else pfx + f"{r['run_id']}.parquet"
+        for r in lin.get("runs", [])
+        for pfx in (("base-", "delta-") if "file" not in r else ("",))
+    )
     raw = map_part_groups(
         bands,
         "bucket_part",
-        _DeltaPartPairer(index_dir, cfg.lsh, cfg.minhash.full_width, run_file),
+        _DeltaPartPairer(index_dir, cfg.lsh, cfg.minhash.full_width, run_file, committed),
     )
     # materialize = execution barrier: forces the per-part pairing (and the
     # index-append side effects) to run exactly once; edges stay distributed
@@ -329,7 +367,9 @@ def near_dup_delta(
     dropped = int(mtbl["dropped"].sum()) if len(mtbl) else 0
     _t_edges = _time.perf_counter()
     if update_index:
-        lin["runs"].append({"run_id": run_id, "rows": int(bands.count())})
+        lin["runs"].append(
+            {"run_id": run_id, "rows": int(bands.count()), "file": run_file}
+        )
         lin["rows"] = int(lin.get("rows", 0)) + lin["runs"][-1]["rows"]
         mark_complete(
             index_dir,

@@ -131,6 +131,44 @@ def test_delta_capped_buckets_same_clusters(ray_session, tmp_path):
     assert _partition(res.clusters) == _partition(full.clusters)
 
 
+def test_crashed_delta_orphans_are_ignored(ray_session, tmp_path):
+    """Lineage is the commit point: shard files from a delta that died before
+    its lineage append must NOT be read as 'old' by a later delta — treating
+    them as old would suppress the crashed docs' edges forever (their edges
+    were never emitted). Simulated by running a delta and then rolling its
+    run record out of _lineage.json, leaving delta-crash.parquet orphans."""
+    import json
+    import warnings
+
+    p1, p2 = _split()
+    cfg = _cfg()
+    r1 = near_dup_pipeline(rd.from_arrow(p1), cfg)
+    index_dir = str(tmp_path / "bandindex")
+    _index_for(p1, cfg, index_dir)
+
+    crashed = near_dup_delta(
+        rd.from_arrow(p2), index_dir, cfg, old_edges=r1.edges, run_id="crash"
+    )
+    expect_new = _edge_set(crashed.new_edges)
+    expect_parts = _partition(crashed.clusters)
+    # roll back the lineage commit — the shard files stay behind as orphans
+    lin_path = tmp_path / "bandindex" / "_lineage.json"
+    lin = json.loads(lin_path.read_text())
+    lin["runs"] = [r for r in lin["runs"] if r["run_id"] != "crash"]
+    lin["rows"] = sum(r["rows"] for r in lin["runs"])
+    lin_path.write_text(json.dumps(lin))
+    assert list((tmp_path / "bandindex").glob("part=*/delta-crash.parquet"))
+
+    # retry under a NEW run_id: orphans ignored → byte-identical edges/clusters
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # worker-side orphan note
+        retry = near_dup_delta(
+            rd.from_arrow(p2), index_dir, cfg, old_edges=r1.edges, run_id="d2"
+        )
+    assert _edge_set(retry.new_edges) == expect_new
+    assert _partition(retry.clusters) == expect_parts
+
+
 def test_delta_config_guards(ray_session, tmp_path):
     old_raw, new_raw = _split()
     cfg = _cfg()
