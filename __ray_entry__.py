@@ -1809,7 +1809,11 @@ def _q_events_hopping(sf_dir: str):
     ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        t = batch["ts"].astype("int64").to_numpy()
+        # normalize the unit BEFORE viewing as int64 (same reason as
+        # stages/join.py:_on_int64): pandas may coerce timestamp[us] to ns
+        # depending on the pyarrow/pandas combo, which would shift every
+        # window boundary 1000x vs the epoch_us SQL oracle
+        t = batch["ts"].to_numpy().astype("datetime64[us]").view("int64")
         w0 = (t // HOP) * HOP
         ws = np.repeat(w0, S) - np.tile(np.arange(S, dtype=np.int64) * HOP, len(w0))
         out = pd.DataFrame(

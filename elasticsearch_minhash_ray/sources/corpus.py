@@ -278,23 +278,25 @@ def resolve_key_collisions(ds, key_col: str = "doc_key", id_col: str = "doc_id",
             remap[d] = cand
             used.add(cand)
     ckeys = np.sort(coll[key_col].unique().astype(np.int64))
-    ref = ray.put((ckeys, remap))
+    # sorted parallel arrays instead of a dict: the remap application is then
+    # two C searchsorted passes (keys, then the hit rows' ids), no Series.map
+    rm_ids = np.array(sorted(remap), dtype=np.str_)
+    rm_keys = np.array([remap[i] for i in sorted(remap)], dtype=np.int64)
+    ref = ray.put((ckeys, rm_ids, rm_keys))
 
     def apply(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        keys_sorted, id2key = ray.get(ref)
+        keys_sorted, ids_sorted, new_keys = ray.get(ref)
         k = np.asarray(batch[key_col], dtype=np.int64)
         pos = np.minimum(np.searchsorted(keys_sorted, k), len(keys_sorted) - 1)
         hit = keys_sorted[pos] == k
         if not hit.any():
             return batch
-        ids = pd.Series(np.asarray(batch[id_col].to_pandas()))[hit]
-        new = ids.map(id2key)  # NaN for the keeper rows
-        moved = new.notna().to_numpy()
+        idx = np.flatnonzero(hit)  # only colliding-key rows touch the id array
+        ids = np.asarray(batch[id_col].take(pa.array(idx)).to_pylist(), dtype=np.str_)
+        p2 = np.minimum(np.searchsorted(ids_sorted, ids), len(ids_sorted) - 1)
+        moved = ids_sorted[p2] == ids  # keeper rows miss — they keep the key
         k2 = k.copy()
-        idx = np.flatnonzero(hit)
-        k2[idx[moved]] = new[moved].astype(np.int64).to_numpy()
+        k2[idx[moved]] = new_keys[p2[moved]]
         return batch.set_column(
             batch.schema.get_field_index(key_col), key_col, pa.array(k2, pa.int64())
         )

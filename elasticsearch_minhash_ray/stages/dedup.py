@@ -82,6 +82,7 @@ def keep_latest(
     key_cols: list[str],
     order_col: str,
     num_partitions: int = 64,
+    tiebreak_col: str | None = None,
 ):
     """Snapshot dedup: one row per distinct composite key — the row with the
     MAX ``order_col`` ("keep the newest crawl per URL" / "newest commit per
@@ -92,23 +93,42 @@ def keep_latest(
     along) → one hash exchange on the composite key → per-partition argmax.
     The exchange therefore moves one candidate row per key per block, never
     the corpus. Determinism: ties on ``order_col`` within a key would be
-    block-layout-dependent, so ``order_col`` must be unique per key (a
-    commit timestamp / monotonically assigned doc_id); asserted cheaply in
-    the final reduce.
+    block-layout-dependent, so by default ``order_col`` must be unique per
+    key (a commit timestamp / monotonically assigned doc_id); asserted
+    cheaply in the final reduce and raised as a hard error. At 10^12 rows
+    one dirty record aborting a whole run is operationally harsh, so
+    ``tiebreak_col`` (when given) breaks (key, order) ties by the MAX of
+    that column instead — the result stays deterministic, and only a
+    residual tie on (key, order, tiebreak) raises.
     """
     cols = list(key_cols) + [order_col]
+    order_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    check_cols = cols + ([tiebreak_col] if tiebreak_col else [])
+    tie_msg = (
+        f"keep_latest: order_col {order_col!r} is not unique per key"
+        + (
+            f" even with tiebreak_col {tiebreak_col!r}"
+            if tiebreak_col
+            else " (pass tiebreak_col= for a deterministic tiebreak)"
+        )
+    )
 
     def argmax_rows(df: pd.DataFrame) -> pd.DataFrame:
-        # stable idxmax: max order_col per key, one row each, payload intact
-        idx = df.groupby(list(key_cols), sort=False)[order_col].idxmax()
-        return df.loc[idx]
+        if tiebreak_col is None:
+            # stable idxmax: max order_col per key, one row each, payload intact
+            idx = df.groupby(list(key_cols), sort=False)[order_col].idxmax()
+            return df.loc[idx]
+        # lexicographic max on (order, tiebreak): stable sort then last-per-key
+        return (
+            df.sort_values(order_cols, kind="mergesort")
+            .groupby(list(key_cols), sort=False)
+            .tail(1)
+        )
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        if df.duplicated(subset=cols).any():
-            raise ValueError(
-                f"keep_latest: order_col {order_col!r} is not unique per key"
-            )
+        if df.duplicated(subset=check_cols).any():
+            raise ValueError(tie_msg)
         out = argmax_rows(df)
         out = out.assign(
             part=_hash_part_str(out[list(key_cols)], num_partitions)
@@ -117,11 +137,9 @@ def keep_latest(
 
     def final(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop(columns=["part"])
-        dup = df.duplicated(subset=cols, keep=False)
-        if dup.any():  # two candidates tied on (key, order): non-deterministic
-            raise ValueError(
-                f"keep_latest: order_col {order_col!r} is not unique per key"
-            )
+        dup = df.duplicated(subset=check_cols, keep=False)
+        if dup.any():  # two candidates tied: non-deterministic
+            raise ValueError(tie_msg)
         return table_from_pandas(argmax_rows(df))
 
     return map_copartitioned(
@@ -294,8 +312,22 @@ def anti_join_keys(
       any keyed exchange in this package. ``schema`` (the payload table's
       arrow schema, key column included) is required on this path to build
       the null-padded drop rows so the union is schema-stable.
+
+    Null-key semantics (both strategies): a null ``key_col`` in ``ds`` is
+    KEPT — a row without a key was never identified as a duplicate, so the
+    dedup action cannot apply to it. Null keys in ``drop_keys`` are ignored
+    (they cannot name a row to drop). This mirrors asof_join/range_join's
+    explicit drop-nulls-on-the-key contract rather than crashing through a
+    float64-NaN conversion.
     """
+    import pyarrow.compute as pc
     import ray
+
+    def _valid_keys(col) -> tuple[np.ndarray, np.ndarray]:
+        """(int64 keys with nulls filled as 0, bool valid mask)."""
+        valid = np.asarray(pc.is_valid(col), dtype=bool)
+        k = np.asarray(pc.fill_null(pc.cast(col, pa.int64()), 0), dtype=np.int64)
+        return k, valid
 
     if isinstance(drop_keys, np.ndarray):
         n_drop = len(drop_keys)
@@ -307,7 +339,11 @@ def anti_join_keys(
         small = None
         if n_drop <= broadcast_limit:
             small = (
-                np.sort(np.asarray(drop_ds.to_pandas()[key_col], dtype=np.int64))
+                np.sort(
+                    np.asarray(
+                        drop_ds.to_pandas()[key_col].dropna(), dtype=np.int64
+                    )
+                )
                 if n_drop
                 else np.empty(0, np.int64)
             )
@@ -317,13 +353,13 @@ def anti_join_keys(
 
         def keep_broadcast(batch: pa.Table) -> pa.Table:
             drop = ray.get(drop_ref)
-            k = np.asarray(batch[key_col], dtype=np.int64)
+            k, valid = _valid_keys(batch[key_col])
             if len(drop):
                 pos = np.minimum(np.searchsorted(drop, k), len(drop) - 1)
                 mask = drop[pos] != k
             else:
                 mask = np.ones(len(k), bool)
-            return batch.filter(pa.array(mask))
+            return batch.filter(pa.array(mask | ~valid))
 
         return ds.map_batches(keep_broadcast, batch_format="pyarrow")
 
@@ -339,7 +375,8 @@ def anti_join_keys(
     names = list(schema.names)
 
     def payload_rows(batch: pa.Table) -> pa.Table:
-        k = np.asarray(batch[key_col], dtype=np.int64)
+        # null keys hash via the filled value; `cut` keeps them unconditionally
+        k, _ = _valid_keys(batch[key_col])
         return (
             batch.select(names)
             .append_column("part", pa.array(_hash_part_i64(k, num_partitions), pa.int32()))
@@ -347,6 +384,7 @@ def anti_join_keys(
         )
 
     def drop_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[key_col]))  # null can't name a row
         k = np.asarray(batch[key_col], dtype=np.int64)
         cols = {}
         for f in schema:
@@ -370,12 +408,12 @@ def anti_join_keys(
                 {f.name: pa.array([], f.type) for f in schema}
             )
         is_drop = np.asarray(block["is_drop"], dtype=bool)
-        k = np.asarray(block[key_col], dtype=np.int64)
+        k, valid = _valid_keys(block[key_col])
         drop = np.unique(k[is_drop])
         keep = ~is_drop
         if len(drop):
             pos = np.minimum(np.searchsorted(drop, k), len(drop) - 1)
-            keep &= drop[pos] != k
+            keep &= (drop[pos] != k) | ~valid
         return block.filter(pa.array(keep)).select(names)
 
     return map_copartitioned(unioned, "part", cut)

@@ -522,6 +522,33 @@ def test_anti_join_keys_edge_cases(ray_session):
     assert out["payload"].tolist() == ["a", "c"]
 
 
+def test_anti_join_keys_null_keys(ray_session):
+    """Null-key semantics: null payload keys are KEPT (never identified as
+    duplicates, even when the fill value 0 is itself a drop key); null drop
+    keys are ignored. Both strategies, no NaN-conversion crash."""
+    from elasticsearch_minhash_ray.stages.dedup import anti_join_keys
+
+    t = pa.table(
+        {
+            "doc_key": pa.array([0, None, 2, None, 4], pa.int64()),
+            "payload": pa.array(["z", "n1", "b", "n2", "d"], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    drop = rd.from_arrow(
+        pa.table({"doc_key": pa.array([0, None, 4], pa.int64())})
+    )
+    expect = ["b", "n1", "n2"]
+    got_b = sorted(anti_join_keys(ds, drop).to_pandas()["payload"])
+    got_j = sorted(
+        anti_join_keys(
+            ds, drop, broadcast_limit=0, num_partitions=2, schema=t.schema
+        ).to_pandas()["payload"]
+    )
+    assert got_b == expect
+    assert got_j == expect
+
+
 def test_unigram_surprisal_and_vocab_limit(ray_session):
     import math
 
@@ -621,6 +648,45 @@ def test_keep_latest(ray_session):
     )
     with pytest.raises(Exception, match="not unique"):
         keep_latest(rd.from_arrow(tie), ["repo", "path"], "commit_seq").to_pandas()
+
+
+def test_keep_latest_tiebreak(ray_session):
+    """tiebreak_col resolves a planted (key, order) tie deterministically
+    (max tiebreak wins, regardless of block layout); a residual tie on
+    (key, order, tiebreak) still raises."""
+    from elasticsearch_minhash_ray.stages.dedup import keep_latest
+
+    t = pa.table(
+        {
+            "repo": pa.array(["a", "a", "a", "b"], pa.string()),
+            "commit_seq": pa.array([5, 5, 3, 1], pa.int64()),
+            "crawl_id": pa.array([10, 20, 99, 7], pa.int64()),
+        }
+    )
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        got = (
+            keep_latest(ds, ["repo"], "commit_seq", tiebreak_col="crawl_id")
+            .to_pandas()
+            .sort_values("repo")
+            .reset_index(drop=True)
+        )
+        assert got["crawl_id"].tolist() == [20, 7], f"nblocks={nblocks}"
+    # same data without the tiebreak: hard error preserved
+    with pytest.raises(Exception, match="not unique"):
+        keep_latest(rd.from_arrow(t), ["repo"], "commit_seq").to_pandas()
+    # residual tie on (key, order, tiebreak) still raises under tiebreak_col
+    resid = pa.table(
+        {
+            "repo": pa.array(["a", "a"], pa.string()),
+            "commit_seq": pa.array([1, 1], pa.int64()),
+            "crawl_id": pa.array([2, 2], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="not unique"):
+        keep_latest(
+            rd.from_arrow(resid), ["repo"], "commit_seq", tiebreak_col="crawl_id"
+        ).to_pandas()
 
 
 def test_mix_to_weights_composition(ray_session):
