@@ -857,6 +857,33 @@ def _q_ngram_repetition(sf_dir: str):
     return ngram_repetition(ds)
 
 
+def _q_ngram_repetition_3(sf_dir: str):
+    """Oracle-checked duplicate-3-GRAM fraction (the Gopher rule set scores
+    2-4-grams) through the generalized pack-and-densify kernel. Repetition
+    is PLANTED deterministically (every doc_id % 11 == 0 gets a thrice-
+    repeated 3-token phrase appended, constructed identically in the SQL
+    twin) so the duplicate-detection path is value-hash-exercised on top of
+    whatever repetition the corpus has naturally."""
+    from elasticsearch_minhash_ray.stages.text import ngram_repetition
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "") + (" qq ww ee qq ww ee qq ww ee" if i % 11 == 0 else "")
+            for i, t in zip(ids, texts)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+        )
+
+    return ngram_repetition(ds.map_batches(plant, batch_format="pyarrow"), n=3)
+
+
 def _q_sample_exact_n(sf_dir: str):
     """Oracle-checked exact-size deterministic sample: the 137 docs with
     the smallest (knuth_hash(doc_id), doc_id) — per-block local top-n
@@ -1935,7 +1962,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "text_quality_stats": _q_text_quality_stats,
         "token_counts": _q_token_counts,
-        "docs_by_lang": _q_docs_by_lang,
         "events_by_type": _q_events_by_type,
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
@@ -1956,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_df": _q_token_df,
         "tfidf_topk": _q_tfidf_topk,
         "ngram_repetition": _q_ngram_repetition,
+        "ngram_repetition_3": _q_ngram_repetition_3,
         "normalize_text": _q_normalize_text,
         "substring_spans": _q_substring_spans,
         "substring_stats": _q_substring_stats,
@@ -1977,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         # --- oracle-backed, generic SQL aggregates (outside driver window;
         # judge-sweep verified r3+r4, pytest-covered) ---
+        "docs_by_lang": _q_docs_by_lang,
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_region": _q_orders_by_region,
         "user_sessions": _q_user_sessions,
@@ -2676,6 +2704,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    CAST(len(grams) AS BIGINT) AS n_2grams,
+                   CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+                   CASE WHEN len(grams) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                                         / len(grams), 9)
+                        ELSE 0.0 END AS dup_frac
+            FROM g
+        """,
+        "ngram_repetition_3": """
+            WITH planted AS (
+              SELECT doc_id,
+                     coalesce(text, '') || CASE WHEN doc_id % 11 = 0
+                          THEN ' qq ww ee qq ww ee qq ww ee' ELSE '' END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(text, '[0-9A-Za-z_]+') AS t
+              FROM planted
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+              FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(grams) AS BIGINT) AS n_3grams,
                    CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
                    CASE WHEN len(grams) > 0
                         THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)

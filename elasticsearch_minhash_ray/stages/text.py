@@ -751,20 +751,27 @@ def column_quantiles(ds, col: str = "n_chars", by: str = "lang",
 
 def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc duplicate-n-gram fraction — the Gopher-style repetition
-    signal (`1 - distinct_ngrams / ngrams`); high values flag boilerplate /
-    degenerate generations. Map-only combiner shape, no exchange.
+    signal (`1 - distinct_ngrams / ngrams`) at any n >= 2 (the Gopher rule
+    set uses 2-4-grams); high values flag boilerplate / degenerate
+    generations. Map-only combiner shape, no exchange.
 
-    Vectorized: one factorize over the batch's flat token stream, n-gram
-    codes built by integer packing of adjacent code pairs (doc boundaries
-    masked), distinct-per-doc via one lexsort + unique-run bincount.
-    Docs with < n tokens emit (0, 0, 0.0)."""
+    Vectorized: one factorize over the batch's flat token stream, then
+    n-gram codes built EXACTLY by iterative pack-and-densify — each step
+    packs the running prefix code with the next token code into int64
+    (prefix <= total tokens after densify and token code < vocab, so the
+    product never overflows) and re-densifies via np.unique; doc
+    boundaries masked so grams never span docs. Distinct-per-doc via one
+    lexsort + unique-run bincount. Docs with < n tokens emit (0, 0, 0.0).
+    The count column is named ``n_{n}grams`` (``n_2grams`` at the default).
+    """
     import re
 
     from ..functions.text_stats import TOKEN_RE
 
-    if n != 2:
-        raise NotImplementedError("integer pair-packing is written for n=2")
+    if n < 2:
+        raise ValueError("ngram_repetition needs n >= 2")
     word_re = re.compile(TOKEN_RE)
+    cnt_col = f"n_{n}grams"
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         toks = batch[text_col].fillna("").str.findall(word_re)
@@ -772,10 +779,12 @@ def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_
         ids = batch[id_col].to_numpy(np.int64)
         total = int(counts.sum())
         ngrams = np.maximum(counts - (n - 1), 0)
-        if total == 0:
+        L = total - (n - 1)  # candidate gram start positions (batch-flat)
+        if total == 0 or L <= 0 or not ngrams.any():
             z = np.zeros(len(ids), np.int64)
             return pd.DataFrame(
-                {id_col: ids, "n_2grams": z, "n_distinct": z, "dup_frac": z.astype(np.float64)}
+                {id_col: ids, cnt_col: ngrams, "n_distinct": z,
+                 "dup_frac": np.zeros(len(ids), np.float64)}
             )
         from itertools import chain
 
@@ -783,10 +792,14 @@ def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_
         codes, uniques = pd.factorize(flat, sort=False)
         codes = codes.astype(np.int64)
         doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        same_doc = doc_idx[:-1] == doc_idx[1:]
         V = np.int64(len(uniques))
-        grams = codes[:-1] * V + codes[1:]
-        gdoc = doc_idx[:-1][same_doc]
+        grams = codes[:L].copy()
+        for k in range(1, n):
+            grams = grams * V + codes[k : L + k]
+            if k < n - 1:  # keep values < total so the next product fits int64
+                grams = np.unique(grams, return_inverse=True)[1]
+        same_doc = doc_idx[:L] == doc_idx[n - 1 :]
+        gdoc = doc_idx[:L][same_doc]
         grams = grams[same_doc]
         order = np.lexsort((grams, gdoc))
         gdoc_s, grams_s = gdoc[order], grams[order]
@@ -797,7 +810,7 @@ def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_
         nz = ngrams > 0
         frac[nz] = np.round(1.0 - distinct[nz] / ngrams[nz], 9)
         return pd.DataFrame(
-            {id_col: ids, "n_2grams": ngrams, "n_distinct": distinct, "dup_frac": frac}
+            {id_col: ids, cnt_col: ngrams, "n_distinct": distinct, "dup_frac": frac}
         )
 
     return ds.map_batches(score, batch_format="pandas")

@@ -1106,3 +1106,51 @@ def test_normalize_text_edges_vs_duckdb(ray_session):
     assert out["norm_text"][0].startswith("café ")  # composed + lowered
     assert out["n_chars_norm"].tolist() == [len(s) for s in ora["norm_text"]]
     assert out["src"].tolist() == [f"s{i}" for i in range(len(texts))]
+
+
+def test_ngram_repetition_general_n(ray_session):
+    """Generalized pack-and-densify kernel: exact dup fractions for n=2..4
+    on hand-computed docs; grams never span doc boundaries regardless of
+    block layout; docs with < n tokens emit (0, 0, 0.0)."""
+    from elasticsearch_minhash_ray.stages.text import ngram_repetition
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c a b c a b c",  # 9 toks: 3-grams=7, distinct={abc,bca,cab}=3
+                    "x y",                # 2 toks: no 3-grams
+                    "a b c",              # exactly n: 1 gram, distinct
+                    None,
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    for nblocks in (1, 4):  # 4 blocks = every doc alone -> boundary masking moot vs real
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = ngram_repetition(ds, n=3).to_pandas().set_index("doc_id")
+        assert out.loc[1, "n_3grams"] == 7 and out.loc[1, "n_distinct"] == 3
+        assert out.loc[1, "dup_frac"] == pytest.approx(1 - 3 / 7, abs=1e-9)
+        assert out.loc[2].tolist() == [0, 0, 0.0]
+        assert out.loc[3].tolist() == [1, 1, 0.0]
+        assert out.loc[4].tolist() == [0, 0, 0.0]
+    # n=4: "a b c a b c a b c" -> 6 grams, distinct {abca,bcab,cabc}=3
+    out4 = ngram_repetition(rd.from_arrow(t), n=4).to_pandas().set_index("doc_id")
+    assert out4.loc[1, "n_4grams"] == 6 and out4.loc[1, "n_distinct"] == 3
+    # boundary: doc1 ends "...c", doc3 starts "a" -> "c a b" must NOT become
+    # a doc1 gram even when both docs share one block (single block forced)
+    tb = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(["p q c", "a b r"], pa.string()),
+        }
+    )
+    outb = ngram_repetition(rd.from_arrow(tb), n=3).to_pandas().set_index("doc_id")
+    assert outb.loc[1, "n_3grams"] == 1 and outb.loc[2, "n_3grams"] == 1
+    # n=2 column name unchanged (oracle contract)
+    out2 = ngram_repetition(rd.from_arrow(t), n=2).to_pandas()
+    assert "n_2grams" in out2.columns
+    with pytest.raises(ValueError, match="n >= 2"):
+        ngram_repetition(rd.from_arrow(t), n=1)
