@@ -1527,12 +1527,25 @@ def _q_minhash_bit_strings(sf_dir: str):
 
 
 def _q_ann_topk_ivf(sf_dir: str):
-    """IVF-bucketed approximate top-k — the ANN scale path."""
-    from elasticsearch_minhash_ray.stages.embed import ivf_topk
+    """IVF-bucketed approximate top-k — the ANN scale path (n_probe=4 of 8
+    lists: ~2x less scoring than brute). RECALL CONTRACT: the result carries
+    a measured per-query ``recall_at_k`` column against the oracle-green
+    brute-force top-k computed in the same run, so the approximation error
+    is a visible metric, never silent (the exact-mode machinery itself is
+    SQL-pinned by ann_topk_ivf_exact; tests/test_extras.py enforces a
+    recall floor on clustered synthetic data)."""
+    from elasticsearch_minhash_ray.stages.embed import (
+        brute_force_topk,
+        ivf_topk,
+        topk_recall,
+    )
 
     q, qids = _ann_queries(sf_dir)
     ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
-    return ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=4)
+    approx = ivf_topk(ds, q, qids, k=10, n_lists=8, n_probe=4)
+    exact = brute_force_topk(ds, q, qids, k=10)
+    rec = topk_recall(approx, exact)
+    return approx.to_pandas().merge(rec, on="query_id", how="left")
 
 
 def _q_ann_topk_ivf_exact(sf_dir: str):

@@ -201,6 +201,24 @@ def ivf_topk(
     return table_from_pandas(top)
 
 
+def topk_recall(approx: pa.Table, exact: pa.Table) -> "pd.DataFrame":
+    """Per-query recall of an approximate top-k table against the exact one:
+    |approx ∩ exact| / |exact| over vec_id sets, per query_id. Both inputs
+    are (query_id, vec_id, ...) tables as returned by :func:`ivf_topk` /
+    :func:`brute_force_topk`. Driver-side by design — nq × k rows."""
+    import pandas as pd
+
+    a = approx.select(["query_id", "vec_id"]).to_pandas()
+    e = exact.select(["query_id", "vec_id"]).to_pandas()
+    hit = a.merge(e, on=["query_id", "vec_id"], how="inner").groupby("query_id").size()
+    denom = e.groupby("query_id").size()
+    out = pd.DataFrame({"query_id": denom.index.to_numpy(np.int64)})
+    out["recall_at_k"] = (
+        hit.reindex(denom.index, fill_value=0).to_numpy() / denom.to_numpy()
+    ).round(9)
+    return out
+
+
 class HyperplaneLSHStage:
     """map_batches callable: sign-bit sketch of embeddings under ``n_bits``
     seeded random hyperplanes → band buckets (like simhash banding). State

@@ -1154,3 +1154,37 @@ def test_ngram_repetition_general_n(ray_session):
     assert "n_2grams" in out2.columns
     with pytest.raises(ValueError, match="n >= 2"):
         ngram_repetition(rd.from_arrow(t), n=1)
+
+
+def test_ivf_recall_contract(ray_session):
+    """Measured-recall contract for approximate IVF: on clustered data whose
+    neighbours co-locate in coarse lists, n_probe=4/16 holds a high floor;
+    recall is monotone in n_probe and exactly 1.0 at n_probe=n_lists."""
+    from elasticsearch_minhash_ray.stages.embed import (
+        brute_force_topk,
+        ivf_topk,
+        topk_recall,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((16, 24)) * 4.0
+    mat = np.repeat(centers, 50, axis=0) + 0.1 * rng.standard_normal((800, 24))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(800), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    q = centers[:8] + 0.05 * rng.standard_normal((8, 24))
+    qids = np.arange(8)
+    exact = brute_force_topk(ds, q, qids, k=10)
+
+    def mean_recall(n_probe):
+        approx = ivf_topk(ds, q, qids, k=10, n_lists=16, n_probe=n_probe)
+        return topk_recall(approx, exact)["recall_at_k"].mean()
+
+    r4 = mean_recall(4)
+    assert r4 >= 0.9, f"IVF recall floor broken: {r4}"
+    assert mean_recall(16) == pytest.approx(1.0)  # exact mode == brute
+    assert mean_recall(1) <= r4 + 1e-9  # monotone in n_probe
