@@ -1320,12 +1320,13 @@ def _q_unigram_surprisal(sf_dir: str):
     """Oracle-checked mean unigram surprisal per doc — the cheap LM-quality
     scoring signal: -ln(count(token)/total_tokens) averaged over a doc's
     token occurrences, with counts from the corpus itself (pass 1 combiner →
-    broadcast vocabulary → streaming score map). Full-vocab mode here (every
-    token in-vocab by construction = SQL-exact); vocab_limit is the 100-TB
-    knob."""
+    broadcast vocabulary → streaming score map). Explicit full-vocab mode
+    here (every token in-vocab by construction = SQL-exact); the stage
+    DEFAULT is a distributed top-1M vocab head — the 100-TB shape, where
+    the grouped count table never reaches the driver."""
     from elasticsearch_minhash_ray.stages.text import unigram_surprisal
 
-    return unigram_surprisal(_docs(sf_dir, ["doc_id", "text"]))
+    return unigram_surprisal(_docs(sf_dir, ["doc_id", "text"]), vocab_limit=None)
 
 
 def _q_pii_scrub(sf_dir: str):

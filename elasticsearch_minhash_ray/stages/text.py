@@ -534,20 +534,25 @@ def pack_sequences(ds, budget: int = 2048, num_partitions: int = 8,
 
 
 def unigram_surprisal(ds, text_col: str = "text", id_col: str = "doc_id",
-                      vocab_limit: int | None = None):
+                      vocab_limit: int | None = 1_000_000):
     """Mean unigram surprisal per doc — the cheap 'LM-quality' scoring signal
     (gibberish / boilerplate scores high or low vs the corpus distribution;
     the standard stand-in where a perplexity model isn't available).
 
     Two passes over the corpus:
     1. corpus-wide token OCCURRENCE counts: per-block combiner (Counter) →
-       the counts are pulled and broadcast once via ray.put. With
-       ``vocab_limit`` the broadcast keeps only the top-K tokens by count
-       (the 100-TB shape: the head of a Zipf vocabulary carries ~all
-       occurrence mass); out-of-vocab tokens get a count floor of 1.
-       ``vocab_limit=None`` broadcasts the full vocabulary — every doc token
-       is then in-vocab by construction (counted from the same corpus),
-       which is the SQL-twin-exact mode.
+       one token-keyed exchange. With ``vocab_limit`` (the 100-TB shape:
+       the head of a Zipf vocabulary carries ~all occurrence mass) the
+       top-K selection is DISTRIBUTED — the grouped count table never
+       leaves the cluster; ``total`` comes from a scalar aggregate and
+       only the K (count desc, token asc — deterministic under ties) head
+       rows reach the driver for the ray.put broadcast. Out-of-vocab
+       tokens get a count floor of 1; the DEFAULT is a 1M-token head so no
+       call path pulls an unbounded vocab unless explicitly asked.
+       ``vocab_limit=None`` pulls and broadcasts the FULL vocabulary —
+       every doc token is then in-vocab by construction (counted from the
+       same corpus), which is the SQL-twin-exact mode; opt in only where
+       the vocab fits the driver.
     2. streaming score map: per doc, mean over token occurrences of
        ``-ln(count(token) / total_tokens)``; zero-token docs emit nothing.
 
@@ -568,17 +573,30 @@ def unigram_surprisal(ds, text_col: str = "text", id_col: str = "doc_id",
             {"token": list(c.keys()), "c": np.fromiter(c.values(), np.int64, len(c))}
         )
 
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pandas")
-        .groupby("token")
-        .sum("c")
-        .to_pandas()
-    )
-    col = "sum(c)" if "sum(c)" in counts.columns else "c"
-    total = int(counts[col].sum())
-    if vocab_limit is not None and len(counts) > vocab_limit:
-        counts = counts.nlargest(vocab_limit, col)
-    vocab = dict(zip(counts["token"], counts[col].astype(int)))
+    partials = ds.map_batches(partial_counts, batch_format="pandas")
+    if vocab_limit is None:
+        counts = partials.groupby("token").sum("c").to_pandas()
+        col = "sum(c)" if "sum(c)" in counts.columns else "c"
+        total = int(counts[col].sum())
+        vocab = dict(zip(counts["token"], counts[col].astype(int)))
+    else:
+        # distributed top-K (token_df_topk shape): grouped counts stay on the
+        # cluster; the sort runs over distinct tokens only
+        from ..grouping import map_copartitioned
+
+        def final_sum(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby("token", as_index=False, sort=False)["c"].sum()
+
+        grouped = map_copartitioned(
+            partials, "token", final_sum, batch_format="pandas"
+        ).materialize()
+        total = int(grouped.sum("c"))
+        top = (
+            grouped.sort(["c", "token"], descending=[True, False])
+            .limit(vocab_limit)
+            .to_pandas()
+        )
+        vocab = dict(zip(top["token"], top["c"].astype(int)))
     ref = ray.put((vocab, total))
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
