@@ -482,27 +482,44 @@ def _q_embedding_near_dup_lsh(sf_dir: str):
     return edges.map_batches(drop_metric_rows, batch_format="pyarrow")
 
 
-def _key2id_ref(res):
-    """Broadcast doc_key→doc_id lookup (sorted-key + id arrays, one ray.put).
-    The map itself is the SMALL side (one 16-byte row per doc vs bands/edges
-    many times that), so this is the standard broadcast-lookup shape; edge /
-    cluster datasets are remapped in map_batches, never pulled."""
-    import ray
+def _key2id_ds(res, out_col: str):
+    """(doc_key, <out_col>=documents.doc_id) Dataset from the signatures
+    table — the join side for resolving edge/cluster doc_keys back to doc_id.
+    A Dataset, NOT a broadcast: the map is per-doc (corpus-sized), so at
+    10^12 rows it must move through a keyed exchange (native hash join), not
+    a ray.put."""
 
-    sigs = res.signatures.select_columns(["doc_key", "path"]).to_pandas()
-    k = sigs["doc_key"].to_numpy(np.int64)
-    i = sigs["path"].astype(np.int64).to_numpy()
-    o = np.argsort(k)
-    return ray.put((k[o], i[o]))
+    def ids_tbl(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = pd.Series(b["path"].to_pylist()).astype(np.int64).to_numpy()
+        return pa.table({"doc_key": b["doc_key"], out_col: pa.array(ids, pa.int64())})
+
+    return res.signatures.select_columns(["doc_key", "path"]).map_batches(
+        ids_tbl, batch_format="pyarrow"
+    )
 
 
-def _remap_keys(keys: np.ndarray, kmap) -> np.ndarray:
-    """Vectorized doc_key→doc_id via searchsorted over the broadcast arrays."""
-    ks, ids = kmap
-    pos = np.searchsorted(ks, keys)
-    if len(ks) and not (ks[np.minimum(pos, len(ks) - 1)] == keys).all():
-        raise AssertionError("doc_key missing from the broadcast id map")
-    return ids[pos]
+def _edges_with_doc_ids(res, num_partitions: int = 16):
+    """Edges with both endpoints resolved doc_key→doc_id via TWO distributed
+    hash joins (Ray Data's native join drops the right key and keeps the
+    value column). Inner joins are lossless here: every edge endpoint comes
+    from the same signatures table that feeds the join side. Output columns:
+    (src, dst, sim, src_id, dst_id)."""
+    e = res.edges.join(
+        _key2id_ds(res, "src_id"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("src",),
+        right_on=("doc_key",),
+    )
+    return e.join(
+        _key2id_ds(res, "dst_id"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("dst",),
+        right_on=("doc_key",),
+    )
 
 
 def _q_ngram_jaccard_edges(sf_dir: str):
@@ -510,11 +527,9 @@ def _q_ngram_jaccard_edges(sf_dir: str):
     3-gram shingles (both exactly replicable in SQL), MinHash-LSH candidates
     (16 x 8-bit bands: catch prob ≥ 0.9999 at J = 0.8), exact set-Jaccard
     verify at 0.8. Edge keys map back to documents.doc_id via the corpus
-    ``path`` column — the (doc_key → doc_id) array broadcasts once via
-    ray.put and the remap runs vectorized inside map_batches (the edges
-    Dataset never touches the driver)."""
-    import ray
-
+    ``path`` column through two distributed hash joins against the per-doc
+    (doc_key, doc_id) projection — a keyed exchange, not a corpus-sized
+    broadcast (the edges Dataset never touches the driver)."""
     from elasticsearch_minhash_ray import LSHConfig, MinHashConfig, near_dup_pipeline
 
     cfg = _pipeline_cfg(
@@ -522,12 +537,10 @@ def _q_ngram_jaccard_edges(sf_dir: str):
         lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
     )
     res = near_dup_pipeline(_corpus(sf_dir), cfg)
-    ref = _key2id_ref(res)
 
-    def remap(batch: pa.Table) -> pa.Table:
-        kmap = ray.get(ref)
-        a = _remap_keys(np.asarray(batch["src"], dtype=np.int64), kmap)
-        b = _remap_keys(np.asarray(batch["dst"], dtype=np.int64), kmap)
+    def finish(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["src_id"], dtype=np.int64)
+        b = np.asarray(batch["dst_id"], dtype=np.int64)
         return pa.table(
             {
                 "a_id": pa.array(np.minimum(a, b), pa.int64()),
@@ -538,7 +551,7 @@ def _q_ngram_jaccard_edges(sf_dir: str):
             }
         )
 
-    return res.edges.map_batches(remap, batch_format="pyarrow")
+    return _edges_with_doc_ids(res).map_batches(finish, batch_format="pyarrow")
 
 
 def _q_near_dup_keep(sf_dir: str):
@@ -582,16 +595,11 @@ def _q_fuzzy_decontaminate(sf_dir: str):
         lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
     )
     res = near_dup_pipeline(_corpus(sf_dir), cfg)
-    import ray
-
     from elasticsearch_minhash_ray.grouping import map_copartitioned
 
-    ref = _key2id_ref(res)
-
     def cross_rows(batch: pa.Table) -> pa.Table:
-        kmap = ray.get(ref)
-        a = _remap_keys(np.asarray(batch["src"], dtype=np.int64), kmap)
-        b = _remap_keys(np.asarray(batch["dst"], dtype=np.int64), kmap)
+        a = np.asarray(batch["src_id"], dtype=np.int64)
+        b = np.asarray(batch["dst_id"], dtype=np.int64)
         jac = np.round(np.asarray(batch["sim"], dtype=np.float64), 9)
         cross = (a < 50) != (b < 50)
         train = np.where(a[cross] < 50, b[cross], a[cross])
@@ -617,7 +625,9 @@ def _q_fuzzy_decontaminate(sf_dir: str):
     # per-train-doc argmax runs distributed: one doc_id exchange co-locating
     # each train doc's candidate rows, then a per-block vectorized reduce
     return map_copartitioned(
-        res.edges.map_batches(cross_rows, batch_format="pyarrow"), "doc_id", best_match
+        _edges_with_doc_ids(res).map_batches(cross_rows, batch_format="pyarrow"),
+        "doc_id",
+        best_match,
     )
 
 
@@ -1205,25 +1215,24 @@ def _q_ngram_jaccard_cc(sf_dir: str):
         lsh=LSHConfig(num_partitions=16, n_bands=16, verify_mode="jaccard", jaccard_threshold=0.8),
     )
     res = near_dup_pipeline(_corpus(sf_dir), cfg)
-    import ray
     import ray.data as rd
 
     from elasticsearch_minhash_ray.grouping import map_copartitioned
 
-    ref = _key2id_ref(res)
     cl = res.clusters
     cl = rd.from_arrow(cl) if isinstance(cl, pa.Table) else cl
+    # doc_key→doc_id via one distributed hash join (keyed exchange, not a
+    # corpus-sized broadcast; inner is lossless — every clustered key is in
+    # the signatures table the join side projects)
+    joined = cl.join(
+        _key2id_ds(res, "doc_id"),
+        join_type="inner",
+        num_partitions=16,
+        on=("doc_key",),
+    )
 
     def remap(batch: pa.Table) -> pa.Table:
-        kmap = ray.get(ref)
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    _remap_keys(np.asarray(batch["doc_key"], dtype=np.int64), kmap), pa.int64()
-                ),
-                "c": batch["cluster_id"],
-            }
-        )
+        return pa.table({"doc_id": batch["doc_id"], "c": batch["cluster_id"]})
 
     def relabel(block: pa.Table) -> pa.Table:
         # relabel each component by its min doc_id: cluster_id is min
@@ -1235,7 +1244,7 @@ def _q_ngram_jaccard_cc(sf_dir: str):
         df["cluster_id"] = df.groupby("c")["doc_id"].transform("min")
         return pa.Table.from_pandas(df[["doc_id", "cluster_id"]], preserve_index=False)
 
-    return map_copartitioned(cl.map_batches(remap, batch_format="pyarrow"), "c", relabel)
+    return map_copartitioned(joined.map_batches(remap, batch_format="pyarrow"), "c", relabel)
 
 
 def _q_ann_topk_filtered(sf_dir: str):
