@@ -39,12 +39,23 @@ import pyarrow as pa
 # sort never splits a run of EQUAL keys across output blocks — is an internal
 # behavior, not a documented contract. Verified against these Ray versions
 # (tests/test_queries.py oracle suite + the checkpoint duplicate-shard hard
-# guard in state/checkpoint.py would both catch a break). On an unverified
-# Ray, warn once so a silent-duplicate failure has a breadcrumb.
+# guard in state/checkpoint.py would both catch a break). Many consumers
+# (keep_latest, asof/range joins, tfidf, quantiles, ...) would be SILENTLY
+# WRONG if the invariant broke — duplicate keep rows, undercounted sums,
+# duplicated join output — so on an unverified Ray the primitives REFUSE to
+# run rather than warn: set GRAFT_ALLOW_UNVERIFIED_RAY_SORT=1 to downgrade
+# to a one-time warning after validating the invariant on your version
+# (the checkpoint duplicate-shard guard and the oracle suite are the
+# validation harness).
 _VERIFIED_RAY_PREFIXES = ("2.49.",)
+_version_checked = False
 
 
 def _check_ray_version() -> None:
+    global _version_checked
+    if _version_checked:
+        return
+    _version_checked = True
     try:
         import ray
 
@@ -52,16 +63,20 @@ def _check_ray_version() -> None:
     except Exception:
         return
     if not v.startswith(_VERIFIED_RAY_PREFIXES):
-        warnings.warn(
+        import os
+
+        msg = (
             f"grouping primitives verified on Ray {_VERIFIED_RAY_PREFIXES}, running "
-            f"{v}: the sort equal-keys-one-block invariant may not hold — watch for "
-            "duplicate keys in co-partitioned aggregation outputs",
-            RuntimeWarning,
-            stacklevel=3,
+            f"{v}: the sort equal-keys-one-block invariant may not hold, which "
+            "would make co-partitioned aggregations silently wrong (duplicate "
+            "keys across blocks). Validate the invariant on this Ray version "
+            "(run the oracle test suite) and set GRAFT_ALLOW_UNVERIFIED_RAY_SORT=1 "
+            "to proceed."
         )
-
-
-_check_ray_version()
+        if os.environ.get("GRAFT_ALLOW_UNVERIFIED_RAY_SORT"):
+            warnings.warn(msg, RuntimeWarning, stacklevel=4)
+        else:
+            raise RuntimeError(msg)
 
 
 def map_copartitioned(ds, key: str, fn: Callable, *, batch_format: str = "pyarrow"):
@@ -69,6 +84,7 @@ def map_copartitioned(ds, key: str, fn: Callable, *, batch_format: str = "pyarro
     key lands in exactly one block, so a UDF that groups internally computes
     the same result as ``groupby(key).map_groups(fn)`` with one call per
     BLOCK instead of one per key."""
+    _check_ray_version()
     return ds.sort(key).map_batches(
         fn, batch_size=None, batch_format=batch_format, zero_copy_batch=True
     )
@@ -90,6 +106,7 @@ def map_part_groups(ds, key: str, fn: Callable[[pa.Table], pa.Table]):
         return pa.concat_tables(outs)
 
     apply_groups.__name__ = getattr(fn, "__name__", type(fn).__name__)
+    _check_ray_version()
     return ds.sort(key).map_batches(
         apply_groups, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )

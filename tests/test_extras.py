@@ -1188,3 +1188,77 @@ def test_ivf_recall_contract(ray_session):
     assert r4 >= 0.9, f"IVF recall floor broken: {r4}"
     assert mean_recall(16) == pytest.approx(1.0)  # exact mode == brute
     assert mean_recall(1) <= r4 + 1e-9  # monotone in n_probe
+
+
+def test_multimodal_real_pil_decoder(ray_session):
+    """In a codec-equipped environment, exercise the REAL decode path end to
+    end through the r4 pluggable-decoder seam: synthesize genuine PNG bytes,
+    inject a PIL-based decoder (grayscale-resize feature extractor), and run
+    the actor-pool stage over them. Skips cleanly where PIL is absent (this
+    container), so the stub stays the default everywhere."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rng = np.random.default_rng(11)
+    n, dim = 12, 16
+
+    def png_bytes(i):
+        arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array([png_bytes(i) for i in range(n)], pa.binary()),
+            "meta": pa.array(["{}"] * n, pa.string()),
+        }
+    )
+
+    def pil_decoder(payload: bytes, meta: dict) -> np.ndarray:
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((4, 4))
+        return np.asarray(img, dtype=np.float32).ravel() / 255.0
+
+    from elasticsearch_minhash_ray.stages.multimodal import MediaDecodeStage
+
+    feats = (
+        rd.from_arrow(media)
+        .map_batches(
+            MediaDecodeStage,
+            fn_constructor_kwargs={"feature_dim": dim, "decoder": pil_decoder},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=2,
+        )
+        .to_pandas()
+    )
+    assert len(feats) == n
+    v = np.asarray(feats["features"].iloc[0])
+    assert v.shape == (dim,) and 0.0 <= v.min() and v.max() <= 1.0
+    # decode is deterministic: same payload -> same features via the stage
+    again = MediaDecodeStage(feature_dim=dim, decoder=pil_decoder)(media)
+    assert np.allclose(np.asarray(again["features"].to_pylist()), np.stack(feats["features"]))
+
+
+def test_grouping_unverified_ray_gate(monkeypatch):
+    """On an unverified Ray version the co-partition primitives refuse to
+    run (the sort equal-keys invariant would make consumers silently wrong);
+    GRAFT_ALLOW_UNVERIFIED_RAY_SORT=1 downgrades to a one-time warning."""
+    import warnings
+
+    import ray
+
+    import elasticsearch_minhash_ray.grouping as g
+
+    monkeypatch.setattr(g, "_version_checked", False)
+    monkeypatch.setattr(ray, "__version__", "9.99.0")
+    with pytest.raises(RuntimeError, match="equal-keys-one-block"):
+        g._check_ray_version()
+    monkeypatch.setattr(g, "_version_checked", False)
+    monkeypatch.setenv("GRAFT_ALLOW_UNVERIFIED_RAY_SORT", "1")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g._check_ray_version()
+    assert any(issubclass(x.category, RuntimeWarning) for x in w)
