@@ -894,6 +894,37 @@ def _q_ngram_repetition_3(sf_dir: str):
     return ngram_repetition(ds.map_batches(plant, batch_format="pyarrow"), n=3)
 
 
+def _q_repetition_gate(sf_dir: str):
+    """Oracle-checked Gopher-style composite repetition FILTER: drop docs
+    whose duplicate-n-gram fraction exceeds the per-n thresholds for any of
+    n = 2, 3, 4 (one tokenize+factorize per batch shared across the three n;
+    map-only). Degenerate docs are PLANTED (doc_id % 13 == 0 gets a
+    240-token repeated phrase appended, identically in the SQL twin) so the
+    rejection path is value-hash-exercised — this corpus is naturally clean
+    (max natural dup_frac ~0.07 at n=3)."""
+    from elasticsearch_minhash_ray.stages.text import repetition_gate
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    )
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = batch["text"].to_pylist()
+        out = [
+            (t or "") + (" sp am bot" * 80 if i % 13 == 0 else "")
+            for i, t in zip(ids, texts)
+        ]
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", pa.array(out, pa.string())
+        )
+
+    return repetition_gate(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        max_dup={2: 0.2, 3: 0.18, 4: 0.16},
+    ).select_columns(["doc_id"])
+
+
 def _q_sample_exact_n(sf_dir: str):
     """Oracle-checked exact-size deterministic sample: the 137 docs with
     the smallest (knuth_hash(doc_id), doc_id) — per-block local top-n
@@ -2006,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "ngram_repetition": _q_ngram_repetition,
         "ngram_repetition_3": _q_ngram_repetition_3,
+        "repetition_gate": _q_repetition_gate,
         "normalize_text": _q_normalize_text,
         "substring_spans": _q_substring_spans,
         "substring_stats": _q_substring_stats,
@@ -2017,7 +2049,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "hash_join": _q_hash_join,
-        "top_events_per_user": _q_top_events_per_user,
         "value_zscore": _q_value_zscore,
         "mix_sources": _q_mix_sources,
         "sample_exact_n": _q_sample_exact_n,
@@ -2028,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-backed, generic SQL aggregates (outside driver window;
         # judge-sweep verified r3+r4, pytest-covered) ---
         "docs_by_lang": _q_docs_by_lang,
+        "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
         "orders_by_region": _q_orders_by_region,
         "user_sessions": _q_user_sessions,
@@ -2733,6 +2765,36 @@ def oracle_sql() -> dict[str, str]:
                                          / len(grams), 9)
                         ELSE 0.0 END AS dup_frac
             FROM g
+        """,
+        "repetition_gate": """
+            WITH planted AS (
+              SELECT doc_id,
+                     coalesce(text, '') || CASE WHEN doc_id % 13 = 0
+                          THEN repeat(' sp am bot', 80) ELSE '' END AS text
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, regexp_extract_all(text, '[0-9A-Za-z_]+') AS t
+              FROM planted
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1]) AS g2,
+                     list_transform(range(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3,
+                     list_transform(range(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                              || ' ' || t[i+3]) AS g4
+              FROM toks
+            )
+            SELECT doc_id FROM g
+            WHERE (len(g2) = 0 OR
+                   1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) <= 0.2)
+              AND (len(g3) = 0 OR
+                   1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) <= 0.18)
+              AND (len(g4) = 0 OR
+                   1.0 - CAST(len(list_distinct(g4)) AS DOUBLE) / len(g4) <= 0.16)
         """,
         "ngram_repetition_3": """
             WITH planted AS (

@@ -67,6 +67,7 @@ HEADLINE = [
     "pack_sequences",
     "unigram_surprisal",
     "ngram_repetition",
+    "ngram_repetition_3",
     "token_df",
     "tfidf_topk",
     "length_quantiles",

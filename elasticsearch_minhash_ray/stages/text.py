@@ -767,6 +767,77 @@ def column_quantiles(ds, col: str = "n_chars", by: str = "lang",
     )
 
 
+def _tokenize_codes(texts: pd.Series):
+    """Shared repetition-kernel front end: (token codes int64, per-doc counts,
+    doc index per token, vocab size). Returns codes=None for an all-empty
+    batch."""
+    import re
+
+    from ..functions.text_stats import TOKEN_RE
+
+    word_re = re.compile(TOKEN_RE)
+    toks = texts.fillna("").str.findall(word_re)
+    counts = toks.str.len().to_numpy(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return None, counts, None, 0
+    from itertools import chain
+
+    flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+    codes, uniques = pd.factorize(flat, sort=False)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return codes.astype(np.int64), counts, doc_idx, len(uniques)
+
+
+def _ngram_dup_counts(codes, doc_idx, n_docs: int, V: int, n: int):
+    """(per-doc distinct n-gram count) over the batch-flat token code stream —
+    the exact pack-and-densify kernel shared by ngram_repetition and
+    repetition_gate. Caller computes per-doc totals as max(tokens-(n-1), 0)."""
+    L = len(codes) - (n - 1)
+    if L <= 0:
+        return np.zeros(n_docs, np.int64)
+    grams = codes[:L].copy()
+    for k in range(1, n):
+        grams = grams * np.int64(V) + codes[k : L + k]
+        if k < n - 1:  # keep values < total so the next product fits int64
+            grams = np.unique(grams, return_inverse=True)[1]
+    same_doc = doc_idx[:L] == doc_idx[n - 1 :]
+    gdoc = doc_idx[:L][same_doc]
+    grams = grams[same_doc]
+    order = np.lexsort((grams, gdoc))
+    gdoc_s, grams_s = gdoc[order], grams[order]
+    newrun = np.ones(len(gdoc_s), dtype=bool)
+    newrun[1:] = (gdoc_s[1:] != gdoc_s[:-1]) | (grams_s[1:] != grams_s[:-1])
+    return np.bincount(gdoc_s[newrun], minlength=n_docs).astype(np.int64)
+
+
+def repetition_gate(ds, max_dup: dict[int, float], text_col: str = "text"):
+    """Gopher-style composite repetition FILTER: keep only docs whose
+    duplicate-n-gram fraction is <= ``max_dup[n]`` for every configured n
+    (the published rule set thresholds 2-4-grams). One tokenize+factorize
+    per batch shared across all n; map-only (no exchange); all input columns
+    pass through. Docs with < n tokens have fraction 0 for that n (pass)."""
+    for n in max_dup:
+        if n < 2:
+            raise ValueError("repetition_gate needs n >= 2")
+
+    def gate(batch: pd.DataFrame) -> pd.DataFrame:
+        codes, counts, doc_idx, V = _tokenize_codes(batch[text_col])
+        if codes is None:
+            return batch  # no tokens anywhere: every fraction is 0
+        keep = np.ones(len(counts), bool)
+        for n, thr in max_dup.items():
+            totals = np.maximum(counts - (n - 1), 0)
+            distinct = _ngram_dup_counts(codes, doc_idx, len(counts), V, n)
+            frac = np.zeros(len(counts), np.float64)
+            nz = totals > 0
+            frac[nz] = 1.0 - distinct[nz] / totals[nz]
+            keep &= frac <= thr
+        return batch.loc[keep]
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
 def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_id"):
     """Per-doc duplicate-n-gram fraction — the Gopher-style repetition
     signal (`1 - distinct_ngrams / ngrams`) at any n >= 2 (the Gopher rule
@@ -782,48 +853,21 @@ def ngram_repetition(ds, n: int = 2, text_col: str = "text", id_col: str = "doc_
     lexsort + unique-run bincount. Docs with < n tokens emit (0, 0, 0.0).
     The count column is named ``n_{n}grams`` (``n_2grams`` at the default).
     """
-    import re
-
-    from ..functions.text_stats import TOKEN_RE
-
     if n < 2:
         raise ValueError("ngram_repetition needs n >= 2")
-    word_re = re.compile(TOKEN_RE)
     cnt_col = f"n_{n}grams"
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch[text_col].fillna("").str.findall(word_re)
-        counts = toks.str.len().to_numpy(np.int64)
         ids = batch[id_col].to_numpy(np.int64)
-        total = int(counts.sum())
+        codes, counts, doc_idx, V = _tokenize_codes(batch[text_col])
         ngrams = np.maximum(counts - (n - 1), 0)
-        L = total - (n - 1)  # candidate gram start positions (batch-flat)
-        if total == 0 or L <= 0 or not ngrams.any():
+        if codes is None or not ngrams.any():
             z = np.zeros(len(ids), np.int64)
             return pd.DataFrame(
                 {id_col: ids, cnt_col: ngrams, "n_distinct": z,
                  "dup_frac": np.zeros(len(ids), np.float64)}
             )
-        from itertools import chain
-
-        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
-        codes, uniques = pd.factorize(flat, sort=False)
-        codes = codes.astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-        V = np.int64(len(uniques))
-        grams = codes[:L].copy()
-        for k in range(1, n):
-            grams = grams * V + codes[k : L + k]
-            if k < n - 1:  # keep values < total so the next product fits int64
-                grams = np.unique(grams, return_inverse=True)[1]
-        same_doc = doc_idx[:L] == doc_idx[n - 1 :]
-        gdoc = doc_idx[:L][same_doc]
-        grams = grams[same_doc]
-        order = np.lexsort((grams, gdoc))
-        gdoc_s, grams_s = gdoc[order], grams[order]
-        newrun = np.ones(len(gdoc_s), dtype=bool)
-        newrun[1:] = (gdoc_s[1:] != gdoc_s[:-1]) | (grams_s[1:] != grams_s[:-1])
-        distinct = np.bincount(gdoc_s[newrun], minlength=len(ids)).astype(np.int64)
+        distinct = _ngram_dup_counts(codes, doc_idx, len(ids), V, n)
         frac = np.zeros(len(ids), np.float64)
         nz = ngrams > 0
         frac[nz] = np.round(1.0 - distinct[nz] / ngrams[nz], 9)

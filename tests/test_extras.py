@@ -1262,3 +1262,37 @@ def test_grouping_unverified_ray_gate(monkeypatch):
         warnings.simplefilter("always")
         g._check_ray_version()
     assert any(issubclass(x.category, RuntimeWarning) for x in w)
+
+
+def test_repetition_gate(ray_session):
+    """Composite Gopher-style gate: a doc failing ANY configured n is
+    dropped; clean and short docs pass; all input columns ride through."""
+    from elasticsearch_minhash_ray.stages.text import repetition_gate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b " * 50,              # dup2 ~ 1 -> rejected by n=2
+                    "the quick brown fox jumps over a lazy dog today",  # clean
+                    "x",                      # < n tokens for all n -> passes
+                    "p q r " * 40,            # dup3 ~ 1 -> rejected by n=3
+                ],
+                pa.string(),
+            ),
+            "payload": pa.array([10, 20, 30, 40], pa.int64()),
+        }
+    )
+    out = (
+        repetition_gate(rd.from_arrow(t), max_dup={2: 0.5, 3: 0.5, 4: 0.5})
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert out["doc_id"].tolist() == [2, 3]
+    assert out["payload"].tolist() == [20, 30]  # columns pass through
+    # single-n config: only the n=2 rule applies -> doc 4 (dup2 high too?) check
+    out2 = repetition_gate(rd.from_arrow(t), max_dup={4: 0.5}).to_pandas()
+    assert 1 not in out2["doc_id"].tolist()  # "a b"*50 also fails at n=4
+    with pytest.raises(ValueError, match="n >= 2"):
+        repetition_gate(rd.from_arrow(t), max_dup={1: 0.5})
