@@ -505,14 +505,22 @@ def _edges_with_doc_ids(res, num_partitions: int = 16):
     hash joins (Ray Data's native join drops the right key and keeps the
     value column). Inner joins are lossless here: every edge endpoint comes
     from the same signatures table that feeds the join side. Output columns:
-    (src, dst, sim, src_id, dst_id)."""
+    (src, dst, sim, src_id, dst_id).
+
+    The materialize() between the joins is an EXECUTION BARRIER, not a
+    driver pull: two JoinOperators in one streaming DAG each pin a fixed
+    aggregator-actor CPU reservation, and on a small session (the 4-cpu test
+    fixture) the two reservations together claim every CPU while the
+    upstream ids_tbl map tasks — which must produce the joins' input — sit
+    backpressured behind them: a permanent resource deadlock (observed).
+    Sequencing the joins caps the reservation at one join's worth."""
     e = res.edges.join(
         _key2id_ds(res, "src_id"),
         join_type="inner",
         num_partitions=num_partitions,
         on=("src",),
         right_on=("doc_key",),
-    )
+    ).materialize()
     return e.join(
         _key2id_ds(res, "dst_id"),
         join_type="inner",
