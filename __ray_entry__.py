@@ -1893,6 +1893,78 @@ def _q_media_stats_golden(sf_dir: str):
     )
 
 
+def _golden_video_dedup_values() -> str:
+    """VALUES rows (a_id, b_id) for the video near-dup golden oracle,
+    derived from the PRE-encoding ground-truth frames: an independent
+    float64 reimplementation of the documented feature spec (pixel-center
+    nearest downsample of the per-frame grayscale raster, mean over the
+    first <=4 frames at stride n//4) + exact cosine classification. The
+    corpus is constructed so every pair sits far from the threshold
+    (planted near-dups ~0.99999, distinct videos <~0.99), making the edge
+    set robust to float32-vs-float64 arithmetic differences; a pytest
+    asserts the margin."""
+    from elasticsearch_minhash_ray.stages.multimodal import synth_video_dedup_specs
+
+    dim = 64
+    specs = synth_video_dedup_specs()
+    ids, feats = [], []
+    for spec in specs:
+        frames = spec["frames"]
+        step = max(1, len(frames) // 4)
+        picked = list(range(0, len(frames), step))[:4]
+        per = []
+        for k in picked:
+            gray = frames[k].astype(np.float64).mean(axis=2).ravel() / 255.0
+            m = gray.shape[0]
+            pos = np.minimum(((np.arange(dim) + 0.5) * m / dim).astype(np.int64), m - 1)
+            per.append(gray[pos])
+        ids.append(spec["media_id"])
+        feats.append(np.mean(per, axis=0))
+    mat = np.asarray(feats)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    rows = []
+    n = len(ids)
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = sorted((ids[i], ids[j]))
+            if sims[i, j] > _VIDEO_DEDUP_THRESHOLD:
+                rows.append(f"(CAST({a} AS BIGINT), CAST({b} AS BIGINT))")
+    return ", ".join(rows)
+
+
+_VIDEO_DEDUP_THRESHOLD = 0.999
+
+
+def _q_video_near_dup_golden(sf_dir: str):
+    """Hard oracle for the composed multimodal-dedup pipeline: REAL RVID
+    video payloads (18 distinct + 6 pixel-jittered near-dup copies) ->
+    MediaDecodeStage(decoder='builtin') REALLY decodes the sampled frames
+    into feature vectors -> cosine near-dup edges. Expected edge set =
+    exactly the 6 planted (base, copy) pairs, derived independently from
+    the pre-encoding frames. The brute pair scorer is the oracle-scale
+    verifier; at corpus scale the same feature table feeds the hyperplane
+    LSH path (stages/embed.py cosine_near_dup_edges_lsh) unchanged, since
+    a decoded video is just an embedding row here."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_brute
+    from elasticsearch_minhash_ray.stages.multimodal import (
+        MediaDecodeStage,
+        synth_video_dedup_table,
+    )
+
+    feats = rd.from_arrow(synth_video_dedup_table()).map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"feature_dim": 64, "decoder": "builtin"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    return cosine_near_dup_edges_brute(
+        feats, _VIDEO_DEDUP_THRESHOLD, id_col="media_id", vec_col="features"
+    )
+
+
 def _q_orders_by_region(sf_dir: str):
     """Broadcast (map-side) join: orders ⨝ customer→nation→region collapsed to
     a custkey→region lookup on the driver, ray.put once, read per task — the
@@ -2139,6 +2211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with the in-window ngram_repetition; generic aggregates verified
         # r3+r4, pytest-covered) ---
         "ngram_repetition_3": _q_ngram_repetition_3,
+        "video_near_dup_golden": _q_video_near_dup_golden,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -3023,6 +3096,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES {_golden_media_stats_values()})
             AS t(media_id, kind, width, height, n_frames, n_samples,
                  sample_rate, value_sum)
+        """,
+        "video_near_dup_golden": f"""
+            SELECT * FROM (VALUES {_golden_video_dedup_values()})
+            AS t(a_id, b_id)
         """,
         "minhash_golden": """
             SELECT * FROM (VALUES

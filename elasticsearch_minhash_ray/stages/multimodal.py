@@ -297,6 +297,50 @@ def synth_real_media_table(n: int = 24, seed: int = 7) -> pa.Table:
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_video_dedup_specs(
+    n_base: int = 18, n_dups: int = 6, seed: int = 11
+) -> list[dict]:
+    """Video near-dup corpus ground truth: ``n_base`` random videos plus
+    ``n_dups`` near-duplicate copies of the first ``n_dups`` bases (every
+    pixel jittered by at most ±2 — visually identical, cosine ≈ 0.9999
+    between gray-downsample features, while distinct random videos sit near
+    ~0.90). Dup of base ``i`` gets media_id ``100 + i``; expected dup pairs
+    are exactly {(i, 100+i)}."""
+    rng = np.random.default_rng(seed)
+    specs = []
+    for i in range(n_base):
+        nf = int(rng.integers(4, 9))
+        h, w = int(rng.integers(8, 17)), int(rng.integers(8, 17))
+        frames = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(nf)]
+        specs.append({"media_id": i, "frames": frames})
+    for i in range(n_dups):
+        base = specs[i]["frames"]
+        jit = [
+            np.clip(
+                f.astype(np.int16) + rng.integers(-2, 3, size=f.shape), 0, 255
+            ).astype(np.uint8)
+            for f in base
+        ]
+        specs.append({"media_id": 100 + i, "frames": jit})
+    return specs
+
+
+def synth_video_dedup_table(
+    n_base: int = 18, n_dups: int = 6, seed: int = 11
+) -> pa.Table:
+    """The synth_video_dedup_specs corpus encoded as REAL RVID payloads."""
+    rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+    for spec in synth_video_dedup_specs(n_base, n_dups, seed):
+        rows["media_id"].append(spec["media_id"])
+        rows["kind"].append("video")
+        rows["payload"].append(codecs.encode_video(spec["frames"]))
+        h, w = spec["frames"][0].shape[:2]
+        rows["meta"].append(
+            json.dumps({"n_frames": len(spec["frames"]), "width": w, "height": h})
+        )
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     """Deterministic fake media corpus for tests (binary payloads + metadata)."""
     rng = np.random.default_rng(seed)

@@ -163,6 +163,42 @@ def test_builtin_decoder_end_to_end_ray(ray_session):
         assert np.array_equal(np.asarray(again_df.loc[mid, "features"]), f)
 
 
+def test_video_near_dup_margin_and_edges(ray_session):
+    """The composed video-dedup pipeline (real RVID decode -> frame features
+    -> cosine edges) recovers exactly the planted (base, jittered-copy)
+    pairs, and the corpus is margin-safe: every pair's cosine sits far from
+    the 0.999 threshold, so float32/float64 arithmetic differences cannot
+    flip the oracle's edge set."""
+    from elasticsearch_minhash_ray.stages.embed import cosine_near_dup_edges_brute
+    from elasticsearch_minhash_ray.stages.multimodal import synth_video_dedup_table
+
+    import ray.data as rd
+
+    media = synth_video_dedup_table()
+    feats = rd.from_arrow(media).map_batches(
+        MediaDecodeStage,
+        fn_constructor_kwargs={"feature_dim": 64, "decoder": "builtin"},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+    edges = (
+        cosine_near_dup_edges_brute(feats, 0.999, id_col="media_id", vec_col="features")
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    assert edges.values.tolist() == [[i, 100 + i] for i in range(6)]
+
+    # margin: all cosines computed from the decoded features directly
+    t = MediaDecodeStage(feature_dim=64, decoder="builtin")(media)
+    m = np.asarray(t["features"].to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = (m @ m.T)[np.triu_indices(len(m), 1)]
+    dup, rest = sims[sims > 0.999], sims[sims <= 0.999]
+    assert len(dup) == 6 and dup.min() > 0.9995
+    assert rest.max() < 0.995
+
+
 def test_builtin_decoder_rejects_garbage():
     t = pa.table(
         {
