@@ -86,6 +86,9 @@ HEADLINE = [
     "top_events_per_user",
     "normalize_text",
     "value_zscore",
+    # round 5: real multimodal decode over the documents table (render each
+    # doc's bytes into a valid BMP/WAV/RVID payload, builtin-decode features)
+    "multimodal_features",
 ]
 
 
