@@ -1462,6 +1462,83 @@ def _q_embedding_near_dup_cc(sf_dir: str):
     )
 
 
+def _centroids_first_k(sf_dir: str, k: int = 8) -> "np.ndarray":
+    """Deterministic FIXED centroids for the SQL twins: the k embedding rows
+    with the smallest vec_id, in vec_id order (cluster_id = rank). A tiny
+    driver-side read (k rows), mirroring the oracle's LIMIT-k CTE."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())[:k]
+    rows = t.take(pa.array(order))
+    return np.asarray(rows["embedding"].to_pylist(), dtype=np.float64)
+
+
+def _q_kmeans_assign(sf_dir: str):
+    """Oracle-checked k-means assignment step (the partitioner under IVF,
+    SemDeDup and cluster-balanced data mixing): each vector labeled with its
+    max-cosine centroid among 8 FIXED centroids (the 8 lowest-vec_id rows,
+    so the DuckDB twin can reproduce them with a LIMIT CTE). Broadcast
+    centroids + per-batch matmul — map-only, no shuffle. Integer-only
+    output; measured top1-top2 margin is 4e-4, far above float kernel
+    noise, so the argmax is hash-stable across backends."""
+    from elasticsearch_minhash_ray.stages.embed import kmeans_assign
+
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
+    return kmeans_assign(ds, _centroids_first_k(sf_dir))
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """Oracle-checked SemDeDup (Abbas et al. 2023): k-means partition, then
+    within each cluster keep a vector only if NO lower-id member has cosine
+    >= 0.35 (keep-first-by-id over ALL lower ids — order-free, so the twin
+    is a plain NOT EXISTS over the within-cluster cross join). Fixed
+    first-8 centroids as in kmeans_assign; tau=0.35 sits 8e-5 away from the
+    nearest within-cluster pair sim at both gate scales (measured), so the
+    cut is hash-stable. ONE cluster_id exchange + chunked per-group matmul."""
+    from elasticsearch_minhash_ray.stages.embed import semantic_dedup
+
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
+    return semantic_dedup(ds, _centroids_first_k(sf_dir), tau=0.35)
+
+
+def _q_kmeans_sizes(sf_dir: str):
+    """Distributed spherical k-means FIT (5 Lloyd iterations over the full
+    Dataset — per-iteration traffic is only the per-block (cluster, count,
+    sum-vec) partials) followed by assignment; returns per-cluster sizes.
+    Rows-only: the fit is iterative (not SQL-expressible); pinned by
+    tests/test_kmeans.py's pytest equivalence against a single-process
+    numpy reference on identical init plus a non-increasing-inertia check."""
+    from elasticsearch_minhash_ray.stages.embed import kmeans_assign, kmeans_fit_distributed
+
+    ds = read_parquet_auto(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True)
+    cent, _hist = kmeans_fit_distributed(ds, k=8, n_iters=5, seed=7)
+    assigned = kmeans_assign(ds, cent)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cid = batch["cluster_id"].to_numpy(zero_copy_only=False)
+        counts = np.bincount(cid, minlength=8)
+        present = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "cluster_id": pa.array(present.astype(np.int64)),
+                "n": pa.array(counts[present].astype(np.int64)),
+            }
+        )
+
+    def final(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({"cluster_id": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        df = block.to_pandas().groupby("cluster_id", as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    return map_copartitioned(
+        assigned.map_batches(partial, batch_format="pyarrow"), "cluster_id", final
+    )
+
+
 def _q_cluster_stats(sf_dir: str):
     """Oracle-checked cluster-size report over the ngram-Jaccard connected
     components: (cluster_id, n_members) — the dedup-rate summary a curation
@@ -2212,6 +2289,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3+r4, pytest-covered) ---
         "ngram_repetition_3": _q_ngram_repetition_3,
         "video_near_dup_golden": _q_video_near_dup_golden,
+        "kmeans_assign": _q_kmeans_assign,
+        "semantic_dedup": _q_semantic_dedup,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2239,6 +2318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signature_collapse": _q_signature_collapse,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "multimodal_features": _q_multimodal_features,
+        "kmeans_sizes": _q_kmeans_sizes,
     }
 
 
@@ -3100,6 +3180,54 @@ def oracle_sql() -> dict[str, str]:
         "video_near_dup_golden": f"""
             SELECT * FROM (VALUES {_golden_video_dedup_values()})
             AS t(a_id, b_id)
+        """,
+        # fixed centroids (the 8 lowest-vec_id embedding rows, cluster_id =
+        # rank) make the k-means assignment SQL-expressible; DOUBLE[] casts
+        # force double-precision kernels matching the Ray path's float64
+        # matmul (measured top1-top2 margin 4e-4 >> kernel noise)
+        "kmeans_assign": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            scored AS (
+              SELECT e.vec_id, c.cid,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            ranked AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+              FROM scored
+            )
+            SELECT vec_id, cid AS cluster_id FROM ranked WHERE rn = 1
+        """,
+        "semantic_dedup": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            ranked AS (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+              FROM scored
+            ),
+            asg AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1)
+            SELECT a.vec_id, a.cid AS cluster_id
+            FROM asg a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM asg b
+              WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.35
+            )
         """,
         "minhash_golden": """
             SELECT * FROM (VALUES

@@ -579,3 +579,191 @@ def split_pair_metrics(pairs_table: pa.Table) -> tuple[pa.Table, int]:
     mask = pc.equal(pairs_table["a_id"], -1)
     dropped = int(pc.sum(pc.if_else(mask, pairs_table["b_id"], 0)).as_py() or 0)
     return pairs_table.filter(pc.invert(mask)), dropped
+
+
+# -- distributed spherical k-means + SemDeDup-style semantic dedup -----------
+
+
+def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding", out_col: str = "cluster_id"):
+    """Assign every vector to its max-cosine centroid (ties -> lowest index).
+
+    Centroids are the SMALL side: ``ray.put`` once (k x dim float64), read
+    zero-copy from the object store inside every task — no shuffle; the map
+    is one float64 matmul per batch. Output is (id_col, out_col) only, so
+    the result is integer-exact (value-hash-stable) regardless of float
+    kernel rounding — any sim column would hash-drift between backends.
+    ``np.argmax`` returns the FIRST maximum, i.e. the lowest centroid index,
+    matching the SQL twin's ``ORDER BY sim DESC, cid ASC`` tie-break.
+    """
+    import ray
+
+    cn = _normalize(np.asarray(centroids))
+    ref = ray.put(cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        cid = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return pa.table({id_col: batch[id_col], out_col: pa.array(cid)})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def kmeans_fit_distributed(
+    ds,
+    k: int,
+    n_iters: int = 10,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    init: np.ndarray | None = None,
+    sample_limit: int = 8192,
+    materialize: bool = False,
+):
+    """Spherical k-means (Lloyd) fit over the FULL Dataset, distributed.
+
+    Per iteration the only data that moves is the per-block partial
+    statistic — at most k rows of (cluster, count, sum-vector, inertia) per
+    block — which the driver reduces into new centroids (k x dim float64,
+    tiny) and re-broadcasts via ``ray.put``. The input streams through
+    ``map_batches`` each iteration; there is no shuffle and no full
+    materialization. Empty clusters retain their previous centroid.
+    Deterministic: init is a seeded choice from the first ``sample_limit``
+    rows (or the caller's ``init``), and the driver reduce sums partials in
+    block order.
+
+    ``materialize=True`` pins the (id, vector) projection in the object
+    store once so the n_iters passes re-read blocks instead of cold storage
+    — the right call when the source is remote parquet; leave False when
+    the read is cheap or memory is tight (Ray will spill either way).
+
+    Returns ``(centroids, history)`` where history[i] is the total inertia
+    (sum of 1 - cos(x, centroid)) after iteration i — non-increasing up to
+    empty-cluster resets, asserted by tests/test_kmeans.py.
+    """
+    import ray
+
+    if materialize:
+        ds = ds.materialize()
+    if init is None:
+        sample_tbl = ds.limit(sample_limit).to_pandas()
+        sample = _normalize(np.asarray(sample_tbl[vec_col].tolist(), dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(sample), size=min(k, len(sample)), replace=False)
+        cent = sample[idx].copy()
+    else:
+        cent = _normalize(np.asarray(init, dtype=np.float64))
+    k = len(cent)
+    dim = cent.shape[1]
+    history: list[float] = []
+
+    for _ in range(n_iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=ref, _k=k) -> pa.Table:
+            c = ray.get(_ref)
+            m = _normalize(_stack(batch, vec_col))
+            sims = m @ c.T
+            a = np.argmax(sims, axis=1)
+            counts = np.bincount(a, minlength=_k)
+            sums = np.zeros((_k, m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            inert = np.bincount(a, weights=1.0 - sims[np.arange(len(a)), a], minlength=_k)
+            present = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(present.astype(np.int64)),
+                    "count": pa.array(counts[present].astype(np.int64)),
+                    "vsum": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sums[present].ravel(), pa.float64()), m.shape[1]
+                    ),
+                    "inertia": pa.array(inert[present], pa.float64()),
+                }
+            )
+
+        # partials are tiny (<= k rows per block); pulling them to the driver
+        # for the k x dim reduce IS the distributed-kmeans pattern, not a
+        # driver-side data pull.
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        new = cent.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        cl = parts["cluster"].to_numpy()
+        np.add.at(counts, cl, parts["count"].to_numpy())
+        np.add.at(sums, cl, np.asarray(parts["vsum"].tolist(), dtype=np.float64))
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        cent = _normalize(new)
+        history.append(float(parts["inertia"].sum()))
+    return cent, history
+
+
+def semantic_dedup(
+    ds,
+    centroids: np.ndarray,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk: int = 1024,
+):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition by k-means cluster, then WITHIN each cluster drop every vector
+    that has a lower-id neighbour with cosine >= tau (keep-first-by-id, the
+    same canonical cut as the exact-substring keep rule; the existence test
+    counts ALL lower-id rows, kept or dropped, so it is order-free and
+    SQL-twin-expressible as a plain EXISTS). Returns kept (id_col,
+    cluster_id) rows.
+
+    Scale shape: ONE keyed exchange on cluster_id — the k-means partition is
+    exactly what makes within-cluster pairwise feasible (clusters are ~n/k
+    rows; size k ~ sqrt(n) as in the paper). Per-group compute is a chunked
+    (chunk x members) matmul, so score-matrix memory is O(chunk * members),
+    never members^2.
+    """
+    assigned = _attach_cluster(ds, centroids, id_col=id_col, vec_col=vec_col)
+
+    empty = pa.table(
+        {id_col: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
+    )
+
+    def keep(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return empty
+        cids = block["cluster_id"].to_numpy(zero_copy_only=False)
+        ids = block[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_stack(block, vec_col))
+        kept_pos: list[np.ndarray] = []
+        starts = np.flatnonzero(np.r_[True, cids[1:] != cids[:-1]])
+        ends = np.r_[starts[1:], len(cids)]
+        for s, e in zip(starts, ends):
+            order = np.argsort(ids[s:e], kind="stable")
+            sub = m[s:e][order]
+            n = int(e - s)
+            drop = np.zeros(n, dtype=bool)
+            for a in range(1, n, chunk):  # row 0 (lowest id) is always kept
+                b = min(a + chunk, n)
+                scores = sub[a:b] @ sub[:b].T
+                older = np.arange(b)[None, :] < np.arange(a, b)[:, None]
+                drop[a:b] = ((scores >= tau) & older).any(axis=1)
+            kept_pos.append(np.arange(s, e)[order][~drop])
+        pos = np.concatenate(kept_pos) if kept_pos else np.array([], dtype=np.int64)
+        return block.select([id_col, "cluster_id"]).take(pa.array(np.sort(pos)))
+
+    from ..grouping import map_copartitioned
+
+    return map_copartitioned(assigned, "cluster_id", keep)
+
+
+def _attach_cluster(ds, centroids: np.ndarray, id_col: str, vec_col: str):
+    """kmeans_assign that CARRIES the vector column (for within-cluster work)."""
+    import ray
+
+    cn = _normalize(np.asarray(centroids))
+    ref = ray.put(cn)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        m = _normalize(_stack(batch, vec_col))
+        cid = np.argmax(m @ cent.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster_id", pa.array(cid))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
