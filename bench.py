@@ -89,6 +89,9 @@ HEADLINE = [
     # round 5: real multimodal decode over the documents table (render each
     # doc's bytes into a valid BMP/WAV/RVID payload, builtin-decode features)
     "multimodal_features",
+    # round 5: SemDeDup (k-means partition + within-cluster cosine cut) —
+    # covers the kmeans_assign/semantic_dedup operator family
+    "semantic_dedup",
 ]
 
 
