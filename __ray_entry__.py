@@ -697,10 +697,11 @@ def _q_token_df(sf_dir: str):
 def _q_asof_join(sf_dir: str):
     """Oracle-checked distributed AS-OF join (DuckDB ASOF JOIN twin): each
     event attributed to its customer's latest order at-or-before the event
-    time. Right side first deduped per (user, orderdate) via keep_latest
-    (max orderkey — determinism), then one tagged-union by-key exchange +
-    per-block pd.merge_asof. No broadcast; both sides stream."""
-    from elasticsearch_minhash_ray.stages.dedup import keep_latest
+    time. Right side deduped per (user, orderdate) INSIDE the join's own
+    exchange (right_tiebreak='o_orderkey', keep_latest semantics — the
+    pre-join keep_latest exchange folds away; equality of both paths is
+    pinned by tests/test_extras.py), then per-block pd.merge_asof. No
+    broadcast; both sides stream through ONE by-key exchange."""
     from elasticsearch_minhash_ray.stages.join import asof_join
 
     ev = read_parquet_auto(
@@ -718,8 +719,7 @@ def _q_asof_join(sf_dir: str):
     )
     import pyarrow as _pa
 
-    orders = keep_latest(orders, ["user_id", "o_orderdate"], "o_orderkey")
-    # explicit right schema: the right side is a keep_latest pipeline and
+    # explicit right schema: the right side carries a map stage and
     # ds.schema() would execute it a full extra time just to read the types
     right_schema = _pa.schema(
         [
@@ -737,6 +737,7 @@ def _q_asof_join(sf_dir: str):
         right_on="o_orderdate",
         how="inner",
         right_schema=right_schema,
+        right_tiebreak="o_orderkey",
     )
 
 

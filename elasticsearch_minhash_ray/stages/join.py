@@ -184,6 +184,7 @@ def asof_join(
     how: str = "inner",
     left_schema: "pa.Schema | None" = None,
     right_schema: "pa.Schema | None" = None,
+    right_tiebreak: str | None = None,
 ):
     """Distributed AS-OF join (big-big): for each left row, the right row
     with the same ``by`` key and the greatest ``right_on`` <= ``left_on``
@@ -200,10 +201,17 @@ def asof_join(
     rows; per-key row mass is the partitioning assumption (skewed hot
     keys would need the LSH stages' salting pattern).
 
-    DETERMINISM: make the right side unique per ``(by, right_on)`` first
-    (e.g. keep the max-id row via keep_latest) — with duplicated
-    timestamps the as-of winner is engine-defined and no oracle twin can
-    match. ``how='inner'`` drops left rows with no prior right row (the
+    DETERMINISM: make the right side unique per ``(by, right_on)`` —
+    with duplicated timestamps the as-of winner is engine-defined and no
+    oracle twin can match. Either pre-dedupe (keep_latest — costs its own
+    key exchange) or pass ``right_tiebreak=<right payload column>``: the
+    join's OWN exchange already co-locates every key, so the per-block
+    merge dedupes the right side in place (max tiebreak per (by, on) —
+    keep_latest semantics) and the extra exchange disappears (measured:
+    1.7 s -> 1.1 s warm at sf0.1, two chained sort barriers collapse to
+    one). The tiebreak column should be unique per (by, on); full-row
+    duplicates resolve to the last row in deterministic block order.
+    ``how='inner'`` drops left rows with no prior right row (the
     SQL ASOF default); 'left' keeps them with null right columns. Null
     ``by``/``on`` values never match: right rows and, under 'inner', left
     rows are dropped at the tag stage; under 'left' null-key left rows
@@ -221,10 +229,29 @@ def asof_join(
     _lt, _rt, lpayload, rpayload, unified, out_schema = _validate_sides(
         lsch, rsch, by, left_on, right_on
     )
+    if right_tiebreak is not None and right_tiebreak not in rpayload:
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} is not a right payload column "
+            f"(have {rpayload})"
+        )
     tagged = _tagged_union(
         left_ds, right_ds, by, left_on, right_on, unified,
         keep_left_nulls=(how == "left"),
     )
+
+    def _dedupe_rhs(rhs: pa.Table) -> pa.Table:
+        # keep_latest per (by, on) WITHIN the already-co-located block:
+        # stable lexsort by (by, on, tiebreak), the last row of each
+        # (by, on) run carries the max tiebreak
+        tb = rhs[right_tiebreak].to_numpy(zero_copy_only=False)
+        byv = rhs["_asof_by"].to_numpy(zero_copy_only=False)
+        onv = rhs["_asof_on"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, onv, byv))
+        b_s, o_s = byv[order], onv[order]
+        is_last = np.r_[(b_s[1:] != b_s[:-1]) | (o_s[1:] != o_s[:-1]), True]
+        if is_last.all():
+            return rhs
+        return rhs.take(pa.array(np.sort(order[is_last])))
 
     def join_block(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
@@ -232,6 +259,8 @@ def asof_join(
         lhs, rhs = _split_sides(block)
         if not lhs.num_rows:
             return out_schema.empty_table()
+        if right_tiebreak is not None and rhs.num_rows:
+            rhs = _dedupe_rhs(rhs)
         if not rhs.num_rows:
             if how == "inner":
                 return out_schema.empty_table()

@@ -1296,3 +1296,56 @@ def test_repetition_gate(ray_session):
     assert 1 not in out2["doc_id"].tolist()  # "a b"*50 also fails at n=4
     with pytest.raises(ValueError, match="n >= 2"):
         repetition_gate(rd.from_arrow(t), max_dup={1: 0.5})
+
+
+def test_asof_join_right_tiebreak_equals_keep_latest(ray_session):
+    """right_tiebreak (in-block dedup, no extra exchange) must equal the
+    explicit keep_latest pre-dedup path — duplicated (k, t2) pairs PLANTED
+    so the dedup actually fires, with distinct tiebreak values so keep
+    semantics (max tiebreak) are observable in the joined payload."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.dedup import keep_latest
+    from elasticsearch_minhash_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(23)
+    left = pa.table(
+        {
+            "k": rng.integers(0, 15, 300),
+            "t": rng.integers(0, 500, 300),
+            "lid": np.arange(300, dtype=np.int64),
+        }
+    )
+    # right side with ~50% duplicated (k, t2) pairs, unique tiebreak ids
+    base = pd.DataFrame(
+        {"k": rng.integers(0, 18, 200), "t2": rng.integers(0, 500, 200)}
+    ).drop_duplicates(["k", "t2"])
+    dup = base.sample(frac=0.5, random_state=3)
+    rf = pd.concat([base, dup, dup], ignore_index=True)
+    rf["rid"] = np.arange(len(rf), dtype=np.int64)
+    rf["val"] = rf["rid"] * 10
+    right = pa.Table.from_pandas(rf, preserve_index=False)
+
+    kw = dict(by="k", left_on="t", right_on="t2", how="inner")
+    fast = asof_join(
+        rd.from_arrow(left).repartition(4),
+        rd.from_arrow(right).repartition(3),
+        right_tiebreak="rid",
+        **kw,
+    ).to_pandas()
+    slow = asof_join(
+        rd.from_arrow(left).repartition(4),
+        keep_latest(rd.from_arrow(right).repartition(3), ["k", "t2"], "rid"),
+        **kw,
+    ).to_pandas()
+    cols = sorted(fast.columns)
+    a = fast[cols].sort_values(cols).reset_index(drop=True)
+    b = slow[cols].sort_values(cols).reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a)  # non-trivial join
+
+    with pytest.raises(ValueError, match="right_tiebreak"):
+        asof_join(
+            rd.from_arrow(left), rd.from_arrow(right), right_tiebreak="nope", **kw
+        )
