@@ -221,11 +221,21 @@ def zscore_by_group(ds, value_col: str, by: str, id_col: str):
         )
         return out.reset_index()
 
+    # the stats table is pulled to the driver for the broadcast REGARDLESS,
+    # so a Ray groupby exchange before the pull is a pure sort-barrier tax
+    # (same measured ~1.7 s fixed cost as cume_dist_by_group's histogram);
+    # coalesce + second-level combine keeps the pull ∝ groups × 8, never
+    # ∝ input blocks
+    def second_level(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.groupby(by, sort=False, as_index=False)[["n", "s", "ss"]].sum()
+
     stats = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby(by)
-        .sum(["n", "s", "ss"])
+        .repartition(8)
+        .map_batches(second_level, batch_format="pandas")
         .to_pandas()
+        .groupby(by, as_index=False)[["n", "s", "ss"]]
+        .sum()
     )
     cols = {c.replace("sum(", "").rstrip(")"): c for c in stats.columns}
     n_map, s_map, ss_map = {}, {}, {}
