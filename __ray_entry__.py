@@ -1503,6 +1503,57 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, _centroids_first_k(sf_dir), tau=0.35)
 
 
+def _q_curation_pipeline_v3(sf_dir: str):
+    """Oracle-checked CROSS-TABLE curation composition — the multimodal
+    analogue of curation_pipeline_v2: (1) token-count quality gate on the
+    documents table (n_tokens >= 40, drops ~30% of raw docs — no planting
+    needed), (2) big-big equi-join of survivors to the embeddings table on
+    doc_id = vec_id (native Dataset.join — the hash_join shape; neither
+    side broadcasts at corpus scale), (3) SemDeDup semantic dedup WITHIN
+    the surviving subset (fixed first-8 centroids as in kmeans_assign,
+    tau=0.35; the keep-first EXISTS ranges over survivors only). Output:
+    one (doc_id, cluster_id, n_tokens) row per kept doc. Full 3-stage SQL
+    twin."""
+    import pyarrow.compute as pc
+
+    from elasticsearch_minhash_ray.stages.embed import semantic_dedup
+    from elasticsearch_minhash_ray.stages.text import TextStatsStage
+
+    stats = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        TextStatsStage(), batch_format="pandas"
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.greater_equal(batch["n_tokens"], 40))
+        return kept.select(["doc_id", "n_tokens"])
+
+    surv = stats.map_batches(gate, batch_format="pyarrow")
+    emb = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True
+    )
+    n_parts = max(2, min(32, emb.count() // 100_000 + 2))
+    # Acero (under Dataset.join) rejects list-typed payload columns:
+    # ride the vectors through the join as fixed_size_binary (f32 bits
+    # preserved; every embedding kernel reads the packed layout natively)
+    from elasticsearch_minhash_ray.stages.embed import pack_vectors
+
+    emb = pack_vectors(emb)
+    joined = surv.join(
+        emb,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("doc_id",),
+        right_on=("vec_id",),
+    )
+    return semantic_dedup(
+        joined,
+        _centroids_first_k(sf_dir),
+        tau=0.35,
+        id_col="doc_id",
+        keep_cols=("n_tokens",),
+    )
+
+
 def _q_kmeans_sizes(sf_dir: str):
     """Distributed spherical k-means FIT (5 Lloyd iterations over the full
     Dataset — per-iteration traffic is only the per-block (cluster, count,
@@ -2292,6 +2343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_near_dup_golden": _q_video_near_dup_golden,
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
+        "curation_pipeline_v3": _q_curation_pipeline_v3,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -3227,6 +3279,43 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM asg b
               WHERE b.cid = a.cid AND b.vec_id < a.vec_id
                 AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.35
+            )
+        """,
+        "curation_pipeline_v3": """
+            WITH s AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(coalesce(text,''), '[0-9A-Za-z_]+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents
+            ),
+            surv AS (SELECT doc_id, n_tokens FROM s WHERE n_tokens >= 40),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS sim
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            ranked AS (
+              SELECT vec_id, embedding, cid,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+              FROM scored
+            ),
+            asg AS (SELECT vec_id, embedding, cid FROM ranked WHERE rn = 1),
+            joined AS (
+              SELECT sv.doc_id, sv.n_tokens, a.vec_id, a.embedding, a.cid
+              FROM surv sv JOIN asg a ON a.vec_id = sv.doc_id
+            )
+            SELECT j.doc_id, j.cid AS cluster_id, j.n_tokens
+            FROM joined j
+            WHERE NOT EXISTS (
+              SELECT 1 FROM joined b
+              WHERE b.cid = j.cid AND b.vec_id < j.vec_id
+                AND list_cosine_similarity(CAST(j.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])) >= 0.35
             )
         """,

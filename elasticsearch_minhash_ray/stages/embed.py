@@ -31,11 +31,18 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 def _stack(batch: pa.Table, col: str) -> np.ndarray:
     """(n, dim) float64 matrix from a list/fixed_size_list column — zero-copy
     flat-buffer reshape when row lengths are constant (the embedding case),
-    to_pylist only as the ragged fallback."""
+    to_pylist only as the ragged fallback. Also accepts the
+    :func:`pack_vectors` fixed_size_binary layout (little-endian float32),
+    so packed columns flow through every embedding kernel unchanged."""
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
+    if pa.types.is_fixed_size_binary(t):
+        dim = t.byte_width // 4
+        flat = np.frombuffer(arr.buffers()[1], dtype="<f4")
+        flat = flat[arr.offset * dim : (arr.offset + len(arr)) * dim]
+        return flat.reshape(len(arr), dim).astype(np.float64)
     if pa.types.is_fixed_size_list(t):
         vals = np.asarray(arr.values, dtype=np.float64)
         return vals.reshape(len(arr), t.list_size)
@@ -704,6 +711,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk: int = 1024,
+    keep_cols: tuple = (),
 ):
     """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     partition by k-means cluster, then WITHIN each cluster drop every vector
@@ -717,17 +725,16 @@ def semantic_dedup(
     exactly what makes within-cluster pairwise feasible (clusters are ~n/k
     rows; size k ~ sqrt(n) as in the paper). Per-group compute is a chunked
     (chunk x members) matmul, so score-matrix memory is O(chunk * members),
-    never members^2.
+    never members^2. ``keep_cols`` pass through on kept rows (no re-join).
     """
     assigned = _attach_cluster(ds, centroids, id_col=id_col, vec_col=vec_col)
-
-    empty = pa.table(
-        {id_col: pa.array([], pa.int64()), "cluster_id": pa.array([], pa.int64())}
-    )
+    out_cols = [id_col, "cluster_id", *keep_cols]
 
     def keep(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
-            return empty
+            return block.select(out_cols) if set(out_cols) <= set(block.column_names) else pa.table(
+                {c: pa.array([], pa.int64()) for c in out_cols}
+            )
         cids = block["cluster_id"].to_numpy(zero_copy_only=False)
         ids = block[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_stack(block, vec_col))
@@ -746,7 +753,7 @@ def semantic_dedup(
                 drop[a:b] = ((scores >= tau) & older).any(axis=1)
             kept_pos.append(np.arange(s, e)[order][~drop])
         pos = np.concatenate(kept_pos) if kept_pos else np.array([], dtype=np.int64)
-        return block.select([id_col, "cluster_id"]).take(pa.array(np.sort(pos)))
+        return block.select(out_cols).take(pa.array(np.sort(pos)))
 
     from ..grouping import map_copartitioned
 
@@ -767,3 +774,22 @@ def _attach_cluster(ds, centroids: np.ndarray, id_col: str, vec_col: str):
         return batch.append_column("cluster_id", pa.array(cid))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def pack_vectors(ds, vec_col: str = "embedding"):
+    """Re-encode a list<float> embedding column as fixed_size_binary
+    (little-endian float32 rows). Acero — the engine under Ray Data's
+    native ``Dataset.join`` — rejects list-typed NON-KEY columns, so a
+    vector payload must ride through a hash join in a fixed-width layout.
+    Lossless (f32 bits preserved); :func:`_stack` decodes the packed
+    layout directly, so every embedding kernel (kmeans_assign,
+    semantic_dedup, top-k) consumes packed columns unchanged."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        m = np.ascontiguousarray(_stack(batch, vec_col), dtype="<f4")
+        typ = pa.binary(4 * m.shape[1])
+        arr = pa.Array.from_buffers(typ, len(m), [None, pa.py_buffer(m.tobytes())])
+        idx = batch.schema.get_field_index(vec_col)
+        return batch.set_column(idx, vec_col, arr)
+
+    return ds.map_batches(pack, batch_format="pyarrow")

@@ -136,3 +136,36 @@ def test_semantic_dedup_planted_transitive_chain(ray_session):
     ds = rd.from_arrow(t)
     got = semantic_dedup(ds, np.stack([base]), tau=0.5).to_pandas()
     assert sorted(got["vec_id"].tolist()) == [1]
+
+
+def test_pack_vectors_roundtrip_through_kernels(ray_session):
+    """fixed_size_binary packing (the Dataset.join payload layout) must be
+    bit-lossless and readable by _stack — kmeans_assign over a packed
+    column equals assignment over the original list<float> column."""
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.embed import (
+        _stack,
+        kmeans_assign,
+        pack_vectors,
+    )
+
+    ids, m = _embeddings()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = rd.from_arrow(t).repartition(3)
+    packed = pack_vectors(ds)
+    # bit-exact: unpack via _stack equals the float32 source exactly
+    pb = packed.take_batch(500, batch_format="pyarrow")
+    got = _stack(pb, "embedding")
+    src = np.asarray(t["embedding"].to_pylist(), dtype=np.float32).astype(np.float64)
+    order = np.argsort(t["vec_id"].to_numpy())
+    got_sorted = got[np.argsort(pb["vec_id"].to_numpy())]
+    assert np.array_equal(got_sorted, src[order])
+
+    cent = m[:8]
+    a = kmeans_assign(packed, cent).to_pandas().sort_values("vec_id")
+    b = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
+    assert np.array_equal(a["cluster_id"].to_numpy(), b["cluster_id"].to_numpy())
