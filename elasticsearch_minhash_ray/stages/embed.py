@@ -149,11 +149,15 @@ def ivf_topk(
     sample_size: int = 10_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ):
     """IVF approximate top-k: the scale path for ANN.
 
     1. Fit ``n_lists`` coarse centroids on a driver-side SAMPLE (broadcast via
-       ray.put — tiny: n_lists x dim floats).
+       ray.put — tiny: n_lists x dim floats) — or pass ``centroids=`` to
+       reuse a quantizer fitted elsewhere (e.g.
+       :func:`kmeans_fit_distributed` over the FULL dataset, the corpus-
+       scale fit whose per-iteration traffic is combiner partials only).
     2. Each query probes its ``n_probe`` nearest lists.
     3. Per batch, rows are scored ONLY against queries probing the row's list
        (a (rows, nq) mask), so compute/shuffle cost drops by ~n_lists/n_probe
@@ -162,9 +166,12 @@ def ivf_topk(
     """
     import ray
 
-    sample_tbl = ds.limit(sample_size).to_pandas()
-    sample = np.asarray(sample_tbl[vec_col].tolist(), dtype=np.float64)
-    cent = _kmeans_fit(sample, n_lists)
+    if centroids is not None:
+        cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    else:
+        sample_tbl = ds.limit(sample_size).to_pandas()
+        sample = np.asarray(sample_tbl[vec_col].tolist(), dtype=np.float64)
+        cent = _kmeans_fit(sample, n_lists)
     qn = _normalize(np.asarray(queries))
     # lists each query probes: (nq, n_probe)
     probes = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]

@@ -169,3 +169,27 @@ def test_pack_vectors_roundtrip_through_kernels(ray_session):
     a = kmeans_assign(packed, cent).to_pandas().sort_values("vec_id")
     b = kmeans_assign(ds, cent).to_pandas().sort_values("vec_id")
     assert np.array_equal(a["cluster_id"].to_numpy(), b["cluster_id"].to_numpy())
+
+
+def test_ivf_topk_with_distributed_centroids(ray_session):
+    """ivf_topk(centroids=) reuses a kmeans_fit_distributed quantizer; with
+    n_probe = n_lists the result must equal brute-force top-k exactly
+    (probing every list is exhaustive regardless of the quantizer)."""
+    from elasticsearch_minhash_ray.stages.embed import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_fit_distributed,
+    )
+
+    ids, m = _embeddings()
+    cent, _ = kmeans_fit_distributed(_ds(ray_session), k=8, n_iters=3, seed=7)
+    q = m[:3]
+    qids = np.array([100, 101, 102], dtype=np.int64)
+    exact = brute_force_topk(_ds(ray_session), q, qids, k=5).to_pandas()
+    approx = ivf_topk(
+        _ds(ray_session), q, qids, k=5, n_lists=8, n_probe=8, centroids=cent
+    ).to_pandas()
+    cols = ["query_id", "vec_id"]
+    a = approx[cols].sort_values(cols).reset_index(drop=True)
+    b = exact[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
