@@ -684,6 +684,25 @@ def _q_decontaminate(sf_dir: str):
     )
 
 
+def _q_decontaminate_bloom(sf_dir: str):
+    """Oracle-checked Bloom-prefiltered decontamination — same contaminated
+    set as `decontaminate` (exact output), but the per-worker broadcast is a
+    ~1.5 B/shingle Bloom filter instead of the 8 B/shingle sorted ref array,
+    and exact confirmation runs as a shingle-keyed exchange over ONLY the
+    bloom-candidate docs' bloom-hit shingles plus the (distributed) ref set.
+    The 100-TB shape when the reference corpus itself is large. Output:
+    (doc_id, overlap) of docs with exact overlap >= 0.5."""
+    from elasticsearch_minhash_ray.stages.text import decontaminate_bloom, shingle_stream
+
+    ref_docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    ).filter(expr="doc_id < 50")
+    train = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    ).filter(expr="doc_id >= 50")
+    return decontaminate_bloom(train, shingle_stream(ref_docs), threshold=0.5)
+
+
 def _q_token_df(sf_dir: str):
     """Oracle-checked token document-frequency (IDF table builder): distinct
     tokens per doc → combiner partial counts → groupby(token) sum →
@@ -2311,6 +2330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": _q_quality_gate,
         "unigram_surprisal": _q_unigram_surprisal,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "token_df": _q_token_df,
         "tfidf_topk": _q_tfidf_topk,
@@ -2334,11 +2354,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _q_stratified_sample,
         "length_quantiles": _q_length_quantiles,
         "length_percentile_rank": _q_length_percentile_rank,
-        "events_hopping": _q_events_hopping,
         # --- oracle-backed, outside the 50-entry driver window (judge-sweep
         # territory; ngram_repetition_3 shares its kernel + oracle family
-        # with the in-window ngram_repetition; generic aggregates verified
-        # r3+r4, pytest-covered) ---
+        # with the in-window ngram_repetition; events_hopping shares the
+        # windowed-aggregate family with in-window operators; generic
+        # aggregates verified r3+r4, pytest-covered) ---
+        "events_hopping": _q_events_hopping,
         "ngram_repetition_3": _q_ngram_repetition_3,
         "video_near_dup_golden": _q_video_near_dup_golden,
         "kmeans_assign": _q_kmeans_assign,
@@ -2786,6 +2807,17 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY d.doc_id
             )
             SELECT doc_id, round(o, 9) AS overlap, o >= 0.5 AS contaminated FROM scored
+        """,
+        "decontaminate_bloom": f"""
+            WITH {_NGRAM_BASE_CTES},
+            refset AS (SELECT DISTINCT g FROM ex WHERE doc_id < 50),
+            scored AS (
+              SELECT d.doc_id, CAST(count(r.g) AS DOUBLE) / count(*) AS o
+              FROM ex d LEFT JOIN refset r ON d.g = r.g
+              WHERE d.doc_id >= 50
+              GROUP BY d.doc_id
+            )
+            SELECT doc_id, round(o, 9) AS overlap FROM scored WHERE o >= 0.5
         """,
         "substring_spans": f"""
             WITH {_SUBSTRING_SPAN_CTES}

@@ -1349,3 +1349,94 @@ def test_asof_join_right_tiebreak_equals_keep_latest(ray_session):
         asof_join(
             rd.from_arrow(left), rd.from_arrow(right), right_tiebreak="nope", **kw
         )
+
+
+# --- Bloom-prefiltered decontamination -------------------------------------
+
+
+def test_bloom_kernel_no_false_negatives():
+    from elasticsearch_minhash_ray.stages.text import (
+        bloom_add,
+        bloom_params,
+        bloom_query,
+    )
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    m_bits, k = bloom_params(len(keys), bits_per_key=12)
+    bits = np.zeros(m_bits // 8, np.uint8)
+    bloom_add(bits, keys, m_bits, k)
+    # every inserted key MUST test positive (the exactness proof rests on it)
+    assert bloom_query(bits, keys, m_bits, k).all()
+    # false-positive rate on fresh keys ~ (1 - e^{-kn/m})^k ≈ 0.03% at
+    # 12 bits/key; allow generous slack for the power-of-two m rounding
+    fresh = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    fresh = fresh[~np.isin(fresh, keys)]
+    fp = bloom_query(bits, fresh, m_bits, k).mean()
+    assert fp < 0.05, fp
+
+
+def test_decontaminate_bloom_equals_exact(ray_session):
+    """The bloom path's output must equal the exact operator's contaminated
+    set bit-for-bit — including under a DELIBERATELY undersized bloom
+    (bits_per_key=1 → high FP rate), where only exchange traffic may grow."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from elasticsearch_minhash_ray.sources.corpus import read_parquet_auto
+    from elasticsearch_minhash_ray.stages.text import (
+        DecontaminateStage,
+        decontaminate_bloom,
+        reference_shingles,
+        shingle_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ref_tbl = pq.read_table(
+        f"{sf}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", 50)],
+    )
+    ref = ray.put(reference_shingles(ref_tbl["text"].to_pylist()))
+
+    def exact():
+        ds = read_parquet_auto(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"], dense=True
+        ).filter(expr="doc_id >= 50")
+
+        def finish(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(
+                pc.and_(
+                    pc.greater(batch["n_shingles"], 0),
+                    pc.greater_equal(batch["overlap"], 0.5),
+                )
+            )
+            return pa.table(
+                {"doc_id": batch["doc_id"], "overlap": pc.round(batch["overlap"], 9)}
+            )
+
+        return (
+            ds.map_batches(DecontaminateStage(ref=ref, threshold=0.5), batch_format="pandas")
+            .map_batches(finish, batch_format="pyarrow")
+            .to_pandas()
+        )
+
+    def bloom(bpk):
+        ref_docs = read_parquet_auto(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"], dense=True
+        ).filter(expr="doc_id < 50")
+        train = read_parquet_auto(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"], dense=True
+        ).filter(expr="doc_id >= 50")
+        return decontaminate_bloom(
+            train, shingle_stream(ref_docs), bits_per_key=bpk, threshold=0.5
+        ).to_pandas()
+
+    canon = lambda d: d.sort_values("doc_id").reset_index(drop=True)
+    want = canon(exact())
+    assert len(want) > 0  # the fixture plants contaminated docs
+    for bpk in (12, 1):
+        got = canon(bloom(bpk))
+        pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=True)
