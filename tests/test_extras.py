@@ -1440,3 +1440,67 @@ def test_decontaminate_bloom_equals_exact(ray_session):
     for bpk in (12, 1):
         got = canon(bloom(bpk))
         pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=True)
+
+
+def test_window_analytics_edges_vs_duckdb(ray_session):
+    """lag_diff + rolling_sum_cents vs inline DuckDB window twins on planted
+    edges: single-event users, equal-ts ties (event_id tiebreak), negative
+    values (half-away-from-zero cents), zero gaps."""
+    import duckdb
+    import pandas as pd
+
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.window import lag_diff, rolling_sum_cents
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4, 5, 6, 7, 8],
+            "user_id": [10, 10, 10, 10, 20, 30, 30, 30],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00", "2024-01-01 00:00:00",  # tie
+                    "2024-01-01 00:00:05", "2024-01-01 00:00:05",  # tie
+                    "2024-01-01 01:00:00",                          # singleton
+                    "2024-01-02 00:00:00", "2024-01-02 00:00:00",  # tie at head
+                    "2024-01-02 00:00:01",
+                ]
+            ).astype("datetime64[us]"),
+            "value": [1.005, -2.5, 0.0, -0.005, 3.335, 100.10, -95.20, 96.99],
+        }
+    )
+    ds = rd.from_pandas(df)
+    got_lag = (
+        lag_diff(ds, "user_id", ["ts", "event_id"], "ts",
+                 out_col="gap_us", fill=-1, keep_cols=["event_id"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    got_roll = (
+        rolling_sum_cents(ds, "user_id", ["ts", "event_id"], "value",
+                          window=3, keep_cols=["event_id"])
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    ora_lag = con.sql("""
+        SELECT user_id, event_id,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+        FROM events ORDER BY event_id
+    """).df()
+    ora_roll = con.sql("""
+        SELECT user_id, event_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_cents,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS frame_n
+        FROM events ORDER BY event_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        got_lag[ora_lag.columns], ora_lag, check_exact=True, check_dtype=True
+    )
+    pd.testing.assert_frame_equal(
+        got_roll[ora_roll.columns], ora_roll, check_exact=True, check_dtype=True
+    )
