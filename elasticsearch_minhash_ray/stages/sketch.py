@@ -1,0 +1,124 @@
+"""Mergeable sketch operators (approximate distinct counts).
+
+At 100 TB an exact per-group COUNT(DISTINCT x) must exchange every distinct
+(group, x) pair; a HyperLogLog sketch exchanges one 2^p-byte register blob
+per (group, block) regardless of cardinality — the standard trade when the
+answer feeds a heuristic (dedup-rate dashboards, mixture sizing) rather than
+an exact contract. Both forms live here:
+
+- :func:`distinct_count_exact` — per-block distinct-pair combiner → ONE
+  group-keyed exchange → exact counts (the oracle-checkable form; exchange
+  rows ∝ distinct pairs).
+- :func:`approx_distinct_hll` — per-(group, block) HLL registers → the same
+  exchange carrying blobs → max-merge + bias-corrected estimate (Flajolet et
+  al. 2007, with the linear-counting small-range correction). Deterministic:
+  the value hash is splitmix64, the merge is an elementwise max.
+
+Standard error ~1.04/sqrt(2^p): p=12 → 1.6% at 4 KB per (group, block).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..grouping import map_copartitioned
+
+
+def _hash64(v: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash of an int64/uint64 column (splitmix64
+    finalizer — shared constant family with the bloom kernel). String
+    columns should be pre-hashed (functions/murmur3) before sketching."""
+    x = v.view(np.uint64) if v.dtype == np.int64 else v.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _hll_partial(batch: pd.DataFrame, by: str, value_col: str, p: int) -> pd.DataFrame:
+    """Per-(group, block) register blobs: idx = top p hash bits, rho = leading
+    zeros of the rest + 1, register = max(rho) — all vectorized."""
+    m = 1 << p
+    h = _hash64(batch[value_col].to_numpy())
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rho = leading zeros of w (capped at 64-p; the low p bits of w are the
+    # zeros shifted in) + 1. Exact binary-search CLZ — float log2 rounds at
+    # 53 bits and overcounts for w just below a power of two.
+    nbits = 64 - p
+    lz = np.zeros(len(w), np.uint8)
+    x = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        top_zero = (x >> np.uint64(64 - s)) == 0
+        lz[top_zero] += np.uint8(s)
+        x[top_zero] <<= np.uint64(s)
+    rho = (np.minimum(lz, nbits) + np.uint8(1)).astype(np.uint8)
+    g = pd.DataFrame({"g": batch[by].to_numpy(), "i": idx, "r": rho})
+    agg = g.groupby(["g", "i"], sort=False)["r"].max().reset_index()
+    blobs, groups = [], []
+    for grp, sub in agg.groupby("g", sort=False):
+        reg = np.zeros(m, np.uint8)
+        reg[sub["i"].to_numpy()] = sub["r"].to_numpy()
+        groups.append(grp)
+        blobs.append(reg.tobytes())
+    return pd.DataFrame({by: groups, "hll": blobs})
+
+
+def _hll_estimate(reg: np.ndarray) -> float:
+    m = len(reg)
+    alpha = 0.7213 / (1.0 + 1.079 / m)  # standard constant for m >= 128
+    e = alpha * m * m / np.sum(np.ldexp(1.0, -reg.astype(np.int64)))
+    if e <= 2.5 * m:
+        v = int((reg == 0).sum())
+        if v:
+            e = m * np.log(m / v)  # linear counting
+    return float(e)
+
+
+def approx_distinct_hll(ds, by: str, value_col: str, p: int = 12, out_col: str = "approx_n"):
+    """Approximate COUNT(DISTINCT value) GROUP BY `by` via mergeable HLL
+    sketches; returns (by, out_col BIGINT estimate). Exchange traffic is one
+    2^p-byte blob per (group, block)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({by: np.empty(0, object), "hll": np.empty(0, object)})
+        return _hll_partial(batch, by, value_col, p)
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame({by: np.empty(0, object), out_col: np.empty(0, np.int64)})
+        groups, ests = [], []
+        for grp, sub in block.groupby(by, sort=False):
+            regs = np.stack([np.frombuffer(b, np.uint8) for b in sub["hll"]])
+            reg = regs.max(axis=0)
+            groups.append(grp)
+            ests.append(int(round(_hll_estimate(reg))))
+        return pd.DataFrame({by: groups, out_col: np.asarray(ests, np.int64)})
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    return map_copartitioned(pre, by, merge, batch_format="pandas")
+
+
+def distinct_count_exact(ds, by: str, value_col: str, out_col: str = "n_distinct"):
+    """Exact COUNT(DISTINCT value) GROUP BY `by`: per-block distinct-pair
+    combiner → one group-keyed exchange → per-block distinct + size."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[[by, value_col]].drop_duplicates()
+
+    def count(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame({by: np.empty(0, object), out_col: np.empty(0, np.int64)})
+        g = (
+            block.drop_duplicates()
+            .groupby(by, sort=False)[value_col]
+            .size()
+            .reset_index(name=out_col)
+        )
+        g[out_col] = g[out_col].astype(np.int64)
+        return g
+
+    pre = ds.map_batches(partial, batch_format="pandas")
+    return map_copartitioned(pre, by, count, batch_format="pandas")

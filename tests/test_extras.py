@@ -1504,3 +1504,44 @@ def test_window_analytics_edges_vs_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got_roll[ora_roll.columns], ora_roll, check_exact=True, check_dtype=True
     )
+
+
+def test_hll_error_contract_and_merge_determinism(ray_session):
+    """HLL estimate within 3 standard errors (3 * 1.04/sqrt(2^p)) of the
+    exact count across cardinality regimes (linear-counting AND raw-estimate
+    branches), and invariant to how rows are split into blocks (the max-merge
+    is associative/commutative)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.sketch import approx_distinct_hll, distinct_count_exact
+
+    p = 12
+    bound = 3 * 1.04 / np.sqrt(1 << p)  # ~4.9%
+    rng = np.random.default_rng(11)
+    frames = []
+    for grp, n_distinct in (("small", 200), ("mid", 30_000), ("big", 200_000)):
+        vals = rng.choice(np.arange(n_distinct, dtype=np.int64) + hash(grp) % 10**6, size=n_distinct * 2)
+        frames.append(pd.DataFrame({"g": grp, "v": vals}))
+    df = pd.concat(frames, ignore_index=True)
+
+    def run(n_blocks):
+        ds = rd.from_pandas(df).repartition(n_blocks)
+        apx = approx_distinct_hll(ds, "g", "v", p=p).to_pandas()
+        return apx.sort_values("g").reset_index(drop=True)
+
+    exact = (
+        distinct_count_exact(rd.from_pandas(df).repartition(7), "g", "v")
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    truth = df.groupby("g")["v"].nunique().sort_index()
+    assert list(exact["n_distinct"]) == list(truth)  # exact op is exact
+    a = run(1)
+    for _, row in a.merge(exact, on="g").iterrows():
+        rel = abs(row["approx_n"] - row["n_distinct"]) / row["n_distinct"]
+        assert rel < bound, (row["g"], rel)
+    # block-split invariance: identical estimates from 1, 5 and 23 blocks
+    for n_blocks in (5, 23):
+        b = run(n_blocks)
+        pd.testing.assert_frame_equal(a, b, check_exact=True)
