@@ -92,6 +92,12 @@ HEADLINE = [
     # round 5: SemDeDup (k-means partition + within-cluster cosine cut) —
     # covers the kmeans_assign/semantic_dedup operator family
     "semantic_dedup",
+    # round 5 late adds: bloom-prefiltered decontamination (exact output,
+    # sketch-sized broadcast), per-key window analytics, HLL distinct
+    "decontaminate_bloom",
+    "event_lag_gaps",
+    "value_rolling_sum",
+    "approx_distinct_users",
 ]
 
 
