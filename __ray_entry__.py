@@ -2335,6 +2335,18 @@ def _q_distinct_users_by_type(sf_dir: str):
     return distinct_count_exact(ds, "event_type", "user_id", out_col="n_users")
 
 
+def _q_heavy_tokens(sf_dir: str):
+    """Oracle-checked exact heavy hitters: tokens with >= 1/1000 of all
+    token occurrences. Two streaming passes — pigeonhole-pruned per-block
+    candidates (<= phi_den rows per block pulled, never the vocabulary),
+    then a broadcast-candidate exact count with integer thresholding
+    (stages/sketch.py:heavy_tokens_exact)."""
+    from elasticsearch_minhash_ray.stages.sketch import heavy_tokens_exact
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["text"], dense=True)
+    return heavy_tokens_exact(ds, phi_num=1, phi_den=1000)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type (p=12, ~1.6%
     standard error) — the sketch form of `distinct_users_by_type`: exchange
@@ -2387,7 +2399,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
-        "token_df": _q_token_df,
         "tfidf_topk": _q_tfidf_topk,
         "ngram_repetition": _q_ngram_repetition,
         "media_stats_golden": _q_media_stats_golden,
@@ -2401,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_gaps": _q_event_lag_gaps,
         "value_rolling_sum": _q_value_rolling_sum,
         "distinct_users_by_type": _q_distinct_users_by_type,
+        "heavy_tokens": _q_heavy_tokens,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "hash_join": _q_hash_join,
@@ -2418,6 +2430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generic aggregates verified r3+r4, pytest-covered) ---
         "events_hopping": _q_events_hopping,
         "exact_dedup_keep": _q_exact_dedup_keep,
+        "token_df": _q_token_df,
         "substring_stats": _q_substring_stats,
         "curation_pipeline": _q_curation_pipeline,
         "ngram_repetition_3": _q_ngram_repetition_3,
@@ -2872,6 +2885,17 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "heavy_tokens": """
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+')) AS token
+              FROM documents
+            ),
+            tot AS (SELECT count(*) AS n FROM toks)
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks, tot
+            GROUP BY token, tot.n
+            HAVING count(*) * 1000 >= tot.n
         """,
         "event_lag_gaps": """
             SELECT user_id, event_id,

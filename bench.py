@@ -98,6 +98,7 @@ HEADLINE = [
     "event_lag_gaps",
     "value_rolling_sum",
     "approx_distinct_users",
+    "heavy_tokens",
 ]
 
 

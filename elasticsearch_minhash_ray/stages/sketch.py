@@ -122,3 +122,87 @@ def distinct_count_exact(ds, by: str, value_col: str, out_col: str = "n_distinct
 
     pre = ds.map_batches(partial, batch_format="pandas")
     return map_copartitioned(pre, by, count, batch_format="pandas")
+
+
+def heavy_tokens_exact(
+    ds,
+    text_col: str = "text",
+    phi_num: int = 1,
+    phi_den: int = 1000,
+    out_count: str = "cnt",
+):
+    """EXACT frequent-token mining (tokens with global frequency >=
+    phi_num/phi_den of all token occurrences) without exchanging the
+    vocabulary — the Misra-Gries-style two-pass shape:
+
+    Pass A (combiner): per-block token counts, pruned by the PIGEONHOLE
+    guarantee — any token with global share >= phi must have share >= phi in
+    at least one block (if f_b < phi*n_b for every block, summing gives
+    f < phi*n) — so the per-block survivors (<= phi_den per block) union to
+    a complete candidate set. Driver pulls candidates + per-block totals:
+    O(blocks * phi_den) rows, never the vocabulary.
+
+    Pass B: broadcast the candidate set; count ONLY candidate tokens per
+    block -> one tiny token-keyed exchange -> exact integer threshold
+    (cnt * phi_den >= phi_num * n_total; no float comparison).
+
+    Output is exactly SQL's GROUP BY token HAVING count * phi_den >=
+    phi_num * total. Compare: the exact top-k form (`token_df_topk`)
+    exchanges one row per distinct token per block; this exchanges only
+    candidates — the right tool when the vocabulary is huge and phi is the
+    contract."""
+    import re
+
+    import ray
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def block_counts(batch: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch[text_col]:
+            c.update(word_re.findall(t or ""))
+        toks = np.asarray(list(c.keys()), object)
+        cnts = np.fromiter(c.values(), np.int64, len(c))
+        return toks, cnts
+
+    def pass_a(batch: pd.DataFrame) -> pd.DataFrame:
+        toks, cnts = block_counts(batch)
+        n_b = int(cnts.sum())
+        keep = cnts * phi_den >= phi_num * n_b
+        return pd.DataFrame(
+            {
+                "token": np.r_[toks[keep], ["\x00__block_total__"]],
+                "n_b": np.r_[np.zeros(int(keep.sum()), np.int64), [n_b]],
+            }
+        )
+
+    # the candidate pull is O(blocks * phi_den) rows by the pigeonhole bound
+    # — small by construction, the one intentional driver materialization
+    cand_tbl = ds.map_batches(pass_a, batch_format="pandas").to_pandas()
+    totals = cand_tbl["token"] == "\x00__block_total__"
+    n_total = int(cand_tbl.loc[totals, "n_b"].sum())
+    cand = np.unique(cand_tbl.loc[~totals, "token"].to_numpy())
+    cand_ref = ray.put(cand)
+
+    def pass_b(batch: pd.DataFrame) -> pd.DataFrame:
+        cand_sorted = ray.get(cand_ref)
+        toks, cnts = block_counts(batch)
+        if not len(toks):
+            return pd.DataFrame({"token": np.empty(0, object), out_count: np.empty(0, np.int64)})
+        pos = np.searchsorted(cand_sorted, toks)
+        pos[pos == len(cand_sorted)] = max(len(cand_sorted) - 1, 0)
+        hit = cand_sorted[pos] == toks if len(cand_sorted) else np.zeros(len(toks), bool)
+        return pd.DataFrame({"token": toks[hit], out_count: cnts[hit]})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame({"token": np.empty(0, object), out_count: np.empty(0, np.int64)})
+        g = block.groupby("token", as_index=False, sort=False)[out_count].sum()
+        g = g[g[out_count] * phi_den >= phi_num * n_total]
+        g[out_count] = g[out_count].astype(np.int64)
+        return g
+
+    pre = ds.map_batches(pass_b, batch_format="pandas")
+    return map_copartitioned(pre, "token", final, batch_format="pandas")

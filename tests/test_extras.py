@@ -1545,3 +1545,46 @@ def test_hll_error_contract_and_merge_determinism(ray_session):
     for n_blocks in (5, 23):
         b = run(n_blocks)
         pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_heavy_tokens_exact_pigeonhole(ray_session):
+    """Planted cases for the two-pass heavy-hitter guarantee: a token heavy
+    in ONE block but globally light must be rejected (pass-B exact count),
+    and a globally-heavy token spread as thin as the pigeonhole allows must
+    be found; result equals the brute-force count exactly."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from elasticsearch_minhash_ray.stages.sketch import heavy_tokens_exact
+
+    # ~40 blocks of filler; "rare" is 50% of one block but ~0.1% globally;
+    # "common" is ~2% of every block (globally heavy, never block-dominant)
+    fillers = [f"tok{i}" for i in range(400)]
+    docs = []
+    for b in range(40):
+        words = ["common"] + [fillers[(b * 13 + j) % 400] for j in range(49)]
+        docs.append(" ".join(words))
+    # "rare" is 30% of its own block but 15/2050 ~ 0.7% globally -> must be
+    # a pass-A candidate yet rejected by the pass-B exact count
+    docs.append(" ".join(["rare"] * 15 + ["pad"] * 35))
+    df = pd.DataFrame({"text": docs})
+    ds = rd.from_pandas(df).repartition(41)
+    got = (
+        heavy_tokens_exact(ds, phi_num=1, phi_den=100)  # phi = 1%
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    )
+    # brute force truth
+    from collections import Counter
+
+    c = Counter(w for t in docs for w in t.split())
+    n = sum(c.values())
+    want = (
+        pd.DataFrame(
+            [(t, k) for t, k in c.items() if k * 100 >= n], columns=["token", "cnt"]
+        )
+        .astype({"cnt": "int64"})
+        .sort_values("token").reset_index(drop=True)
+    )
+    assert "common" in set(want["token"]) and "rare" not in set(want["token"])
+    pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=True)
