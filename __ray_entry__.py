@@ -1610,6 +1610,22 @@ def _q_kmeans_sizes(sf_dir: str):
     )
 
 
+def _q_cluster_split(sf_dir: str):
+    """Oracle-checked leakage-safe train/val split: every doc bucketed by
+    the Knuth hash of its ngram-Jaccard near-dup cluster REPRESENTATIVE
+    (component min doc_id; unclustered docs represent themselves), so near
+    duplicates can never straddle the split — the dup-graph train→eval
+    leakage guard. One id-keyed exchange (self-rows ∪ label rows, min
+    reduce) + a stateless hash map; see stages/sample.py:leakage_safe_split."""
+    from elasticsearch_minhash_ray.stages.sample import leakage_safe_split
+
+    cc = _q_ngram_jaccard_cc(sf_dir)  # Dataset (doc_id, cluster_id)
+    docs = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], dense=True
+    )
+    return leakage_safe_split(docs, cc, train_pct=90)
+
+
 def _q_cluster_stats(sf_dir: str):
     """Oracle-checked cluster-size report over the ngram-Jaccard connected
     components: (cluster_id, n_members) — the dedup-rate summary a curation
@@ -2438,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": _q_kmeans_assign,
         "semantic_dedup": _q_semantic_dedup,
         "curation_pipeline_v3": _q_curation_pipeline_v3,
+        "cluster_split": _q_cluster_split,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2736,6 +2753,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
             FROM reach GROUP BY s ORDER BY doc_id
+        """,
+        "cluster_split": f"""
+            WITH RECURSIVE {_NGRAM_JACCARD_CTES},
+            und AS (
+              SELECT a AS s, b AS d FROM jedges
+              UNION ALL
+              SELECT b, a FROM jedges
+            ),
+            reach(s, d) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+            ),
+            cc AS (
+              SELECT s AS doc_id, LEAST(s, MIN(d)) AS rep
+              FROM reach GROUP BY s
+            ),
+            r AS (
+              SELECT doc.doc_id, coalesce(cc.rep, doc.doc_id) AS rep
+              FROM documents doc LEFT JOIN cc ON doc.doc_id = cc.doc_id
+            )
+            SELECT doc_id, rep,
+                   CASE WHEN ((rep * 2654435761) % 4294967296) % 100 < 90
+                        THEN 'train' ELSE 'val' END AS split
+            FROM r
         """,
         "unigram_surprisal": """
             WITH toks AS (

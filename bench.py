@@ -99,6 +99,9 @@ HEADLINE = [
     "value_rolling_sum",
     "approx_distinct_users",
     "heavy_tokens",
+    # round 5: leakage-safe cluster-aware train/val split (CC reps + Knuth
+    # hash; near-dups can never straddle the split)
+    "cluster_split",
 ]
 
 

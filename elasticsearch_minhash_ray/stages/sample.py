@@ -303,3 +303,74 @@ def hash_sample_n(ds, key_col: str, n: int, salt: int = 0):
         .limit(n)
         .drop_columns(["_hkey"])
     )
+
+
+def leakage_safe_split(
+    ids_ds,
+    labels_ds,
+    *,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+    train_pct: int = 90,
+    salt: int = 0,
+    out_col: str = "split",
+):
+    """Cluster-aware train/validation split: every doc is bucketed by the
+    Knuth hash of its near-dup cluster REPRESENTATIVE (the component's min
+    doc id; unclustered docs represent themselves), so two near-duplicates
+    can NEVER straddle the split — the standard guard against train→eval
+    leakage through the duplicate graph (splitting by doc hash alone puts
+    ~2·p·(1-p) of dup pairs across the boundary).
+
+    Shape: ONE id-keyed exchange. The label table emits (id, rep) rows and
+    the corpus emits (id, id) self-rows; after co-partitioning on id, the
+    rep is simply min(candidates) — the component representative is the min
+    doc id of a component that contains the doc itself, so the self-row is
+    the correct identity fallback and min() needs no join or null logic.
+    The split decision is then a stateless map (:func:`hash_bucket` of rep),
+    so resharding, resume, or corpus growth never flips a doc whose
+    component is unchanged. Returns (id_col, rep, out_col) rows.
+    """
+    import pandas as pd
+
+    def self_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch[id_col].to_numpy(np.int64)
+        return pd.DataFrame({id_col: i, "rep": i})
+
+    def label_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(np.int64),
+                "rep": batch[label_col].to_numpy(np.int64),
+            }
+        )
+
+    u = ids_ds.map_batches(self_rows, batch_format="pandas").union(
+        labels_ds.map_batches(label_rows, batch_format="pandas")
+    )
+
+    def pick_rep(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {id_col: np.empty(0, np.int64), "rep": np.empty(0, np.int64)}
+            )
+        return block.groupby(id_col, as_index=False)["rep"].min()
+
+    from ..grouping import map_copartitioned
+
+    reps = map_copartitioned(u, id_col, pick_rep, batch_format="pandas")
+
+    def decide(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    id_col: np.empty(0, np.int64),
+                    "rep": np.empty(0, np.int64),
+                    out_col: np.empty(0, object),
+                }
+            )
+        b = hash_bucket(batch["rep"].to_numpy(np.int64), salt)
+        batch[out_col] = np.where(b < train_pct, "train", "val")
+        return batch
+
+    return reps.map_batches(decide, batch_format="pandas")

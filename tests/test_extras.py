@@ -1588,3 +1588,34 @@ def test_heavy_tokens_exact_pigeonhole(ray_session):
     )
     assert "common" in set(want["token"]) and "rare" not in set(want["token"])
     pd.testing.assert_frame_equal(got, want, check_exact=True, check_dtype=True)
+
+
+def test_leakage_safe_split(ray_session):
+    """Planted dup component whose members straddle the naive doc-hash split
+    but not the cluster-aware one; identity fallback for unclustered docs."""
+    from elasticsearch_minhash_ray.stages.sample import hash_bucket, leakage_safe_split
+
+    # find two ids whose own-hash buckets fall on opposite sides of 90
+    ids = np.arange(1, 2000, dtype=np.int64)
+    b = hash_bucket(ids)
+    lo = int(ids[b < 90][0])   # would be 'train' by own hash
+    hi = int(ids[b >= 90][0])  # would be 'val' by own hash
+    others = [int(i) for i in ids if i not in (lo, hi)][:6]
+
+    docs = rd.from_items([{"doc_id": i} for i in [lo, hi, *others]])
+    # one component containing both straddlers, labeled by its min id
+    rep = min(lo, hi)
+    labels = rd.from_items(
+        [{"doc_id": lo, "cluster_id": rep}, {"doc_id": hi, "cluster_id": rep}]
+    )
+    out = leakage_safe_split(docs, labels, train_pct=90).to_pandas()
+    s = out.set_index("doc_id")["split"]
+    r = out.set_index("doc_id")["rep"]
+    # the pair moves together, under the component rep's bucket
+    assert s[lo] == s[hi]
+    expect = "train" if hash_bucket(np.array([rep], np.int64))[0] < 90 else "val"
+    assert s[lo] == expect and r[lo] == r[hi] == rep
+    # unclustered docs fall back to their own id and own-hash bucket
+    for i in others:
+        assert r[i] == i
+        assert s[i] == ("train" if hash_bucket(np.array([i], np.int64))[0] < 90 else "val")
