@@ -1626,6 +1626,43 @@ def _q_cluster_split(sf_dir: str):
     return leakage_safe_split(docs, cc, train_pct=90)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Oracle-checked snapshot diff — the incremental-ingest analytic:
+    classify each doc as added / removed / changed between two
+    deterministically synthesized snapshots of the corpus (old = docs with
+    id%10!=3, content revved ' v1' when id%7==0; new = docs with id%10!=4).
+    Only (key, sha256) rows move — content never leaves the map stage; one
+    key-keyed exchange + per-block vectorized outer merge
+    (stages/dedup.py:snapshot_diff). Unchanged docs emit nothing, so output
+    is the churn, not the corpus."""
+    import hashlib
+
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.dedup import snapshot_diff
+
+    def mk(side: int):
+        drop_mod = 3 if side == 0 else 4
+
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["doc_id"].to_numpy("int64")
+            keep = ids % 10 != drop_mod
+            texts = [(t if isinstance(t, str) else "") for t in batch["text"]]
+            ids = ids[keep]
+            texts = [t for t, k in zip(texts, keep) if k]
+            if side == 0:
+                texts = [t + " v1" if i % 7 == 0 else t for t, i in zip(texts, ids)]
+            fp = [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+            return pd.DataFrame({"doc_id": ids, "fp": fp})
+
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(mk(0), batch_format="pandas")
+    new = docs.map_batches(mk(1), batch_format="pandas")
+    return snapshot_diff(old, new)
+
+
 def _q_cluster_stats(sf_dir: str):
     """Oracle-checked cluster-size report over the ngram-Jaccard connected
     components: (cluster_id, n_members) — the dedup-rate summary a curation
@@ -2455,6 +2492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         "curation_pipeline_v3": _q_curation_pipeline_v3,
         "cluster_split": _q_cluster_split,
+        "snapshot_diff": _q_snapshot_diff,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2778,6 +2816,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ((rep * 2654435761) % 4294967296) % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM r
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+              SELECT doc_id,
+                     sha256(CASE WHEN doc_id % 7 = 0
+                                 THEN coalesce(text, '') || ' v1'
+                                 ELSE coalesce(text, '') END) AS fp
+              FROM documents WHERE doc_id % 10 != 3
+            ),
+            new AS (
+              SELECT doc_id, sha256(coalesce(text, '')) AS fp
+              FROM documents WHERE doc_id % 10 != 4
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp != n.fp
         """,
         "unigram_surprisal": """
             WITH toks AS (

@@ -102,6 +102,8 @@ HEADLINE = [
     # round 5: leakage-safe cluster-aware train/val split (CC reps + Knuth
     # hash; near-dups can never straddle the split)
     "cluster_split",
+    # round 5: snapshot diff (added/removed/changed; output ∝ churn)
+    "snapshot_diff",
 ]
 
 

@@ -417,3 +417,80 @@ def anti_join_keys(
         return block.filter(pa.array(keep)).select(names)
 
     return map_copartitioned(unioned, "part", cut)
+
+
+def snapshot_diff(
+    old_ds,
+    new_ds,
+    *,
+    key_col: str = "doc_id",
+    fp_col: str = "fp",
+    out_col: str = "status",
+):
+    """Diff two corpus snapshots by key + content fingerprint: the
+    incremental-ingest analytic (what changed between yesterday's crawl and
+    today's?) emitting one (key, status) row per difference — ``added``
+    (key only in new), ``removed`` (key only in old), ``changed`` (both,
+    fingerprints differ). Unchanged rows emit nothing, so output size is
+    the churn, not the corpus.
+
+    Shape: each side projects to (key, fp) rows — the fingerprint is
+    caller-provided (content_sha256 in the corpus schema), so content never
+    moves — then a tagged union and ONE key-keyed exchange; the per-block
+    compare is a vectorized outer merge. Snapshot semantics require unique
+    keys per side; a duplicated key raises rather than mis-classifying
+    (same contract as :func:`keep_latest`'s non-unique order error).
+    """
+    _SIDES = ("old", "new")
+
+    def tag(side: int):
+        def f(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    key_col: batch[key_col].to_numpy(np.int64),
+                    "fp": batch[fp_col].astype(str).to_numpy(object),
+                    "side": np.full(len(batch), side, np.int8),
+                }
+            )
+
+        return f
+
+    u = old_ds.map_batches(tag(0), batch_format="pandas").union(
+        new_ds.map_batches(tag(1), batch_format="pandas")
+    )
+
+    _empty = pd.DataFrame(
+        {key_col: np.empty(0, np.int64), out_col: np.empty(0, object)}
+    )
+
+    def compare(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return _empty
+        sides = []
+        for s in (0, 1):
+            part = block.loc[block["side"] == s, [key_col, "fp"]]
+            dup = part[key_col].duplicated()
+            if dup.any():
+                raise ValueError(
+                    f"snapshot_diff: duplicate key {part.loc[dup, key_col].iloc[0]!r} "
+                    f"in the {_SIDES[s]} snapshot — snapshots must be unique per key "
+                    "(run keep_latest first)"
+                )
+            sides.append(part)
+        m = sides[0].merge(
+            sides[1], on=key_col, how="outer", indicator=True, suffixes=("_o", "_n")
+        )
+        status = np.where(
+            m["_merge"].to_numpy() == "right_only",
+            "added",
+            np.where(m["_merge"].to_numpy() == "left_only", "removed", "changed"),
+        )
+        diff = (m["_merge"] != "both").to_numpy() | (
+            m["fp_o"].to_numpy(object) != m["fp_n"].to_numpy(object)
+        )
+        out = pd.DataFrame(
+            {key_col: m[key_col].to_numpy(np.int64), out_col: status}
+        )
+        return out[diff].reset_index(drop=True)
+
+    return map_copartitioned(u, key_col, compare, batch_format="pandas")

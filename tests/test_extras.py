@@ -1619,3 +1619,40 @@ def test_leakage_safe_split(ray_session):
     for i in others:
         assert r[i] == i
         assert s[i] == ("train" if hash_bucket(np.array([i], np.int64))[0] < 90 else "val")
+
+
+def test_snapshot_diff(ray_session):
+    """added/removed/changed classification, silent-unchanged, and the
+    duplicate-key contract."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.dedup import snapshot_diff
+
+    old = rd.from_items(
+        [
+            {"doc_id": 1, "fp": "a"},   # unchanged
+            {"doc_id": 2, "fp": "b"},   # changed
+            {"doc_id": 3, "fp": "c"},   # removed
+        ]
+    )
+    new = rd.from_items(
+        [
+            {"doc_id": 1, "fp": "a"},
+            {"doc_id": 2, "fp": "B"},
+            {"doc_id": 4, "fp": "d"},   # added
+        ]
+    )
+    out = (
+        snapshot_diff(old, new)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"doc_id": np.array([2, 3, 4], np.int64), "status": ["changed", "removed", "added"]}
+    )
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
+
+    dup_old = rd.from_items([{"doc_id": 7, "fp": "x"}, {"doc_id": 7, "fp": "y"}])
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(dup_old, new).to_pandas()
