@@ -1626,6 +1626,21 @@ def _q_cluster_split(sf_dir: str):
     return leakage_safe_split(docs, cc, train_pct=90)
 
 
+def _q_containment_edges(sf_dir: str):
+    """Oracle-checked EXACT set-containment join (|Sa∩Sb|/|Sa| >= 0.8, both
+    directions): the asymmetric near-dup case MinHash LSH structurally
+    misses — a small doc inside a much larger one has tiny Jaccard but
+    containment ~1.0. Inverted-index co-occurrence counting: two keyed
+    exchanges of fixed-width rows, sets never ship, integer size bound +
+    threshold (stages/containment.py; a prefix-filter draft measured 9x
+    slower is recorded in the module docstring)."""
+    from elasticsearch_minhash_ray.stages.containment import containment_join
+
+    return containment_join(
+        _docs(sf_dir, ["doc_id", "text"]), thr_num=4, thr_den=5
+    )
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Oracle-checked snapshot diff — the incremental-ingest analytic:
     classify each doc as added / removed / changed between two
@@ -2493,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v3": _q_curation_pipeline_v3,
         "cluster_split": _q_cluster_split,
         "snapshot_diff": _q_snapshot_diff,
+        "containment_edges": _q_containment_edges,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2816,6 +2832,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ((rep * 2654435761) % 4294967296) % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM r
+        """,
+        "containment_edges": f"""
+            WITH {_NGRAM_BASE_CTES},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id != y.doc_id
+            )
+            SELECT cand.a AS a_id, cand.b AS b_id,
+                   round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+                         / len(sa.s), 9) AS containment
+            FROM cand
+            JOIN sh sa ON sa.doc_id = cand.a
+            JOIN sh sb ON sb.doc_id = cand.b
+            WHERE len(list_intersect(sa.s, sb.s)) * 5 >= 4 * len(sa.s)
         """,
         "snapshot_diff": """
             WITH old AS (

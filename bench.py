@@ -99,11 +99,15 @@ HEADLINE = [
     "value_rolling_sum",
     "approx_distinct_users",
     "heavy_tokens",
-    # round 5: leakage-safe cluster-aware train/val split (CC reps + Knuth
-    # hash; near-dups can never straddle the split)
-    "cluster_split",
     # round 5: snapshot diff (added/removed/changed; output ∝ churn)
     "snapshot_diff",
+    # round 5: exact asymmetric containment join (inverted-index counts)
+    "containment_edges",
+    # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
+    # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
+    # by shingle-set band rows); the family's cost is already represented
+    # once and compositions would double-count it. cluster_split's own
+    # machinery (union + min-reduce + hash map) adds <1 s on top of the CC.
 ]
 
 

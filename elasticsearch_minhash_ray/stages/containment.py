@@ -1,0 +1,196 @@
+"""Exact set-containment join (asymmetric near-dup) via an inverted-index
+co-occurrence count.
+
+MinHash LSH (stages/lsh.py) targets SYMMETRIC Jaccard: a small doc wholly
+contained in a much larger one (a vendored file inside a bundle, a quoted
+message inside a thread, boilerplate inside a generated file) sits at tiny
+Jaccard yet containment 1.0, and no band ever co-buckets the pair. This
+operator computes C(a→b) = |Sa ∩ Sb| / |Sa| EXACTLY for all ordered pairs
+with C ≥ t, over the same sorted-unique shingle-hash sets as the
+jaccard-verify path (stages/text.py:shingle_hash_sets).
+
+Design — count shared shingles, never ship sets. |Sa∩Sb| is the number of
+posting lists containing both docs, so the join is two combiner-shaped
+exchanges over fixed-width rows:
+
+  1. postings (sh, id, n): one row per (doc, distinct shingle) — the
+     token_df-sized exchange, 24 B/row.
+  2. sh-keyed co-partition → per shingle, every ordered pair (a, b), a≠b,
+     pre-filtered by the SIZE bound (C(a→b) ≥ t needs |Sb| ≥ t·|Sa|, i.e.
+     nb·den ≥ num·na in integers) → per-BLOCK partial (a, b, cnt, na)
+     groupby — the combiner, so the second exchange carries distinct pairs
+     per block, not raw co-occurrences.
+  3. a-keyed co-partition → sum cnt → INTEGER threshold c·den ≥ num·na
+     (no float compare) → containment rounded to 9 dp for engine parity.
+
+An earlier draft used prefix filtering (AllPairs/PPJoin — Bayardo et al.,
+WWW 2007): post only each probe doc's first |Sa|−ceil(t·|Sa|)+1 shingles,
+then verify candidates against attached sets. Measured on this corpus it
+LOST to the count design (~17 s vs ~4 s at sf0.1): candidate pairs each
+dragged a full shingle list through two sorts and a merge, while the raw
+co-occurrence mass Σ_sh df(sh)² was only ~11× the posting count and
+collapses inside the map task. Prefix filtering wins only when Σ df²
+explodes, i.e. under heavy-tailed shingle frequencies.
+
+100-TB shape: work is Σ df² — quadratic ONLY in per-shingle document
+frequency, never in corpus size. A boilerplate shingle shared by 10^6 docs
+is the same skew law the LSH stage meets with bucket_cap: cap df at the
+read (drop postings of shingles with df > cap, making the count a
+LOWER bound that can only MISS pairs sharing nothing but boilerplate —
+usually the intended semantics, but it is a semantic change so the cap is
+off by default), or fall back to prefix filtering for that hot tail.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..grouping import map_copartitioned
+from .lsh import _gather_ranges
+
+
+def build_shingle_sets(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    shingle_n: int = 3,
+):
+    """(id, n, shingles sorted-unique list<int64>) per doc; empty-set docs
+    (no tokens) are excluded — they can neither contain nor be contained."""
+    from .text import shingle_hash_sets
+
+    def ex(batch: pa.Table) -> pa.Table:
+        sets = shingle_hash_sets(batch[text_col].to_pylist(), tokenizer, shingle_n)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        keep = [i for i, s in enumerate(sets) if len(s)]
+        return pa.table(
+            {
+                "id": pa.array(ids[keep], pa.int64()),
+                "n": pa.array([len(sets[i]) for i in keep], pa.int64()),
+                "shingles": pa.array(
+                    [sets[i].tolist() for i in keep], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def _flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """(values, offsets) of a list<int64> column, zero-copy where arrow allows."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.values, dtype=np.int64), np.asarray(arr.offsets, dtype=np.int64)
+
+
+def containment_join(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    shingle_n: int = 3,
+    thr_num: int = 4,
+    thr_den: int = 5,
+    out_col: str = "containment",
+):
+    """All ordered pairs (a, b), a ≠ b, with |Sa∩Sb| / |Sa| ≥
+    thr_num/thr_den (module docstring). Returns (a_id, b_id, out_col)."""
+
+    def postings(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "id": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        flat, offs = _flat(t["shingles"])
+        n = np.asarray(t["n"], dtype=np.int64)
+        ids = np.asarray(t["id"], dtype=np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(flat, pa.int64()),
+                "id": pa.array(np.repeat(ids, n), pa.int64()),
+                "n": pa.array(np.repeat(n, n), pa.int64()),
+            }
+        )
+
+    posts = build_shingle_sets(
+        ds, text_col=text_col, id_col=id_col, tokenizer=tokenizer, shingle_n=shingle_n
+    ).map_batches(postings, batch_format="pyarrow")
+
+    _part_empty = pd.DataFrame(
+        {
+            "a": np.empty(0, np.int64),
+            "b": np.empty(0, np.int64),
+            "cnt": np.empty(0, np.int64),
+            "na": np.empty(0, np.int64),
+        }
+    )
+
+    def co_count(block: pa.Table) -> pd.DataFrame:
+        # co-partitioned on sh (sorted): run boundaries delimit each
+        # shingle's posting list; ordered pairs are built by repeat/gather
+        if block.num_rows == 0:
+            return _part_empty
+        sh = np.asarray(block["sh"], dtype=np.int64)
+        ids = np.asarray(block["id"], dtype=np.int64)
+        n = np.asarray(block["n"], dtype=np.int64)
+        starts_k = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        g_k = np.diff(np.r_[starts_k, len(sh)])
+        g_row = np.repeat(g_k, g_k)  # group size, per row
+        s_row = np.repeat(starts_k, g_k)  # group start, per row
+        a_idx = np.repeat(np.arange(len(sh), dtype=np.int64), g_row)
+        b_idx = _gather_ranges(s_row, g_row)
+        a, b = ids[a_idx], ids[b_idx]
+        na, nb = n[a_idx], n[b_idx]
+        # size bound: C(a→b) ≥ t needs nb ≥ t·na — integer form
+        keep = (a != b) & (nb * thr_den >= thr_num * na)
+        part = pd.DataFrame({"a": a[keep], "b": b[keep], "na": na[keep]})
+        # the combiner: one (a, b) row per block, however many shingles hit
+        out = part.groupby(["a", "b"], as_index=False, sort=False).agg(
+            cnt=("na", "size"), na=("na", "first")
+        )
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[["a", "b", "cnt", "na"]]
+
+    partials = map_copartitioned(posts, "sh", co_count, batch_format="pyarrow")
+
+    _edges_empty = pd.DataFrame(
+        {
+            "a_id": np.empty(0, np.int64),
+            "b_id": np.empty(0, np.int64),
+            out_col: np.empty(0, np.float64),
+        }
+    )
+
+    def finish(block: pd.DataFrame) -> pd.DataFrame:
+        # co-partitioned on a: every partial of a given probe doc is here
+        if not len(block):
+            return _edges_empty
+        g = block.groupby(["a", "b"], as_index=False, sort=False).agg(
+            c=("cnt", "sum"), na=("na", "first")
+        )
+        c = g["c"].to_numpy(np.int64)
+        na = g["na"].to_numpy(np.int64)
+        keep = c * thr_den >= thr_num * na  # integer threshold, no float edge
+        if not keep.any():
+            return _edges_empty
+        cont = pc.round(
+            pa.array(c[keep] / na[keep], pa.float64()), ndigits=9
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "a_id": g["a"].to_numpy(np.int64)[keep],
+                "b_id": g["b"].to_numpy(np.int64)[keep],
+                out_col: cont,
+            }
+        )
+
+    return map_copartitioned(partials, "a", finish, batch_format="pandas")

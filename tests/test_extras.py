@@ -1656,3 +1656,50 @@ def test_snapshot_diff(ray_session):
     dup_old = rd.from_items([{"doc_id": 7, "fp": "x"}, {"doc_id": 7, "fp": "y"}])
     with pytest.raises(Exception, match="duplicate key"):
         snapshot_diff(dup_old, new).to_pandas()
+
+
+def test_containment_join_vs_bruteforce(ray_session):
+    """Inverted-index containment join equals brute force, including a
+    planted small-in-large pair with tiny symmetric Jaccard (the case
+    MinHash LSH structurally misses)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.containment import containment_join
+    from elasticsearch_minhash_ray.stages.text import shingle_hash_sets
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    big = " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(60)) + " " + base
+    docs = [
+        {"doc_id": 1, "text": base},                      # contained in 2 & big
+        {"doc_id": 2, "text": base + " iota"},            # near-sym dup of 1
+        {"doc_id": 3, "text": big},                       # contains 1 (low Jaccard)
+        {"doc_id": 4, "text": "completely different words here now"},
+        {"doc_id": 5, "text": ""},                        # empty: excluded
+    ]
+    out = (
+        containment_join(rd.from_items(docs), thr_num=4, thr_den=5)
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+
+    # brute force over the same shingle kernel
+    sets = shingle_hash_sets([d["text"] for d in docs])
+    ids = [d["doc_id"] for d in docs]
+    rows = []
+    for i, (ai, sa) in enumerate(zip(ids, sets)):
+        for j, (bi, sb) in enumerate(zip(ids, sets)):
+            if i == j or not len(sa):
+                continue
+            c = len(np.intersect1d(sa, sb))
+            if c * 5 >= 4 * len(sa):
+                rows.append({"a_id": ai, "b_id": bi, "containment": round(c / len(sa), 9)})
+    want = pd.DataFrame(rows).sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
+
+    # the planted asymmetric pair is present and is NOT symmetric
+    pairs = set(map(tuple, out[["a_id", "b_id"]].values))
+    assert (1, 3) in pairs and (3, 1) not in pairs
+    sa, sb = sets[0], sets[2]
+    jac = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
+    assert jac < 0.2  # symmetric Jaccard is tiny; containment found it anyway
