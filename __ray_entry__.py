@@ -1626,6 +1626,19 @@ def _q_cluster_split(sf_dir: str):
     return leakage_safe_split(docs, cc, train_pct=90)
 
 
+def _q_bigram_xent(sf_dir: str):
+    """Oracle-checked bigram cross-entropy scoring — the CCNet-style LM
+    perplexity quality signal computed from the corpus's own bigram model
+    (conditional, not marginal: separates rare words from implausible
+    sequences). vocab_limit=None is the SQL-twin-exact mode; the default
+    top-K broadcast is the 100-TB shape (stages/text.py:bigram_crossentropy)."""
+    from elasticsearch_minhash_ray.stages.text import bigram_crossentropy
+
+    return bigram_crossentropy(
+        _docs(sf_dir, ["doc_id", "text"]), vocab_limit=None
+    )
+
+
 def _q_containment_edges(sf_dir: str):
     """Oracle-checked EXACT set-containment join (|Sa∩Sb|/|Sa| >= 0.8, both
     directions): the asymmetric near-dup case MinHash LSH structurally
@@ -2509,6 +2522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_split": _q_cluster_split,
         "snapshot_diff": _q_snapshot_diff,
         "containment_edges": _q_containment_edges,
+        "bigram_xent": _q_bigram_xent,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2832,6 +2846,27 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ((rep * 2654435761) % 4294967296) % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM r
+        """,
+        "bigram_xent": """
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS t
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM toks, UNNEST(generate_series(1, len(t)-1)) AS s(i)
+                WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY w1)
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(-ln(CAST(c2.c AS DOUBLE) / c1.c)), 9) AS xent
+            FROM big b
+            JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+            JOIN c1 ON b.w1 = c1.w1
+            GROUP BY b.doc_id
         """,
         "containment_edges": f"""
             WITH {_NGRAM_BASE_CTES},

@@ -103,6 +103,8 @@ HEADLINE = [
     "snapshot_diff",
     # round 5: exact asymmetric containment join (inverted-index counts)
     "containment_edges",
+    # round 5: corpus-LM bigram cross-entropy quality scoring
+    "bigram_xent",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -1278,3 +1278,124 @@ def decontaminate_bloom(
         )
 
     return map_copartitioned(partials, "doc_id", finish, batch_format="pandas")
+
+
+def bigram_crossentropy(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_limit: int | None = 1_000_000,
+):
+    """Mean bigram cross-entropy per doc under the corpus's own bigram LM —
+    the CCNet-style perplexity quality signal without an external model:
+    score = avg over the doc's bigrams of ``-ln( C(w1 w2) / Cctx(w1) )``
+    where C is the corpus bigram count and Cctx(w1) = w1's count as a left
+    context (the sum of its bigram counts). Repetitive/boilerplate text
+    scores low, token-salad scores high; rank or gate on it like
+    :func:`unigram_surprisal` (which this upgrades: conditional vs marginal
+    probabilities separate "rare words" from "implausible sequences").
+
+    Same two-pass shape as :func:`unigram_surprisal`: (1) corpus bigram +
+    context counts via per-block Counters → keyed exchanges; with
+    ``vocab_limit`` the top-K head of each table is selected DISTRIBUTED
+    (count desc, key asc) and broadcast, out-of-head bigrams floor at
+    count 1 / contexts at their floor — the 100-TB shape, since Zipf heads
+    carry ~all occurrence mass. ``vocab_limit=None`` broadcasts the full
+    tables — the SQL-twin-exact mode. (2) streaming score map. Docs with
+    fewer than 2 tokens have no bigrams and emit nothing.
+
+    Output: (doc_id, n_bigrams, xent[9dp])."""
+    import re
+    from collections import Counter
+    from itertools import chain
+
+    import ray
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+    # a space cannot appear inside [0-9A-Za-z_]+ tokens, so "w1 w2" is an
+    # unambiguous bigram key. Do NOT use "\x00": pandas' string hash table
+    # (factorize/groupby fast path) hashes object strings as C strings, so an
+    # embedded NUL terminates the key and silently collapses distinct bigrams
+    # sharing a first word (measured: 916 distinct -> 31).
+    SEP = " "
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch[text_col]:
+            w = word_re.findall(t or "")
+            c.update(a + SEP + b for a, b in zip(w, w[1:]))
+        return pd.DataFrame(
+            {"key": list(c.keys()), "c": np.fromiter(c.values(), np.int64, len(c))}
+        )
+
+    partials = ds.map_batches(partial_counts, batch_format="pandas")
+
+    def _grouped():
+        from ..grouping import map_copartitioned
+
+        def final_sum(b: pd.DataFrame) -> pd.DataFrame:
+            return b.groupby("key", as_index=False, sort=False)["c"].sum()
+
+        return map_copartitioned(partials, "key", final_sum, batch_format="pandas")
+
+    if vocab_limit is None:
+        counts = partials.groupby("key").sum("c").to_pandas()
+        col = "sum(c)" if "sum(c)" in counts.columns else "c"
+        bigrams = dict(zip(counts["key"], counts[col].astype(int)))
+    else:
+        top = (
+            _grouped()
+            .sort(["c", "key"], descending=[True, False])
+            .limit(vocab_limit)
+            .to_pandas()
+        )
+        bigrams = dict(zip(top["key"], top["c"].astype(int)))
+    # context counts derive from the (possibly truncated) bigram table so
+    # numerator <= denominator always holds (scores stay >= 0)
+    ctx: dict = {}
+    for k, v in bigrams.items():
+        w1 = k.split(SEP, 1)[0]
+        ctx[w1] = ctx.get(w1, 0) + v
+    ref = ray.put((bigrams, ctx))
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        big, cx = ray.get(ref)
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        nb = np.maximum(toks.str.len().to_numpy(np.int64) - 1, 0)
+        ids = batch[id_col].to_numpy(np.int64)
+        total = int(nb.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {
+                    id_col: ids[:0],
+                    "n_bigrams": nb[:0],
+                    "xent": np.empty(0, np.float64),
+                }
+            )
+        flat = np.fromiter(
+            chain.from_iterable(
+                (a + SEP + b for a, b in zip(w, w[1:])) for w in toks
+            ),
+            dtype=object,
+            count=total,
+        )
+        codes, uniques = pd.factorize(flat, sort=False)
+        c2 = np.fromiter((big.get(u, 1) for u in uniques), np.float64, len(uniques))
+        c1 = np.fromiter(
+            (max(cx.get(u.split(SEP, 1)[0], 1), 1) for u in uniques),
+            np.float64,
+            len(uniques),
+        )
+        per = -np.log(c2 / np.maximum(c1, c2))
+        doc_idx = np.repeat(np.arange(len(ids)), nb)
+        sums = np.bincount(doc_idx, weights=per[codes], minlength=len(ids))
+        nz = nb > 0
+        return pd.DataFrame(
+            {
+                id_col: ids[nz],
+                "n_bigrams": nb[nz],
+                "xent": np.round(sums[nz] / nb[nz], 9),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")

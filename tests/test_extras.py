@@ -1703,3 +1703,57 @@ def test_containment_join_vs_bruteforce(ray_session):
     sa, sb = sets[0], sets[2]
     jac = len(np.intersect1d(sa, sb)) / len(np.union1d(sa, sb))
     assert jac < 0.2  # symmetric Jaccard is tiny; containment found it anyway
+
+
+def test_bigram_crossentropy(ray_session):
+    """Corpus-LM bigram cross-entropy equals brute force; repetitive text
+    scores below shuffled text; vocab_limit mode stays >= 0."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import bigram_crossentropy
+
+    docs = [
+        {"doc_id": 1, "text": "the cat sat on the mat " * 10},   # repetitive
+        {"doc_id": 2, "text": "mat the on sat cat the zebra quokka axolotl"},
+        {"doc_id": 3, "text": "one"},                            # 1 token: no bigrams
+        {"doc_id": 4, "text": "the cat sat on the mat"},
+    ]
+    out = (
+        bigram_crossentropy(rd.from_items(docs), vocab_limit=None)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # brute force
+    import collections, re
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+    c2: collections.Counter = collections.Counter()
+    for d in docs:
+        w = word_re.findall(d["text"])
+        c2.update(zip(w, w[1:]))
+    c1: collections.Counter = collections.Counter()
+    for (a, b), v in c2.items():
+        c1[a] += v
+    rows = []
+    for d in docs:
+        w = word_re.findall(d["text"])
+        vals = [-np.log(c2[(a, b)] / c1[a]) for a, b in zip(w, w[1:])]
+        if vals:
+            rows.append(
+                {
+                    "doc_id": d["doc_id"],
+                    "n_bigrams": np.int64(len(vals)),
+                    "xent": round(sum(vals) / len(vals), 9),
+                }
+            )
+    want = pd.DataFrame(rows).sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
+
+    s = out.set_index("doc_id")["xent"]
+    assert 3 not in s.index  # no bigrams -> no row
+    assert s[1] < s[2]  # repetitive scores lower than shuffled + rare tail
+
+    lim = bigram_crossentropy(rd.from_items(docs), vocab_limit=3).to_pandas()
+    assert (lim["xent"] >= 0).all() and len(lim) == len(out)
