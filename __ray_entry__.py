@@ -1626,6 +1626,18 @@ def _q_cluster_split(sf_dir: str):
     return leakage_safe_split(docs, cc, train_pct=90)
 
 
+def _q_jaccard_allpairs(sf_dir: str):
+    """Oracle-checked EXACT all-pairs set-Jaccard join (>= 0.8) WITHOUT LSH
+    banding — inverted-index co-occurrence counts with a two-sided integer
+    size bound (stages/containment.py:jaccard_join). Shares its oracle
+    contract with ngram_jaccard_edges (the LSH+verify path): two independent
+    algorithms, one SQL twin — and a distributed recall witness for the
+    banded path at scales where the all-pairs oracle is unaffordable."""
+    from elasticsearch_minhash_ray.stages.containment import jaccard_join
+
+    return jaccard_join(_docs(sf_dir, ["doc_id", "text"]), thr_num=4, thr_den=5)
+
+
 def _q_bigram_xent(sf_dir: str):
     """Oracle-checked bigram cross-entropy scoring — the CCNet-style LM
     perplexity quality signal computed from the corpus's own bigram model
@@ -2523,6 +2535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": _q_snapshot_diff,
         "containment_edges": _q_containment_edges,
         "bigram_xent": _q_bigram_xent,
+        "jaccard_allpairs": _q_jaccard_allpairs,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2846,6 +2859,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN ((rep * 2654435761) % 4294967296) % 100 < 90
                         THEN 'train' ELSE 'val' END AS split
             FROM r
+        """,
+        "jaccard_allpairs": f"""
+            WITH {_NGRAM_JACCARD_CTES}
+            SELECT a AS a_id, b AS b_id, jaccard FROM jedges
         """,
         "bigram_xent": """
             WITH toks AS (

@@ -105,6 +105,8 @@ HEADLINE = [
     "containment_edges",
     # round 5: corpus-LM bigram cross-entropy quality scoring
     "bigram_xent",
+    # round 5: exact all-pairs Jaccard (inverted-index; no banding)
+    "jaccard_allpairs",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

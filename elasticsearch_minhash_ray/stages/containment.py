@@ -87,19 +87,31 @@ def _flat(col) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(arr.values, dtype=np.int64), np.asarray(arr.offsets, dtype=np.int64)
 
 
-def containment_join(
+def _cooccurrence_join(
     ds,
     *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    tokenizer: str = "words",
-    shingle_n: int = 3,
-    thr_num: int = 4,
-    thr_den: int = 5,
-    out_col: str = "containment",
+    mode: str,
+    text_col: str,
+    id_col: str,
+    tokenizer: str,
+    shingle_n: int,
+    thr_num: int,
+    thr_den: int,
+    out_col: str,
 ):
-    """All ordered pairs (a, b), a ≠ b, with |Sa∩Sb| / |Sa| ≥
-    thr_num/thr_den (module docstring). Returns (a_id, b_id, out_col)."""
+    """Shared inverted-index core (module docstring): postings exchange →
+    per-shingle ordered-pair gather with the mode's integer size bound →
+    per-block (a, b, cnt) combiner → a-keyed sum + integer threshold.
+
+    mode="containment": ordered pairs a≠b, keep c·den ≥ num·na, value c/na.
+    mode="jaccard": unordered pairs a<b (each emitted once), size bound in
+    BOTH directions (J ≥ t forces min(na,nb) ≥ t·max(na,nb)), keep
+    c·(den+num) ≥ num·(na+nb) — the integer form of c/(na+nb−c) ≥ t —
+    value c/(na+nb−c). The jaccard mode is the EXACT all-pairs twin of the
+    LSH+verify path (stages/lsh.py): same shingle kernel, no banding, so it
+    doubles as a distributed recall witness at scales where the SQL
+    all-pairs oracle is unaffordable."""
+    assert mode in ("containment", "jaccard")
 
     def postings(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -131,6 +143,7 @@ def containment_join(
             "b": np.empty(0, np.int64),
             "cnt": np.empty(0, np.int64),
             "na": np.empty(0, np.int64),
+            "nb": np.empty(0, np.int64),
         }
     )
 
@@ -150,15 +163,25 @@ def containment_join(
         b_idx = _gather_ranges(s_row, g_row)
         a, b = ids[a_idx], ids[b_idx]
         na, nb = n[a_idx], n[b_idx]
-        # size bound: C(a→b) ≥ t needs nb ≥ t·na — integer form
-        keep = (a != b) & (nb * thr_den >= thr_num * na)
-        part = pd.DataFrame({"a": a[keep], "b": b[keep], "na": na[keep]})
+        if mode == "containment":
+            # size bound: C(a→b) ≥ t needs nb ≥ t·na — integer form
+            keep = (a != b) & (nb * thr_den >= thr_num * na)
+        else:
+            # symmetric: emit each pair once; J ≥ t bounds both directions
+            keep = (
+                (a < b)
+                & (nb * thr_den >= thr_num * na)
+                & (na * thr_den >= thr_num * nb)
+            )
+        part = pd.DataFrame(
+            {"a": a[keep], "b": b[keep], "na": na[keep], "nb": nb[keep]}
+        )
         # the combiner: one (a, b) row per block, however many shingles hit
         out = part.groupby(["a", "b"], as_index=False, sort=False).agg(
-            cnt=("na", "size"), na=("na", "first")
+            cnt=("na", "size"), na=("na", "first"), nb=("nb", "first")
         )
         out["cnt"] = out["cnt"].astype(np.int64)
-        return out[["a", "b", "cnt", "na"]]
+        return out[["a", "b", "cnt", "na", "nb"]]
 
     partials = map_copartitioned(posts, "sh", co_count, batch_format="pyarrow")
 
@@ -175,22 +198,83 @@ def containment_join(
         if not len(block):
             return _edges_empty
         g = block.groupby(["a", "b"], as_index=False, sort=False).agg(
-            c=("cnt", "sum"), na=("na", "first")
+            c=("cnt", "sum"), na=("na", "first"), nb=("nb", "first")
         )
         c = g["c"].to_numpy(np.int64)
         na = g["na"].to_numpy(np.int64)
-        keep = c * thr_den >= thr_num * na  # integer threshold, no float edge
+        nb = g["nb"].to_numpy(np.int64)
+        if mode == "containment":
+            keep = c * thr_den >= thr_num * na  # integer threshold
+            denom = na
+        else:
+            keep = c * (thr_den + thr_num) >= thr_num * (na + nb)
+            denom = na + nb - c
         if not keep.any():
             return _edges_empty
-        cont = pc.round(
-            pa.array(c[keep] / na[keep], pa.float64()), ndigits=9
+        val = pc.round(
+            pa.array(c[keep] / denom[keep], pa.float64()), ndigits=9
         ).to_numpy(zero_copy_only=False)
         return pd.DataFrame(
             {
                 "a_id": g["a"].to_numpy(np.int64)[keep],
                 "b_id": g["b"].to_numpy(np.int64)[keep],
-                out_col: cont,
+                out_col: val,
             }
         )
 
     return map_copartitioned(partials, "a", finish, batch_format="pandas")
+
+
+def containment_join(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    shingle_n: int = 3,
+    thr_num: int = 4,
+    thr_den: int = 5,
+    out_col: str = "containment",
+):
+    """All ordered pairs (a, b), a ≠ b, with |Sa∩Sb| / |Sa| ≥
+    thr_num/thr_den (module docstring). Returns (a_id, b_id, out_col)."""
+    return _cooccurrence_join(
+        ds,
+        mode="containment",
+        text_col=text_col,
+        id_col=id_col,
+        tokenizer=tokenizer,
+        shingle_n=shingle_n,
+        thr_num=thr_num,
+        thr_den=thr_den,
+        out_col=out_col,
+    )
+
+
+def jaccard_join(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    shingle_n: int = 3,
+    thr_num: int = 4,
+    thr_den: int = 5,
+    out_col: str = "jaccard",
+):
+    """All unordered pairs (a < b) with set Jaccard ≥ thr_num/thr_den,
+    EXACT and without LSH banding — the all-pairs twin of the
+    stages/lsh.py jaccard-verify path on the same shingle kernel. Use it
+    as a distributed recall witness for the banded path, or directly when
+    Σ df² is affordable. Returns (a_id, b_id, out_col)."""
+    return _cooccurrence_join(
+        ds,
+        mode="jaccard",
+        text_col=text_col,
+        id_col=id_col,
+        tokenizer=tokenizer,
+        shingle_n=shingle_n,
+        thr_num=thr_num,
+        thr_den=thr_den,
+        out_col=out_col,
+    )

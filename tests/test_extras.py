@@ -1757,3 +1757,44 @@ def test_bigram_crossentropy(ray_session):
 
     lim = bigram_crossentropy(rd.from_items(docs), vocab_limit=3).to_pandas()
     assert (lim["xent"] >= 0).all() and len(lim) == len(out)
+
+
+def test_jaccard_join_vs_bruteforce(ray_session):
+    """Inverted-index exact Jaccard join equals brute force; pairs emitted
+    once (a < b); two-sided size bound doesn't drop qualifying pairs."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.containment import jaccard_join
+    from elasticsearch_minhash_ray.stages.text import shingle_hash_sets
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon zeta eta theta iota"},
+        {"doc_id": 3, "text": "alpha beta gamma delta"},
+        {"doc_id": 4, "text": "unrelated totally different text entirely"},
+    ]
+    out = (
+        jaccard_join(rd.from_items(docs), thr_num=1, thr_den=2)  # t = 0.5
+        .to_pandas()
+        .sort_values(["a_id", "b_id"])
+        .reset_index(drop=True)
+    )
+    sets = shingle_hash_sets([d["text"] for d in docs])
+    ids = [d["doc_id"] for d in docs]
+    rows = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sa, sb = sets[i], sets[j]
+            if not len(sa) or not len(sb):
+                continue
+            c = len(np.intersect1d(sa, sb))
+            u = len(sa) + len(sb) - c
+            if c * 2 >= u:  # c/(na+nb-c) >= 1/2  <=>  c*(2+1) >= 1*(na+nb) ... use direct
+                rows.append(
+                    {"a_id": ids[i], "b_id": ids[j], "jaccard": round(c / u, 9)}
+                )
+    want = pd.DataFrame(rows).sort_values(["a_id", "b_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
+    # each pair exactly once, a < b
+    assert (out["a_id"] < out["b_id"]).all()
+    assert not out.duplicated(["a_id", "b_id"]).any()
