@@ -1626,6 +1626,22 @@ def _q_cluster_split(sf_dir: str):
     return leakage_safe_split(docs, cc, train_pct=90)
 
 
+def _q_containment_keep(sf_dir: str):
+    """Oracle-checked subsumption-dedup ACTION: drop every doc that is
+    >= 0.8 contained in a strictly larger doc (or an equal-size doc with a
+    smaller id — the deterministic tiebreak); keep maximal docs. Edges with
+    sizes reduce to a distinct drop-key Dataset; the cut is anti_join_keys
+    (stages/containment.py:containment_keep)."""
+    from elasticsearch_minhash_ray.stages.containment import containment_keep
+
+    kept = containment_keep(
+        _docs(sf_dir, ["doc_id", "source", "text"]), thr_num=4, thr_den=5
+    )
+    return kept.map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow"
+    )
+
+
 def _q_jaccard_allpairs(sf_dir: str):
     """Oracle-checked EXACT all-pairs set-Jaccard join (>= 0.8) WITHOUT LSH
     banding — inverted-index co-occurrence counts with a two-sided integer
@@ -2536,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_edges": _q_containment_edges,
         "bigram_xent": _q_bigram_xent,
         "jaccard_allpairs": _q_jaccard_allpairs,
+        "containment_keep": _q_containment_keep,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2863,6 +2880,28 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_allpairs": f"""
             WITH {_NGRAM_JACCARD_CTES}
             SELECT a AS a_id, b AS b_id, jaccard FROM jedges
+        """,
+        "containment_keep": f"""
+            WITH {_NGRAM_BASE_CTES},
+            cand AS (
+              SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+              FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id != y.doc_id
+            ),
+            ced AS (
+              SELECT cand.a, cand.b,
+                     len(sa.s) AS na, len(sb.s) AS nb,
+                     len(list_intersect(sa.s, sb.s)) AS c
+              FROM cand
+              JOIN sh sa ON sa.doc_id = cand.a
+              JOIN sh sb ON sb.doc_id = cand.b
+            ),
+            drops AS (
+              SELECT DISTINCT a FROM ced
+              WHERE c * 5 >= 4 * na AND (nb > na OR (nb = na AND b < a))
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT a FROM drops)
         """,
         "bigram_xent": """
             WITH toks AS (

@@ -107,6 +107,8 @@ HEADLINE = [
     "bigram_xent",
     # round 5: exact all-pairs Jaccard (inverted-index; no banding)
     "jaccard_allpairs",
+    # round 5: subsumption dedup action (keep maximal docs)
+    "containment_keep",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -98,6 +98,7 @@ def _cooccurrence_join(
     thr_num: int,
     thr_den: int,
     out_col: str,
+    with_sizes: bool = False,
 ):
     """Shared inverted-index core (module docstring): postings exchange →
     per-shingle ordered-pair gather with the mode's integer size bound →
@@ -190,6 +191,11 @@ def _cooccurrence_join(
             "a_id": np.empty(0, np.int64),
             "b_id": np.empty(0, np.int64),
             out_col: np.empty(0, np.float64),
+            **(
+                {"na": np.empty(0, np.int64), "nb": np.empty(0, np.int64)}
+                if with_sizes
+                else {}
+            ),
         }
     )
 
@@ -219,6 +225,7 @@ def _cooccurrence_join(
                 "a_id": g["a"].to_numpy(np.int64)[keep],
                 "b_id": g["b"].to_numpy(np.int64)[keep],
                 out_col: val,
+                **({"na": na[keep], "nb": nb[keep]} if with_sizes else {}),
             }
         )
 
@@ -278,3 +285,55 @@ def jaccard_join(
         thr_den=thr_den,
         out_col=out_col,
     )
+
+
+def containment_keep(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    shingle_n: int = 3,
+    thr_num: int = 4,
+    thr_den: int = 5,
+):
+    """Subsumption-dedup ACTION: drop every doc that is ≥ t contained in a
+    STRICTLY LARGER doc (more distinct shingles), or in an equal-size doc
+    with a smaller id — the deterministic tiebreak, so a mutually-contained
+    equal-size family keeps exactly its min-id member. Returns the kept rows
+    of ``ds`` unchanged.
+
+    Each drop is justified by its own witness edge (a, b): the content of a
+    is ≥ t present in the kept-or-larger b. Drops are NOT transitive claims
+    — a chain a⊂b⊂c drops both a and b with b and c as witnesses; c may not
+    contain a directly. That greedy semantics is the standard subsumption
+    cut (keep maximal docs).
+
+    Shape: the containment edges (with sizes) reduce to a distinct drop-key
+    Dataset inside the edge map; the cut itself is
+    :func:`..dedup.anti_join_keys` (broadcast or union-anti-join, auto)."""
+    from .dedup import anti_join_keys
+
+    edges = _cooccurrence_join(
+        ds,
+        mode="containment",
+        text_col=text_col,
+        id_col=id_col,
+        tokenizer=tokenizer,
+        shingle_n=shingle_n,
+        thr_num=thr_num,
+        thr_den=thr_den,
+        out_col="containment",
+        with_sizes=True,
+    )
+
+    def drops(batch: pd.DataFrame) -> pd.DataFrame:
+        m = (batch["nb"] > batch["na"]) | (
+            (batch["nb"] == batch["na"]) & (batch["b_id"] < batch["a_id"])
+        )
+        return pd.DataFrame(
+            {id_col: batch.loc[m, "a_id"].drop_duplicates().to_numpy(np.int64)}
+        )
+
+    drop_ds = edges.map_batches(drops, batch_format="pandas")
+    return anti_join_keys(ds, drop_ds, key_col=id_col)

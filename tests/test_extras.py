@@ -1798,3 +1798,28 @@ def test_jaccard_join_vs_bruteforce(ray_session):
     # each pair exactly once, a < b
     assert (out["a_id"] < out["b_id"]).all()
     assert not out.duplicated(["a_id", "b_id"]).any()
+
+
+def test_containment_keep(ray_session):
+    """Subsumption cut: chains drop each non-maximal member via its own
+    witness; mutually-contained equal-size family keeps the min id."""
+    from elasticsearch_minhash_ray.stages.containment import containment_keep
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    mid = inner + " " + "iota kappa lam mu nu xi omicron pi"
+    big = mid + " " + " ".join(f"t{i} u{i} v{i}" for i in range(20))
+    docs = [
+        {"doc_id": 10, "text": inner},   # ⊂ mid ⊂ big → dropped
+        {"doc_id": 11, "text": mid},     # ⊂ big → dropped
+        {"doc_id": 12, "text": big},     # maximal → kept
+        {"doc_id": 20, "text": "same words equal size here"},
+        {"doc_id": 21, "text": "same words equal size here"},  # = 20 → dropped (id tiebreak)
+        {"doc_id": 30, "text": "unrelated content lives alone"},
+        {"doc_id": 31, "text": ""},      # empty: no shingles, kept
+    ]
+    kept = sorted(
+        containment_keep(rd.from_items(docs), thr_num=4, thr_den=5)
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    assert kept == [12, 20, 30, 31]
