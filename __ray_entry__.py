@@ -2280,6 +2280,53 @@ def _q_events_daily(sf_dir: str):
     return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
 
 
+def _q_events_rollup(sf_dir: str):
+    """Oracle-checked GROUP BY ROLLUP(event_type, day): all three aggregate
+    levels — (type, day), (type), grand total — from ONE combiner pass: the
+    per-batch partial aggregates only the finest level; the coarser levels
+    derive from level-1 partials inside the final reduce, so the exchange
+    carries finest-level rows only, and each level's float sum accumulates
+    over the SAME per-(type,day) partials on both engines. NULL rollup
+    markers are pinned to '(all)' on both sides (NULL group keys don't
+    survive the driver's hash compare)."""
+    import pandas as pd
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["day"] = batch["ts"].dt.strftime("%Y-%m-%d")
+        return batch.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("value", "size"), sv=("value", "sum")
+        )
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        l1 = batch.groupby(["event_type", "day"], as_index=False).agg(
+            n_events=("n_events", "sum"), sv=("sv", "sum")
+        )
+        l2 = l1.groupby(["event_type"], as_index=False).agg(
+            n_events=("n_events", "sum"), sv=("sv", "sum")
+        )
+        l2["day"] = "(all)"
+        l3 = pd.DataFrame(
+            {
+                "event_type": ["(all)"],
+                "day": ["(all)"],
+                "n_events": [l1["n_events"].sum()],
+                "sv": [l2["sv"].sum()],
+            }
+        )
+        out = pd.concat([l1, l2, l3], ignore_index=True)[
+            ["event_type", "day", "n_events", "sv"]
+        ]
+        out["n_events"] = out["n_events"].astype("int64")
+        out["total_value_cents"] = (out.pop("sv") * 100).round().astype("int64")
+        return out
+
+    return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping (sliding) window aggregate — 6 h windows every 1 h, per event
     type: each event fans out to its 6 containing windows (vectorized
@@ -2553,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_xent": _q_bigram_xent,
         "jaccard_allpairs": _q_jaccard_allpairs,
         "containment_keep": _q_containment_keep,
+        "events_rollup": _q_events_rollup,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2795,6 +2843,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "events_rollup": """
+            SELECT coalesce(event_type, '(all)') AS event_type,
+                   coalesce(day, '(all)') AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+                  FROM events)
+            GROUP BY ROLLUP (event_type, day)
         """,
         "events_hopping": """
             WITH p AS (SELECT event_type, value, epoch_us(ts) AS t FROM events),

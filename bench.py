@@ -109,6 +109,8 @@ HEADLINE = [
     "jaccard_allpairs",
     # round 5: subsumption dedup action (keep maximal docs)
     "containment_keep",
+    # round 5: ROLLUP multi-level aggregate (one combiner pass)
+    "events_rollup",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
