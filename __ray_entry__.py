@@ -1522,6 +1522,40 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, _centroids_first_k(sf_dir), tau=0.35)
 
 
+def _q_curation_pipeline_v4(sf_dir: str):
+    """Oracle-checked curation composition v4 — the round-5 operator chain:
+    (1) corpus-LM bigram cross-entropy gate (keep xent <= 3.4; both engines
+    compare the IDENTICAL 9dp-rounded double since bigram_xent is
+    oracle-exact, so the cut is hash-stable at any threshold; drops ~32%
+    plus every <2-token doc, which has no score), (2) inner join of
+    surviving scores back to the text (the hash_join shape), (3)
+    subsumption dedup WITHIN survivors — containment_keep drops docs >= 0.8
+    contained in a larger surviving doc. Output: (doc_id, source,
+    n_bigrams, xent) per kept doc. Full 3-stage SQL twin."""
+    import pyarrow.compute as pc
+
+    from elasticsearch_minhash_ray.stages.containment import containment_keep
+    from elasticsearch_minhash_ray.stages.text import bigram_crossentropy
+
+    x = bigram_crossentropy(_docs(sf_dir, ["doc_id", "text"]), vocab_limit=None)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["xent"], 3.4))
+
+    keys = x.map_batches(gate, batch_format="pyarrow")
+    joined = keys.join(
+        _docs(sf_dir, ["doc_id", "source", "text"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+    kept = containment_keep(joined, thr_num=4, thr_den=5)
+    return kept.map_batches(
+        lambda b: b.select(["doc_id", "source", "n_bigrams", "xent"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_curation_pipeline_v3(sf_dir: str):
     """Oracle-checked CROSS-TABLE curation composition — the multimodal
     analogue of curation_pipeline_v2: (1) token-count quality gate on the
@@ -2601,6 +2635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_allpairs": _q_jaccard_allpairs,
         "containment_keep": _q_containment_keep,
         "events_rollup": _q_events_rollup,
+        "curation_pipeline_v4": _q_curation_pipeline_v4,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2843,6 +2878,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "curation_pipeline_v4": """
+            WITH toksx AS (
+                SELECT doc_id,
+                       regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS t
+                FROM documents
+            ),
+            big AS (
+                SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+                FROM toksx, UNNEST(generate_series(1, len(t)-1)) AS s(i)
+                WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+            c1 AS (SELECT w1, count(*) AS c FROM big GROUP BY w1),
+            x AS (
+                SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                       round(avg(-ln(CAST(c2.c AS DOUBLE) / c1.c)), 9) AS xent
+                FROM big b
+                JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+                JOIN c1 ON b.w1 = c1.w1
+                GROUP BY b.doc_id
+            ),
+            keep0 AS (SELECT doc_id, n_bigrams, xent FROM x WHERE xent <= 3.4),
+            sh AS (
+                SELECT tx.doc_id,
+                       list_distinct(CASE WHEN len(t) = 0 THEN []
+                            WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                            ELSE list_transform(generate_series(1, len(t)-2),
+                                                i -> array_to_string(t[i:i+2], ' ')) END) AS s
+                FROM toksx tx JOIN keep0 k ON tx.doc_id = k.doc_id
+            ),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+            cand AS (
+                SELECT DISTINCT x1.doc_id AS a, x2.doc_id AS b
+                FROM ex x1 JOIN ex x2 ON x1.g = x2.g AND x1.doc_id != x2.doc_id
+            ),
+            ced AS (
+                SELECT cand.a, cand.b, len(sa.s) AS na, len(sb.s) AS nb,
+                       len(list_intersect(sa.s, sb.s)) AS c
+                FROM cand
+                JOIN sh sa ON sa.doc_id = cand.a
+                JOIN sh sb ON sb.doc_id = cand.b
+            ),
+            drops AS (
+                SELECT DISTINCT a FROM ced
+                WHERE c * 5 >= 4 * na AND (nb > na OR (nb = na AND b < a))
+            )
+            SELECT k.doc_id, d.source, k.n_bigrams, k.xent
+            FROM keep0 k JOIN documents d ON k.doc_id = d.doc_id
+            WHERE k.doc_id NOT IN (SELECT a FROM drops)
         """,
         "events_rollup": """
             SELECT coalesce(event_type, '(all)') AS event_type,

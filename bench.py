@@ -111,6 +111,8 @@ HEADLINE = [
     "containment_keep",
     # round 5: ROLLUP multi-level aggregate (one combiner pass)
     "events_rollup",
+    # round 5: capstone composition (xent gate -> join -> subsumption cut)
+    "curation_pipeline_v4",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
