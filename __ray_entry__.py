@@ -2314,6 +2314,24 @@ def _q_events_daily(sf_dir: str):
     return _final_reduce(ds.map_batches(partial, batch_format="pandas"), final)
 
 
+def _q_event_funnel(sf_dir: str):
+    """Oracle-checked windowed funnel: distinct users completing
+    view -> click -> purchase with every consecutive gap in (0, 24 h].
+    EXISTS-chain semantics (all completion times kept per level, not a
+    greedy earliest match, which undercounts); one user-keyed exchange
+    over only the step-type events (stages/window.py:funnel_counts)."""
+    from elasticsearch_minhash_ray.stages.window import funnel_counts
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(
+        ds, "user_id", "ts", "event_type",
+        steps=["view", "click", "purchase"],
+        window_us=86_400_000_000,
+    )
+
+
 def _q_events_rollup(sf_dir: str):
     """Oracle-checked GROUP BY ROLLUP(event_type, day): all three aggregate
     levels — (type, day), (type), grand total — from ONE combiner pass: the
@@ -2636,6 +2654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_keep": _q_containment_keep,
         "events_rollup": _q_events_rollup,
         "curation_pipeline_v4": _q_curation_pipeline_v4,
+        "event_funnel": _q_event_funnel,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2878,6 +2897,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "event_funnel": """
+            WITH a AS (
+              SELECT user_id, ts FROM events WHERE event_type = 'view'
+            ),
+            b AS (
+              SELECT DISTINCT e.user_id, e.ts
+              FROM events e JOIN a ON a.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > a.ts
+                AND epoch_us(e.ts) - epoch_us(a.ts) <= 86400000000
+            ),
+            c AS (
+              SELECT DISTINCT e.user_id, e.ts
+              FROM events e JOIN b ON b.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > b.ts
+                AND epoch_us(e.ts) - epoch_us(b.ts) <= 86400000000
+            )
+            SELECT 1 AS step, 'view' AS event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys FROM a
+            UNION ALL
+            SELECT 2, 'click', CAST(count(DISTINCT user_id) AS BIGINT) FROM b
+            UNION ALL
+            SELECT 3, 'purchase', CAST(count(DISTINCT user_id) AS BIGINT) FROM c
         """,
         "curation_pipeline_v4": """
             WITH toksx AS (

@@ -113,6 +113,8 @@ HEADLINE = [
     "events_rollup",
     # round 5: capstone composition (xent gate -> join -> subsumption cut)
     "curation_pipeline_v4",
+    # round 5: windowed funnel (EXISTS-chain sequence analytics)
+    "event_funnel",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

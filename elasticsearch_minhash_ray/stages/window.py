@@ -183,3 +183,103 @@ def rolling_mean(
         return pd.DataFrame(out)
 
     return map_copartitioned(ds, key_col, apply, batch_format="pandas")
+
+
+def funnel_counts(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    window_us: int,
+):
+    """Windowed funnel conversion (the sequence analytic behind
+    view→click→purchase reports): a key converts step k iff there EXISTS a
+    chain e1 < e2 < ... < ek with the step event types in order and every
+    consecutive gap in (0, window_us]. Returns one (step, event_type,
+    n_keys) row per step — n_keys monotonically non-increasing.
+
+    Exactness note: greedy earliest-match funnels undercount (a later
+    step-1 event can enable a chain the earliest one can't reach). This
+    scan keeps ALL completion times per step: T1 = step-1 times,
+    Tk = {t ∈ step-k times : ∃ s ∈ T(k-1), 0 < t−s ≤ W} — two
+    searchsorted probes per level, exact for EXISTS semantics.
+
+    Shape: the map projects to (key, ts, step_idx) rows and DROPS non-step
+    events (the combiner prune — funnel steps are usually a small slice of
+    the stream), then ONE key exchange; the per-key level scan is numpy
+    searchsorted inside the block (the per-key loop is bounded by keys per
+    block; each key's events sort once via the block lexsort). The final
+    per-step count is a tiny fan-in reduce."""
+    import pandas as pd
+
+    step_idx = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch[type_col].isin(step_idx).to_numpy()
+        b = batch[m]
+        return pd.DataFrame(
+            {
+                "k": b[key_col].to_numpy(np.int64),
+                "t": _order_int64(b[ts_col]),
+                "s": b[type_col].map(step_idx).to_numpy(np.int8),
+            }
+        )
+
+    pro = ds.map_batches(project, batch_format="pandas")
+
+    _empty = pd.DataFrame(
+        {"step": np.empty(0, np.int64), "n_partial": np.empty(0, np.int64)}
+    )
+
+    def scan(block: pd.DataFrame) -> pd.DataFrame:
+        # co-partitioned on k: every event of a key is in this block
+        if not len(block):
+            return _empty
+        block = block.sort_values(["k", "t"], kind="stable")
+        kv = block["k"].to_numpy(np.int64)
+        tv = block["t"].to_numpy(np.int64)
+        sv = block["s"].to_numpy(np.int8)
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(kv)]
+        reached = np.zeros(n_steps, np.int64)
+        for lo, hi in zip(starts, ends):
+            t, s = tv[lo:hi], sv[lo:hi]
+            prev = t[s == 0]  # completion times of step 1 (sorted)
+            level = 0
+            while len(prev):
+                reached[level] += 1
+                level += 1
+                if level >= n_steps:
+                    break
+                tk = t[s == level]
+                hi_i = np.searchsorted(prev, tk, side="left")  # prev <  tk
+                lo_i = np.searchsorted(prev, tk - window_us, side="left")
+                prev = tk[hi_i > lo_i]  # ∃ prev in [tk−W, tk)
+        nz = reached > 0
+        return pd.DataFrame(
+            {
+                "step": np.arange(1, n_steps + 1, dtype=np.int64)[nz],
+                "n_partial": reached[nz],
+            }
+        )
+
+    from ..grouping import map_copartitioned
+
+    partials = map_copartitioned(pro, "k", scan, batch_format="pandas")
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"step": np.arange(1, n_steps + 1, dtype=np.int64)})
+        if len(batch):
+            g = batch.groupby("step", as_index=False)["n_partial"].sum()
+            out = out.merge(g, on="step", how="left")
+            out["n_keys"] = out.pop("n_partial").fillna(0).astype(np.int64)
+        else:
+            out["n_keys"] = np.zeros(n_steps, np.int64)
+        out["event_type"] = [steps[i] for i in range(n_steps)]
+        return out[["step", "event_type", "n_keys"]]
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

@@ -1823,3 +1823,43 @@ def test_containment_keep(ray_session):
         .tolist()
     )
     assert kept == [12, 20, 30, 31]
+
+
+def test_funnel_counts(ray_session):
+    """EXISTS-chain funnel: the greedy-earliest trap converts via a LATER
+    step-1 event; boundary gaps (== W counts, == 0 doesn't); monotone."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.window import funnel_counts
+
+    W = 50
+    rows = []
+
+    def ev(u, t, ty):
+        rows.append({"user_id": u, "ts": np.int64(t), "event_type": ty})
+
+    # user 1: A@0 can't reach B@100 (gap 100 > W) but A@60 can (gap 40)
+    ev(1, 0, "A"); ev(1, 60, "A"); ev(1, 100, "B"); ev(1, 120, "C")
+    # user 2: gap exactly W converts (inclusive upper bound)
+    ev(2, 0, "A"); ev(2, W, "B")
+    # user 3: equal timestamps do NOT chain (strictly-after rule)
+    ev(3, 10, "A"); ev(3, 10, "B")
+    # user 4: steps out of order never convert past step 1
+    ev(4, 100, "B"); ev(4, 200, "A")
+    out = (
+        funnel_counts(
+            rd.from_items(rows), "user_id", "ts", "event_type",
+            steps=["A", "B", "C"], window_us=W,
+        )
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "step": np.array([1, 2, 3], np.int64),
+            "event_type": ["A", "B", "C"],
+            "n_keys": np.array([4, 2, 1], np.int64),  # u1+u2 reach B; only u1 reaches C
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
