@@ -2332,6 +2332,17 @@ def _q_event_funnel(sf_dir: str):
     )
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Oracle-checked cohort retention: users grouped by FIRST event day;
+    retained iff any event lands in [first+1d, first+8d). One user-keyed
+    exchange + per-key searchsorted window probes
+    (stages/window.py:cohort_retention)."""
+    from elasticsearch_minhash_ray.stages.window import cohort_retention
+
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts")
+
+
 def _q_events_rollup(sf_dir: str):
     """Oracle-checked GROUP BY ROLLUP(event_type, day): all three aggregate
     levels — (type, day), (type), grand total — from ONE combiner pass: the
@@ -2655,6 +2666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _q_events_rollup,
         "curation_pipeline_v4": _q_curation_pipeline_v4,
         "event_funnel": _q_event_funnel,
+        "cohort_retention": _q_cohort_retention,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2897,6 +2909,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, min(epoch_us(ts)) AS first_us
+              FROM events GROUP BY user_id
+            ),
+            r AS (
+              SELECT f.user_id,
+                     CAST(EXISTS (
+                       SELECT 1 FROM events e
+                       WHERE e.user_id = f.user_id
+                         AND epoch_us(e.ts) >= f.first_us + 86400000000
+                         AND epoch_us(e.ts) <  f.first_us + 8 * 86400000000
+                     ) AS BIGINT) AS retained,
+                     strftime(make_timestamp(f.first_us), '%Y-%m-%d') AS cohort_day
+              FROM f
+            )
+            SELECT cohort_day,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(retained) AS BIGINT) AS n_retained
+            FROM r GROUP BY cohort_day
         """,
         "event_funnel": """
             WITH a AS (

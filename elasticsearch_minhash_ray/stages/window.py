@@ -283,3 +283,83 @@ def funnel_counts(
     return partials.repartition(1).map_batches(
         final, batch_format="pandas", batch_size=None
     )
+
+
+def cohort_retention(
+    ds,
+    key_col: str,
+    ts_col: str,
+    *,
+    retain_lo_us: int = 86_400_000_000,       # >= 1 day after first event
+    retain_hi_us: int = 8 * 86_400_000_000,   # < 8 days after it
+):
+    """Cohort retention (the companion report to :func:`funnel_counts`):
+    cohort = each key's FIRST event day (UTC); a key is retained iff it has
+    any event with ``first + retain_lo_us <= ts < first + retain_hi_us``.
+    Returns (cohort_day 'YYYY-MM-DD', n_keys, n_retained) rows.
+
+    Shape: the map projects to (key, epoch_us) only; ONE key exchange; the
+    per-block scan takes each key's min timestamp and two searchsorted
+    probes for the retention window (events per key sort once via the block
+    lexsort); per-cohort partials fan in to a tiny final reduce — exchange
+    rows ∝ events, output ∝ distinct days."""
+    import pandas as pd
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "k": batch[key_col].to_numpy(np.int64),
+                "t": _order_int64(batch[ts_col]),
+            }
+        )
+
+    pro = ds.map_batches(project, batch_format="pandas")
+
+    _empty = pd.DataFrame(
+        {
+            "cohort_day": np.empty(0, object),
+            "n_keys": np.empty(0, np.int64),
+            "n_retained": np.empty(0, np.int64),
+        }
+    )
+
+    def scan(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return _empty
+        block = block.sort_values(["k", "t"], kind="stable")
+        kv = block["k"].to_numpy(np.int64)
+        tv = block["t"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, kv[1:] != kv[:-1]])
+        ends = np.r_[starts[1:], len(kv)]
+        first = tv[starts]  # per-key min ts (sorted within key)
+        # retained iff any event in [first+lo, first+hi)
+        lo_i = np.array(
+            [np.searchsorted(tv[s:e], f + retain_lo_us, side="left")
+             for s, e, f in zip(starts, ends, first)]
+        )
+        hi_i = np.array(
+            [np.searchsorted(tv[s:e], f + retain_hi_us, side="left")
+             for s, e, f in zip(starts, ends, first)]
+        )
+        retained = (hi_i > lo_i).astype(np.int64)
+        day = pd.to_datetime(first, unit="us", utc=True).strftime("%Y-%m-%d")
+        g = (
+            pd.DataFrame({"cohort_day": day, "n_keys": 1, "n_retained": retained})
+            .groupby("cohort_day", as_index=False)
+            .sum()
+        )
+        return g.astype({"n_keys": np.int64, "n_retained": np.int64})
+
+    from ..grouping import map_copartitioned
+
+    partials = map_copartitioned(pro, "k", scan, batch_format="pandas")
+
+    def final(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty
+        g = batch.groupby("cohort_day", as_index=False).sum()
+        return g.astype({"n_keys": np.int64, "n_retained": np.int64})
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )

@@ -1863,3 +1863,40 @@ def test_funnel_counts(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, want, check_exact=True)
+
+
+def test_cohort_retention(ray_session):
+    """Planted retention boundaries: events only before +1d or only at/after
+    +8d don't retain; exactly +1d does; cohorts split by first-event day."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.window import cohort_retention
+
+    D = 86_400_000_000
+    base = 1_700_000_000_000_000  # some epoch-us anchor
+    rows = []
+
+    def ev(u, t):
+        rows.append({"user_id": u, "ts": np.int64(t)})
+
+    ev(1, base); ev(1, base + D)            # retained (exactly +1d)
+    ev(2, base); ev(2, base + D - 1)        # NOT retained (< 1d only)
+    ev(3, base); ev(3, base + 8 * D)        # NOT retained (at +8d, exclusive)
+    ev(4, base); ev(4, base + 3 * D)        # retained (mid-window)
+    ev(5, base + 2 * D)                     # singleton, later cohort day
+    out = (
+        cohort_retention(rd.from_items(rows), "user_id", "ts")
+        .to_pandas()
+        .sort_values("cohort_day")
+        .reset_index(drop=True)
+    )
+    day0 = pd.to_datetime(base, unit="us", utc=True).strftime("%Y-%m-%d")
+    day2 = pd.to_datetime(base + 2 * D, unit="us", utc=True).strftime("%Y-%m-%d")
+    want = pd.DataFrame(
+        {
+            "cohort_day": [day0, day2],
+            "n_keys": np.array([4, 1], np.int64),
+            "n_retained": np.array([2, 0], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
