@@ -953,6 +953,20 @@ def _q_repetition_gate(sf_dir: str):
     ).select_columns(["doc_id"])
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Oracle-checked deterministic weighted sample (Efraimidis-Spirakis
+    A-ES, exponential race): 100 docs with the smallest -ln(u)/w, u from
+    the SQL-mirrorable Knuth hash, w per source {src0:5, src1:3, else 1}.
+    Per-block local top-n combiner -> tiny sort+limit
+    (stages/sample.py:weighted_sample_n)."""
+    from elasticsearch_minhash_ray.stages.sample import weighted_sample_n
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"], dense=True
+    )
+    return weighted_sample_n(ds, "doc_id", {"src0": 5.0, "src1": 3.0}, 100)
+
+
 def _q_sample_exact_n(sf_dir: str):
     """Oracle-checked exact-size deterministic sample: the 137 docs with
     the smallest (knuth_hash(doc_id), doc_id) — per-block local top-n
@@ -2667,6 +2681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v4": _q_curation_pipeline_v4,
         "event_funnel": _q_event_funnel,
         "cohort_retention": _q_cohort_retention,
+        "weighted_sample": _q_weighted_sample,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -3700,6 +3715,20 @@ def oracle_sql() -> dict[str, str]:
                    od.o_orderdate, od.o_orderkey, od.o_totalprice
             FROM events e ASOF JOIN od
               ON e.user_id = od.user_id AND e.ts >= od.o_orderdate
+        """,
+        "weighted_sample": """
+            WITH h AS (
+              SELECT doc_id, source,
+                     ((doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0 AS u,
+                     CASE source WHEN 'src0' THEN 5.0
+                                 WHEN 'src1' THEN 3.0
+                                 ELSE 1.0 END AS w
+              FROM documents
+            )
+            SELECT doc_id, source, round(-ln(u) / w, 9) AS priority
+            FROM h
+            ORDER BY round(-ln(u) / w, 9), doc_id
+            LIMIT 100
         """,
         "sample_exact_n": """
             SELECT doc_id, source FROM documents

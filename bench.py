@@ -117,6 +117,8 @@ HEADLINE = [
     "event_funnel",
     # round 5: cohort retention (first-day cohorts, 7-day return window)
     "cohort_retention",
+    # round 5: A-ES deterministic weighted sample
+    "weighted_sample",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -374,3 +374,60 @@ def leakage_safe_split(
         return batch
 
     return reps.map_batches(decide, batch_format="pandas")
+
+
+def weighted_sample_n(
+    ds,
+    key_col: str,
+    weights: dict,
+    n: int,
+    *,
+    strata_col: str = "source",
+    default_weight: float = 1.0,
+    salt: int = 0,
+):
+    """Deterministic weighted sample WITHOUT replacement (the
+    Efraimidis-Spirakis A-ES scheme, exponential-race formulation): each
+    row gets priority = -ln(u) / w with u = (knuth_hash(key)+1) / 2^32 ∈
+    (0, 1], w = its stratum's weight; the n smallest (priority, key) rows
+    win. Inclusion odds scale with w, the choice is a pure function of the
+    key (resharding/resume/corpus growth never flips a surviving row's
+    priority), and the arithmetic is SQL-mirrorable: the hash is BIGINT
+    Knuth (:func:`_hash32` domain contract), u is an exact power-of-two
+    division, and the priority is rounded to 9 dp on both engines — the
+    same cross-engine float contract as the avg(-ln) oracle twins.
+
+    Combiner shape = :func:`hash_sample_n`: each block keeps its local n
+    smallest before a tiny sort+limit over ≤ n × blocks rows. Returns
+    (key_col, strata_col, priority) rows."""
+    import pandas as pd
+
+    def local_topn(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {
+                    key_col: np.empty(0, np.int64),
+                    strata_col: np.empty(0, object),
+                    "priority": np.empty(0, np.float64),
+                }
+            )
+        keys = batch[key_col].to_numpy(np.int64)
+        h = _hash32(keys, salt, "weighted_sample_n")
+        u = (h.astype(np.float64) + 1.0) / 4294967296.0
+        w = (
+            batch[strata_col]
+            .map(weights)
+            .fillna(default_weight)
+            .to_numpy(np.float64)
+        )
+        pri = np.round(-np.log(u) / w, 9)
+        out = pd.DataFrame(
+            {key_col: keys, strata_col: batch[strata_col].to_numpy(), "priority": pri}
+        )
+        return out.nsmallest(n, ["priority", key_col])
+
+    return (
+        ds.map_batches(local_topn, batch_format="pandas")
+        .sort(["priority", key_col])
+        .limit(n)
+    )

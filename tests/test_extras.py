@@ -1900,3 +1900,39 @@ def test_cohort_retention(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, want, check_exact=True)
+
+
+def test_weighted_sample_n(ray_session):
+    """A-ES weighted sample equals brute force, is reshard-invariant, and
+    biases inclusion toward heavier strata."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.sample import _hash32, weighted_sample_n
+
+    rows = [
+        {"doc_id": i, "source": "heavy" if i % 2 == 0 else "light"}
+        for i in range(1, 801)
+    ]
+    W = {"heavy": 8.0, "light": 1.0}
+    out = weighted_sample_n(
+        rd.from_items(rows), "doc_id", W, 100
+    ).to_pandas()
+
+    # brute force over the same arithmetic
+    keys = np.arange(1, 801, dtype=np.int64)
+    u = (_hash32(keys, 0, "t").astype(np.float64) + 1.0) / 4294967296.0
+    w = np.where(keys % 2 == 0, 8.0, 1.0)
+    pri = np.round(-np.log(u) / w, 9)
+    order = np.lexsort((keys, pri))[:100]
+    want = set(keys[order].tolist())
+    assert set(out["doc_id"]) == want and len(out) == 100
+
+    # heavier stratum dominates (8:1 weights, 1:1 population)
+    mix = out["source"].value_counts()
+    assert mix["heavy"] > 2 * mix.get("light", 0)
+
+    # reshard-invariant: same winners from a different block structure
+    out2 = weighted_sample_n(
+        rd.from_items(rows).repartition(7), "doc_id", W, 100
+    ).to_pandas()
+    assert set(out2["doc_id"]) == want
