@@ -2346,6 +2346,19 @@ def _q_event_funnel(sf_dir: str):
     )
 
 
+def _q_rolling_active_users(sf_dir: str):
+    """Oracle-checked 7-day rolling distinct users per observed day — the
+    windowed COUNT(DISTINCT) that does NOT decompose into per-day counts
+    (a user active on 3 days of a window counts once). Distinct (day,
+    user) pair combiner → user-keyed exchange → per-key window fan-out
+    with in-block dedup → tiny per-day reduce
+    (stages/sketch.py:rolling_distinct)."""
+    from elasticsearch_minhash_ray.stages.sketch import rolling_distinct
+
+    ds = read_parquet_auto(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return rolling_distinct(ds, "user_id", "ts", window_days=7)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Oracle-checked cohort retention: users grouped by FIRST event day;
     retained iff any event lands in [first+1d, first+8d). One user-keyed
@@ -2682,6 +2695,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_funnel": _q_event_funnel,
         "cohort_retention": _q_cohort_retention,
         "weighted_sample": _q_weighted_sample,
+        "rolling_active_users": _q_rolling_active_users,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2924,6 +2938,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "rolling_active_users": """
+            WITH pairs AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS d
+              FROM events
+            ),
+            days AS (SELECT DISTINCT d FROM pairs)
+            SELECT strftime(make_timestamp(days.d * 86400000000), '%Y-%m-%d') AS day,
+                   CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_distinct
+            FROM days JOIN pairs p ON p.d BETWEEN days.d - 6 AND days.d
+            GROUP BY days.d
         """,
         "cohort_retention": """
             WITH f AS (

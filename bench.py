@@ -119,6 +119,8 @@ HEADLINE = [
     "cohort_retention",
     # round 5: A-ES deterministic weighted sample
     "weighted_sample",
+    # round 5: 7-day rolling distinct users (windowed COUNT DISTINCT)
+    "rolling_active_users",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -1936,3 +1936,36 @@ def test_weighted_sample_n(ray_session):
         rd.from_items(rows).repartition(7), "doc_id", W, 100
     ).to_pandas()
     assert set(out2["doc_id"]) == want
+
+
+def test_rolling_distinct(ray_session):
+    """Windowed COUNT DISTINCT doesn't decompose per day: a key active on
+    many days of a window counts once; windows with a gap shrink; only
+    observed days are reported."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.sketch import rolling_distinct
+
+    D = 86_400_000_000
+    rows = []
+    # user 1 active days 0,1,2 (counts once per window); user 2 only day 0;
+    # user 3 only day 4; day 3 has NO events (absent from output)
+    for d in (0, 1, 2):
+        rows.append({"user_id": 1, "ts": np.int64(d * D + 5)})
+    rows.append({"user_id": 2, "ts": np.int64(0 * D + 9)})
+    rows.append({"user_id": 3, "ts": np.int64(4 * D + 1)})
+    out = (
+        rolling_distinct(rd.from_items(rows), "user_id", "ts", window_days=3)
+        .to_pandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    days = pd.to_datetime(np.array([0, 1, 2, 4]) * D, unit="us", utc=True).strftime("%Y-%m-%d")
+    want = pd.DataFrame(
+        {
+            "day": list(days),
+            # d0: {1,2}; d1: window {d-2..d} -> {1,2}; d2: {1,2}; d4: {1(day2),3}
+            "n_distinct": np.array([2, 2, 2, 2], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, want, check_exact=True)
