@@ -270,6 +270,115 @@ def _q_ann_topk(sf_dir: str):
     return round9(top)
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Oracle-checked hybrid retrieval via Reciprocal Rank Fusion (RRF,
+    Cormack et al. SIGIR 2009): fuse a dense ranking (brute cosine top-20
+    over embeddings) with a lexical ranking (distinct-token overlap with
+    the query doc's text, top-20) as sum of 1/(60+rank); top-10 per query
+    by (rrf desc, doc_id). Both rankings order by the 9dp-ROUNDED score
+    (then id) so a 1-ulp cosine difference between engines cannot swap
+    adjacent ranks. The lexical scan is distributed (distinct-(doc,token)
+    membership bincount per block, per-block top-20 combiner); the fusion
+    itself joins two bounded rank lists (nq x 20 rows) — inherently
+    driver-sized, like every top-k result."""
+    import re
+    from itertools import chain
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from elasticsearch_minhash_ray.stages.embed import brute_force_topk
+
+    K_LIST, K_OUT, RRF_K, NQ = 20, 10, 60, 5
+    q, qids = _ann_queries(sf_dir, NQ)
+    emb = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"], dense=True
+    )
+    vt = brute_force_topk(emb, q, qids, k=K_LIST).to_pandas()
+    vt["r9"] = pc.round(pa.array(vt["cos_sim"], pa.float64()), ndigits=9).to_numpy(
+        zero_copy_only=False
+    )
+    vt = vt.sort_values(["query_id", "r9", "vec_id"], ascending=[True, False, True])
+    vt["rank"] = vt.groupby("query_id").cumcount() + 1
+    vranks = vt[["query_id", "vec_id", "rank"]].rename(columns={"vec_id": "doc_id"})
+
+    # lexical side: broadcast the query docs' distinct token sets
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+    import pyarrow.parquet as pq
+
+    dt = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "in", [int(i) for i in qids])],
+    ).to_pandas()
+    qtoks = {
+        int(r.doc_id): np.unique(np.asarray(word_re.findall(r.text or ""), object))
+        for r in dt.itertuples()
+    }
+    q_ref = ray.put([(int(i), qtoks.get(int(i), np.empty(0, object))) for i in qids])
+
+    def lex(batch: pd.DataFrame) -> pd.DataFrame:
+        qs = ray.get(q_ref)
+        toks = batch["text"].fillna("").str.findall(word_re)
+        lens = toks.str.len().to_numpy(np.int64)
+        ids = batch["doc_id"].to_numpy(np.int64)
+        total = int(lens.sum())
+        out = []
+        if total:
+            flat = np.fromiter(chain.from_iterable(toks), object, total)
+            codes, uniq = pd.factorize(flat, sort=False)
+            doc_idx = np.repeat(np.arange(len(ids)), lens)
+            # distinct (doc, token) pairs
+            pair = np.unique(doc_idx.astype(np.int64) * len(uniq) + codes)
+            p_doc, p_code = pair // len(uniq), pair % len(uniq)
+            for qid, qt in qs:
+                member = np.isin(uniq, qt)
+                ov = np.bincount(p_doc[member[p_code]], minlength=len(ids))
+                nz = ov > 0
+                df = pd.DataFrame(
+                    {"query_id": qid, "doc_id": ids[nz], "ov": ov[nz].astype(np.int64)}
+                )
+                out.append(df.nlargest(K_LIST, ["ov"]).sort_values(
+                    ["ov", "doc_id"], ascending=[False, True]
+                ).head(K_LIST))
+        if not out:
+            return pd.DataFrame(
+                {
+                    "query_id": np.empty(0, np.int64),
+                    "doc_id": np.empty(0, np.int64),
+                    "ov": np.empty(0, np.int64),
+                }
+            )
+        return pd.concat(out, ignore_index=True)
+
+    lx = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(lex, batch_format="pandas")
+        .to_pandas()
+    )
+    lx = lx.sort_values(["query_id", "ov", "doc_id"], ascending=[True, False, True])
+    lx = lx.groupby("query_id").head(K_LIST).copy()
+    lx["rank"] = lx.groupby("query_id").cumcount() + 1
+    lranks = lx[["query_id", "doc_id", "rank"]]
+
+    m = vranks.merge(
+        lranks, on=["query_id", "doc_id"], how="outer", suffixes=("_v", "_l")
+    )
+    rrf = np.zeros(len(m), np.float64)
+    for col in ("rank_v", "rank_l"):
+        r = m[col].to_numpy(np.float64)
+        rrf += np.where(np.isnan(r), 0.0, 1.0 / (RRF_K + np.nan_to_num(r, nan=1.0)))
+    m["rrf"] = pc.round(pa.array(rrf, pa.float64()), ndigits=9).to_numpy(
+        zero_copy_only=False
+    )
+    m = m.sort_values(["query_id", "rrf", "doc_id"], ascending=[True, False, True])
+    out = m.groupby("query_id").head(K_OUT)[["query_id", "doc_id", "rrf"]]
+    return pa.Table.from_pandas(
+        out.astype({"query_id": np.int64, "doc_id": np.int64}), preserve_index=False
+    )
+
+
 def _q_embedding_near_dup(sf_dir: str):
     import ray.data as rd
 
@@ -2696,6 +2805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "weighted_sample": _q_weighted_sample,
         "rolling_active_users": _q_rolling_active_users,
+        "hybrid_search": _q_hybrid_search,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -2938,6 +3048,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "hybrid_search": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings ORDER BY vec_id LIMIT 5
+            ),
+            vr AS (
+              SELECT q.query_id, e.vec_id AS doc_id,
+                     row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY round(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 9) DESC,
+                         e.vec_id
+                     ) AS r
+              FROM embeddings e CROSS JOIN q
+            ),
+            vtop AS (SELECT * FROM vr WHERE r <= 20),
+            qt AS (
+              SELECT q.query_id,
+                     unnest(list_distinct(
+                       regexp_extract_all(coalesce(d.text, ''), '[0-9A-Za-z_]+'))) AS tok
+              FROM q JOIN documents d ON d.doc_id = q.query_id
+            ),
+            dtk AS (
+              SELECT doc_id,
+                     unnest(list_distinct(
+                       regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+'))) AS tok
+              FROM documents
+            ),
+            ov AS (
+              SELECT qt.query_id, dtk.doc_id, CAST(count(*) AS BIGINT) AS ov
+              FROM qt JOIN dtk ON qt.tok = dtk.tok
+              GROUP BY qt.query_id, dtk.doc_id
+            ),
+            lr AS (
+              SELECT query_id, doc_id,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY ov DESC, doc_id
+                     ) AS r
+              FROM ov
+            ),
+            ltop AS (SELECT * FROM lr WHERE r <= 20),
+            fused AS (
+              SELECT coalesce(v.query_id, l.query_id) AS query_id,
+                     coalesce(v.doc_id, l.doc_id) AS doc_id,
+                     round(coalesce(1.0 / (60 + v.r), 0)
+                           + coalesce(1.0 / (60 + l.r), 0), 9) AS rrf
+              FROM vtop v
+              FULL OUTER JOIN ltop l
+                ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, rrf,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY rrf DESC, doc_id
+                     ) AS rn
+              FROM fused
+            )
+            SELECT query_id, doc_id, rrf FROM ranked WHERE rn <= 10
         """,
         "rolling_active_users": """
             WITH pairs AS (
