@@ -1799,6 +1799,17 @@ def _q_containment_keep(sf_dir: str):
     )
 
 
+def _q_novelty(sf_dir: str):
+    """Oracle-checked per-doc novelty: the fraction of a doc's distinct
+    shingles with global document frequency 1 — the inverse-dedup
+    curation signal (boilerplate ~0, original content ~1). Two keyed
+    exchanges on the shared postings shape
+    (stages/containment.py:novelty_scores)."""
+    from elasticsearch_minhash_ray.stages.containment import novelty_scores
+
+    return novelty_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_jaccard_allpairs(sf_dir: str):
     """Oracle-checked EXACT all-pairs set-Jaccard join (>= 0.8) WITHOUT LSH
     banding — inverted-index co-occurrence counts with a two-sided integer
@@ -2806,6 +2817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "rolling_active_users": _q_rolling_active_users,
         "hybrid_search": _q_hybrid_search,
+        "novelty": _q_novelty,
         "docs_by_lang": _q_docs_by_lang,
         "top_events_per_user": _q_top_events_per_user,
         "top_docs_by_len": _q_top_docs_by_len,
@@ -3048,6 +3060,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
                    CAST(round(sum(value) * 100) AS BIGINT) AS total_value_cents
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+        """,
+        "novelty": f"""
+            WITH {_NGRAM_BASE_CTES},
+            df AS (SELECT g, count(*) AS c FROM ex GROUP BY g)
+            SELECT ex.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(*) FILTER (WHERE df.c = 1) AS BIGINT) AS n_unique,
+                   round(CAST(count(*) FILTER (WHERE df.c = 1) AS DOUBLE)
+                         / count(*), 9) AS novelty
+            FROM ex JOIN df ON ex.g = df.g
+            GROUP BY ex.doc_id
         """,
         "hybrid_search": """
             WITH q AS (

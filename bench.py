@@ -123,6 +123,8 @@ HEADLINE = [
     "rolling_active_users",
     # round 5: hybrid retrieval (RRF fusion of dense + lexical rankings)
     "hybrid_search",
+    # round 5: per-doc novelty (unique-shingle fraction)
+    "novelty",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

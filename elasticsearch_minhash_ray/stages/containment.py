@@ -337,3 +337,110 @@ def containment_keep(
 
     drop_ds = edges.map_batches(drops, batch_format="pandas")
     return anti_join_keys(ds, drop_ds, key_col=id_col)
+
+
+def novelty_scores(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "words",
+    shingle_n: int = 3,
+    out_col: str = "novelty",
+):
+    """Per-doc novelty: the fraction of a doc's distinct shingles that
+    appear in NO other doc (global document frequency 1) — the inverse
+    signal to the dedup family (a boilerplate page scores ~0, original
+    content ~1; rank or gate on it like unigram_surprisal).
+
+    Two keyed exchanges of fixed-width rows on the shared postings shape:
+    sh-co-partition counts each shingle's df and emits (id, 1) for the
+    df==1 postings (the combiner: one row per unique-shingle occurrence);
+    an id-co-partition sums them against the doc's base row (id, 0, n)
+    union-injected from the sets table, so a doc with zero unique shingles
+    still reports novelty 0.0. Returns (id_col, n_shingles, n_unique,
+    out_col[9dp])."""
+    sets = build_shingle_sets(
+        ds, text_col=text_col, id_col=id_col, tokenizer=tokenizer, shingle_n=shingle_n
+    ).materialize()
+
+    def postings(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"sh": pa.array([], pa.int64()), "id": pa.array([], pa.int64())}
+            )
+        flat, offs = _flat(t["shingles"])
+        n = np.asarray(t["n"], dtype=np.int64)
+        ids = np.asarray(t["id"], dtype=np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(flat, pa.int64()),
+                "id": pa.array(np.repeat(ids, n), pa.int64()),
+            }
+        )
+
+    posts = sets.map_batches(postings, batch_format="pyarrow")
+
+    _uniq_empty = pd.DataFrame(
+        {"id": np.empty(0, np.int64), "u": np.empty(0, np.int64), "n": np.empty(0, np.int64)}
+    )
+
+    def unique_marks(block: pa.Table) -> pd.DataFrame:
+        # co-partitioned on sh: run boundaries are posting lists
+        if block.num_rows == 0:
+            return _uniq_empty
+        sh = np.asarray(block["sh"], dtype=np.int64)
+        ids = np.asarray(block["id"], dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1]])
+        g = np.diff(np.r_[starts, len(sh)])
+        singles = ids[starts[g == 1]]
+        out = pd.DataFrame({"id": singles}).groupby("id", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "id": out["id"].to_numpy(np.int64),
+                "u": out["size"].to_numpy(np.int64),
+                "n": np.zeros(len(out), np.int64),
+            }
+        )
+
+    marks = map_copartitioned(posts, "sh", unique_marks, batch_format="pyarrow")
+
+    def base_rows(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": np.asarray(t["id"], dtype=np.int64),
+                "u": np.zeros(t.num_rows, np.int64),
+                "n": np.asarray(t["n"], dtype=np.int64),
+            }
+        )
+
+    u = marks.union(sets.map_batches(base_rows, batch_format="pyarrow"))
+
+    _out_empty = pd.DataFrame(
+        {
+            id_col: np.empty(0, np.int64),
+            "n_shingles": np.empty(0, np.int64),
+            "n_unique": np.empty(0, np.int64),
+            out_col: np.empty(0, np.float64),
+        }
+    )
+
+    def finish(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return _out_empty
+        g = block.groupby("id", as_index=False).agg(u=("u", "sum"), n=("n", "sum"))
+        n = g["n"].to_numpy(np.int64)
+        uq = g["u"].to_numpy(np.int64)
+        nov = pc.round(
+            pa.array(uq / np.maximum(n, 1), pa.float64()), ndigits=9
+        ).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                id_col: g["id"].to_numpy(np.int64),
+                "n_shingles": n,
+                "n_unique": uq,
+                out_col: nov,
+            }
+        )
+
+    return map_copartitioned(u, "id", finish, batch_format="pandas")

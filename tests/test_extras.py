@@ -1969,3 +1969,22 @@ def test_rolling_distinct(ray_session):
         }
     )
     pd.testing.assert_frame_equal(out, want, check_exact=True)
+
+
+def test_novelty_scores(ray_session):
+    """Unique-shingle fraction: a fully-copied doc scores 0, a fully
+    original one 1, a half-shared doc in between; empty docs excluded."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.containment import novelty_scores
+
+    docs = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon"},   # exact copy
+        {"doc_id": 3, "text": "wholly original content nobody shares"},
+        {"doc_id": 4, "text": ""},
+    ]
+    out = novelty_scores(rd.from_items(docs)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "novelty"] == 0.0 and out.loc[2, "novelty"] == 0.0
+    assert out.loc[3, "novelty"] == 1.0
+    assert 4 not in out.index  # no shingles -> no row
