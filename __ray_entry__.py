@@ -2691,6 +2691,22 @@ def _q_value_rolling_sum(sf_dir: str):
     )
 
 
+def _q_event_debounce(sf_dir: str):
+    """Oracle-checked burst-collapse dedup (debounce): within each
+    (user, event_type) stream ordered by (ts, event_id), keep an event iff
+    it is the stream head or arrived strictly more than 6 hours after the
+    stream's previous event — retries / double-fires / exact replays
+    collapse to the burst head. Same one-exchange shape as the LAG analytic
+    (stages/window.py:debounce); the dedup ACTION on event streams."""
+    from elasticsearch_minhash_ray.stages.window import debounce
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return debounce(ds, "user_id", "event_type", "ts", "event_id", gap_us=21_600_000_000)
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     """Oracle-checked exact per-group distinct count: users per event type.
     Per-block distinct-pair combiner → ONE group-keyed exchange (rows ∝
@@ -2763,7 +2779,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": _q_quality_gate,
         "unigram_surprisal": _q_unigram_surprisal,
         "decontaminate": _q_decontaminate,
-        "decontaminate_bloom": _q_decontaminate_bloom,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
         "ngram_repetition": _q_ngram_repetition,
@@ -2777,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v2": _q_curation_pipeline_v2,
         "event_lag_gaps": _q_event_lag_gaps,
         "value_rolling_sum": _q_value_rolling_sum,
+        "event_debounce": _q_event_debounce,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "heavy_tokens": _q_heavy_tokens,
         "asof_join": _q_asof_join,
@@ -2794,6 +2810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "events_hopping": _q_events_hopping,
         "exact_dedup_keep": _q_exact_dedup_keep,
         "token_df": _q_token_df,
@@ -3180,12 +3197,14 @@ def oracle_sql() -> dict[str, str]:
               WHERE e.event_type = 'purchase' AND e.ts > b.ts
                 AND epoch_us(e.ts) - epoch_us(b.ts) <= 86400000000
             )
-            SELECT 1 AS step, 'view' AS event_type,
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys FROM a
             UNION ALL
-            SELECT 2, 'click', CAST(count(DISTINCT user_id) AS BIGINT) FROM b
+            SELECT CAST(2 AS BIGINT), 'click',
+                   CAST(count(DISTINCT user_id) AS BIGINT) FROM b
             UNION ALL
-            SELECT 3, 'purchase', CAST(count(DISTINCT user_id) AS BIGINT) FROM c
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST(count(DISTINCT user_id) AS BIGINT) FROM c
         """,
         "curation_pipeline_v4": """
             WITH toksx AS (
@@ -3566,6 +3585,18 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "event_debounce": """
+            WITH lagd AS (
+              SELECT user_id, event_type, ts, event_id,
+                     lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id) AS pus
+              FROM events
+            )
+            SELECT user_id, event_type, ts, event_id
+            FROM lagd
+            WHERE pus IS NULL OR epoch_us(ts) - pus > 21600000000
         """,
         "event_lag_gaps": """
             SELECT user_id, event_id,

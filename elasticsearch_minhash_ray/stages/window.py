@@ -128,6 +128,53 @@ def rolling_sum_cents(
     return map_copartitioned(ds, key_col, apply, batch_format="pandas")
 
 
+def debounce(
+    ds,
+    key_col: str,
+    sub_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    gap_us: int,
+    keep_cols: list[str] | None = None,
+):
+    """Burst-collapse dedup over an event stream (the ingestion 'debounce'
+    operator): within each (key, sub) stream ordered by (ts, tiebreak), KEEP
+    a row iff it is the first of its stream or arrived strictly more than
+    ``gap_us`` after the stream's immediately preceding event; drop the rest.
+    Retries / double-fires / UI burst-clicks collapse to the burst head.
+
+    Equivalent SQL: ``WHERE pts IS NULL OR ts - pts > gap`` over
+    ``LAG(ts) OVER (PARTITION BY key, sub ORDER BY ts, tiebreak)``.
+
+    Shape: ONE exchange on ``key_col`` only (each key's full history
+    co-locates in one block; ``sub_col`` streams are separated by the
+    in-block lexsort, so the exchange key stays low-skew even when sub
+    cardinality is tiny). Exact-duplicate timestamps within a stream diff to
+    0 <= gap and are dropped — dedup of exact event replays falls out for
+    any gap_us >= 0.
+    """
+    keep = keep_cols or []
+    out_cols = [key_col, sub_col, ts_col, tiebreak_col, *keep]
+
+    def apply(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block.reindex(columns=out_cols)
+        block = block.sort_values(
+            [key_col, sub_col, ts_col, tiebreak_col], kind="stable"
+        )
+        k = block[key_col].to_numpy()
+        # factorize the sub stream so adjacent-inequality is an int compare,
+        # not a per-element object compare
+        s = pd.factorize(block[sub_col], use_na_sentinel=False)[0]
+        ts = _order_int64(block[ts_col])
+        new_stream = np.r_[True, (k[1:] != k[:-1]) | (s[1:] != s[:-1])]
+        fresh = np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        return block.loc[new_stream | fresh, out_cols].reset_index(drop=True)
+
+    return map_copartitioned(ds, key_col, apply, batch_format="pandas")
+
+
 def rolling_mean(
     ds,
     key_col: str,

@@ -1988,3 +1988,31 @@ def test_novelty_scores(ray_session):
     assert out.loc[1, "novelty"] == 0.0 and out.loc[2, "novelty"] == 0.0
     assert out.loc[3, "novelty"] == 1.0
     assert 4 not in out.index  # no shingles -> no row
+
+
+def test_debounce_bursts_and_replays(ray_session):
+    """Burst-collapse semantics: the stream head survives, in-burst rows and
+    exact-timestamp replays drop, a row just past the gap starts a new
+    burst; streams are independent per (key, sub)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.window import debounce
+
+    rows = [
+        # user 1, type a: head(t=0), burst(t=5), replay(t=5), new burst(t=16)
+        {"user_id": 1, "event_type": "a", "ts": np.int64(0), "event_id": 1},
+        {"user_id": 1, "event_type": "a", "ts": np.int64(5), "event_id": 2},
+        {"user_id": 1, "event_type": "a", "ts": np.int64(5), "event_id": 3},
+        {"user_id": 1, "event_type": "a", "ts": np.int64(16), "event_id": 4},
+        # boundary: gap == gap_us is NOT fresh (strict >)
+        {"user_id": 1, "event_type": "a", "ts": np.int64(26), "event_id": 5},
+        # same user, different type: its own stream head survives
+        {"user_id": 1, "event_type": "b", "ts": np.int64(5), "event_id": 6},
+        # different user at identical ts: independent stream
+        {"user_id": 2, "event_type": "a", "ts": np.int64(5), "event_id": 7},
+    ]
+    out = debounce(
+        rd.from_items(rows), "user_id", "event_type", "ts", "event_id", gap_us=10
+    ).to_pandas()
+    assert sorted(out["event_id"]) == [1, 4, 6, 7]
+    assert list(out.columns) == ["user_id", "event_type", "ts", "event_id"]
