@@ -2707,6 +2707,21 @@ def _q_event_debounce(sf_dir: str):
     return debounce(ds, "user_id", "event_type", "ts", "event_id", gap_us=21_600_000_000)
 
 
+def _q_name_near_match(sf_dir: str):
+    """Oracle-checked blocked record linkage: part-name pairs within the
+    same brand at Levenshtein distance <= 2 (entity-resolution fuzzy dedup —
+    sequence distance, which the set-overlap MinHash/SimHash family can't
+    measure). ONE brand-keyed exchange, triu pair fan-out, length-difference
+    triangle prefilter, then a single Levenshtein DP vectorized across ALL
+    surviving pairs (stages/linkage.py)."""
+    from elasticsearch_minhash_ray.stages.linkage import edit_distance_pairs
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+    return edit_distance_pairs(ds, "p_partkey", "p_name", "p_brand", max_dist=2)
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     """Oracle-checked exact per-group distinct count: users per event type.
     Per-block distinct-pair combiner → ONE group-keyed exchange (rows ∝
@@ -2765,7 +2780,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "events_by_type": _q_events_by_type,
         "ann_topk": _q_ann_topk,
-        "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "ann_topk_filtered": _q_ann_topk_filtered,
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
@@ -2793,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_gaps": _q_event_lag_gaps,
         "value_rolling_sum": _q_value_rolling_sum,
         "event_debounce": _q_event_debounce,
+        "name_near_match": _q_name_near_match,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "heavy_tokens": _q_heavy_tokens,
         "asof_join": _q_asof_join,
@@ -2810,6 +2825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "events_hopping": _q_events_hopping,
         "exact_dedup_keep": _q_exact_dedup_keep,
@@ -3585,6 +3601,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "name_near_match": """
+            SELECT x.p_partkey AS a, y.p_partkey AS b,
+                   CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS dist
+            FROM part x
+            JOIN part y ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+            WHERE levenshtein(x.p_name, y.p_name) <= 2
         """,
         "event_debounce": """
             WITH lagd AS (

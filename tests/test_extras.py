@@ -2016,3 +2016,61 @@ def test_debounce_bursts_and_replays(ray_session):
     ).to_pandas()
     assert sorted(out["event_id"]) == [1, 4, 6, 7]
     assert list(out.columns) == ["user_id", "event_type", "ts", "event_id"]
+
+
+def _lev_ref(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_levenshtein_pairs_matches_reference():
+    """Pair-vectorized DP == scalar reference on random strings (unicode,
+    empties, shared prefixes/suffixes, pure inserts)."""
+    import random
+
+    from elasticsearch_minhash_ray.stages.linkage import _levenshtein_pairs
+
+    rng = random.Random(42)
+    alpha = "abcd éßλ🙂"
+    pairs = [("", ""), ("", "abc"), ("abc", ""), ("same", "same"),
+             ("kitten", "sitting"), ("flaw", "lawn"), ("🙂ab", "ab🙂")]
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 12)))
+        pairs.append((a, b))
+    got = _levenshtein_pairs(
+        np.array([p[0] for p in pairs], dtype=object),
+        np.array([p[1] for p in pairs], dtype=object),
+    )
+    want = [_lev_ref(a, b) for a, b in pairs]
+    assert got.tolist() == want
+
+
+def test_edit_distance_pairs_blocking(ray_session):
+    """Pairs only form within a block; ids ordered a<b; oversized block
+    raises instead of going quadratic."""
+    from elasticsearch_minhash_ray.stages.linkage import edit_distance_pairs
+
+    rows = [
+        {"id": 3, "name": "red widget", "blk": "x"},
+        {"id": 1, "name": "red widgets", "blk": "x"},   # dist 1
+        {"id": 2, "name": "blue bolt", "blk": "x"},     # far from both
+        {"id": 4, "name": "red widget", "blk": "y"},    # other block: no pair
+        {"id": 5, "name": None, "blk": "y"},            # null name -> ''
+    ]
+    out = (
+        edit_distance_pairs(rd.from_items(rows), "id", "name", "blk", max_dist=2)
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [{"a": 1, "b": 3, "dist": 1}]
+
+    with pytest.raises(Exception, match="max_block_rows"):
+        edit_distance_pairs(
+            rd.from_items(rows[:3]), "id", "name", "blk", max_dist=2,
+            max_block_rows=2,
+        ).materialize()
