@@ -2722,6 +2722,39 @@ def _q_name_near_match(sf_dir: str):
     return edit_distance_pairs(ds, "p_partkey", "p_name", "p_brand", max_dist=2)
 
 
+def _q_events_pivot(sf_dir: str):
+    """Oracle-checked long→wide pivot: per-user event-type count vector
+    (n_view .. n_error + n_other) — the per-entity feature row an activity
+    stream feeds to a model. Explicit value list keeps it one pass; dense
+    np.add.at scatter combiner, ONE user exchange
+    (stages/sample.py:pivot_counts)."""
+    from elasticsearch_minhash_ray.stages.sample import pivot_counts
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ds, "user_id", "event_type", ["view", "click", "purchase", "signup", "error"]
+    )
+
+
+def _q_winsorize_lengths(sf_dir: str):
+    """Oracle-checked per-group winsorization: each document's n_chars
+    clipped to its language's exact [p05, p95] — the outlier-taming
+    normalization before feature scaling. Histogram combiner computes the
+    cuts (rows ∝ distinct lengths), the (lang × 2) cut table broadcasts
+    into a streaming clip map — no second exchange
+    (stages/text.py:winsorize_by_group)."""
+    from elasticsearch_minhash_ray.stages.text import winsorize_by_group
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return winsorize_by_group(
+        ds, "n_chars", "lang", lo=0.05, hi=0.95, keep_cols=["doc_id"]
+    )
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     """Oracle-checked exact per-group distinct count: users per event type.
     Per-block distinct-pair combiner → ONE group-keyed exchange (rows ∝
@@ -2778,7 +2811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_stats": _q_source_stats,
         "text_quality_stats": _q_text_quality_stats,
         "token_counts": _q_token_counts,
-        "events_by_type": _q_events_by_type,
+        "events_pivot": _q_events_pivot,
         "ann_topk": _q_ann_topk,
         "ann_topk_filtered": _q_ann_topk_filtered,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -2818,13 +2851,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_exact_n": _q_sample_exact_n,
         "stratified_sample": _q_stratified_sample,
         "length_quantiles": _q_length_quantiles,
-        "length_percentile_rank": _q_length_percentile_rank,
+        "winsorize_lengths": _q_winsorize_lengths,
         # --- oracle-backed, outside the 50-entry driver window (judge-sweep
         # territory; each entry here shares a kernel/oracle family with an
         # in-window sibling: ngram_repetition_3 ~ ngram_repetition,
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "events_by_type": _q_events_by_type,
+        "length_percentile_rank": _q_length_percentile_rank,
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
         "decontaminate_bloom": _q_decontaminate_bloom,
         "events_hopping": _q_events_hopping,
@@ -3601,6 +3636,34 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type NOT IN
+                        ('view','click','purchase','signup','error')
+                        OR event_type IS NULL) AS BIGINT) AS n_other
+            FROM events GROUP BY user_id
+        """,
+        "winsorize_lengths": """
+            WITH cd AS (
+              SELECT lang, n_chars AS v,
+                     cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+              FROM documents
+            ),
+            cuts AS (
+              SELECT lang,
+                     min(CASE WHEN cd >= 0.05 THEN v END) AS lo_v,
+                     min(CASE WHEN cd >= 0.95 THEN v END) AS hi_v
+              FROM cd GROUP BY lang
+            )
+            SELECT d.lang, d.doc_id,
+                   least(greatest(d.n_chars, c.lo_v), c.hi_v) AS n_chars_w
+            FROM documents d JOIN cuts c USING (lang)
         """,
         "name_near_match": """
             SELECT x.p_partkey AS a, y.p_partkey AS b,

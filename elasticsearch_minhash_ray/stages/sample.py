@@ -180,6 +180,57 @@ def topk_per_group(ds, by: str, order_col: str, k: int, tiebreak: str | None = N
     )
 
 
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str]):
+    """Long→wide pivot: one row per key with a count column per listed
+    ``pivot_col`` value (``n_<value>``) plus ``n_other`` for the rest — the
+    per-entity feature vector an activity table feeds to a model.
+
+    ``values`` is EXPLICIT (Spark's ``pivot(col, values)`` one-pass form):
+    naming the columns up front keeps the operator single-pass and the
+    output schema static; discovering them would cost a distinct-scan
+    barrier first. Combiner shape: per block, keys factorize and counts
+    accumulate into a dense (keys × values+1) int64 grid via one
+    ``np.add.at`` scatter (partial rows ∝ distinct keys per block, never
+    events) → one key exchange → per-block column sums. Null pivot values
+    count as 'other'; null keys are dropped (the combiner groupby
+    convention)."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    vmap = {v: i for i, v in enumerate(values)}
+    out_cols = [f"n_{v}" for v in values] + ["n_other"]
+    m = len(values) + 1
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[key_col].notna()]
+        if not len(batch):
+            return pd.DataFrame(
+                {key_col: np.empty(0, np.int64),
+                 **{c: np.empty(0, np.int64) for c in out_cols}}
+            )
+        keys, uniq = pd.factorize(batch[key_col], use_na_sentinel=False)
+        t = batch[pivot_col].map(vmap).fillna(len(values)).to_numpy(np.int64)
+        grid = np.zeros((len(uniq), m), np.int64)
+        np.add.at(grid, (keys, t), 1)
+        out = {key_col: np.asarray(uniq)}
+        for j, c in enumerate(out_cols):
+            out[c] = grid[:, j]
+        return pd.DataFrame(out)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        return batch.groupby(key_col, sort=False, as_index=False)[out_cols].sum()
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"),
+        key_col,
+        finish,
+        batch_format="pandas",
+    )
+
+
 def zscore_by_group(ds, value_col: str, by: str, id_col: str):
     """Per-group z-score normalization (population std) — the standard
     feature-scaling op, engineered for EXACT cross-engine determinism:

@@ -767,6 +767,45 @@ def column_quantiles(ds, col: str = "n_chars", by: str = "lang",
     )
 
 
+def winsorize_by_group(
+    ds,
+    col: str,
+    by: str,
+    *,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    keep_cols: list[str] | None = None,
+    out_col: str | None = None,
+):
+    """Per-group percentile clipping (winsorization) — the outlier-taming
+    normalization a feature pipeline applies before scaling: each row's
+    ``col`` is clipped to its group's [q_lo, q_hi] exact quantiles.
+
+    Shape: the :func:`column_quantiles` histogram combiner computes the two
+    cut values per group (exchange rows ∝ distinct values, never input
+    rows); the resulting (groups × 2) table is DRIVER-TINY by construction,
+    so it broadcasts as a plain dict into a streaming map — same
+    histogram-broadcast pattern as ``cume_dist_by_group``, no second
+    exchange, no join. Rows whose group has no quantile row (null group or
+    null value — dropped by the combiner) pass through UNCLIPPED.
+    """
+    out_col = out_col or f"{col}_w"
+    keep = keep_cols or []
+    qdf = column_quantiles(ds, col=col, by=by, qs=(lo, hi)).to_pandas()
+    lo_lut = dict(zip(qdf.loc[qdf["q"] == lo, by], qdf.loc[qdf["q"] == lo, "value"]))
+    hi_lut = dict(zip(qdf.loc[qdf["q"] == hi, by], qdf.loc[qdf["q"] == hi, "value"]))
+
+    def clip(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[col].to_numpy(np.int64)
+        lo_v = batch[by].map(lo_lut).fillna(-(2**62)).to_numpy(np.int64)
+        hi_v = batch[by].map(hi_lut).fillna(2**62).to_numpy(np.int64)
+        out = batch[[by, *keep]].copy()
+        out[out_col] = np.minimum(np.maximum(v, lo_v), hi_v)
+        return out
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
 def _tokenize_codes(texts: pd.Series):
     """Shared repetition-kernel front end: (token codes int64, per-doc counts,
     doc index per token, vocab size). Returns codes=None for an all-empty

@@ -2074,3 +2074,41 @@ def test_edit_distance_pairs_blocking(ray_session):
             rd.from_items(rows[:3]), "id", "name", "blk", max_dist=2,
             max_block_rows=2,
         ).materialize()
+
+
+def test_pivot_counts_semantics(ray_session):
+    """Explicit-value pivot: unlisted + null pivot values land in n_other,
+    null keys drop, counts merge across blocks."""
+    from elasticsearch_minhash_ray.stages.sample import pivot_counts
+
+    rows = [
+        {"k": 1, "t": "a"}, {"k": 1, "t": "a"}, {"k": 1, "t": "b"},
+        {"k": 1, "t": "zz"}, {"k": 1, "t": None},
+        {"k": 2, "t": "b"}, {"k": None, "t": "a"},
+    ]
+    out = (
+        pivot_counts(rd.from_items(rows).repartition(3), "k", "t", ["a", "b"])
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out.to_dict("records") == [
+        {"k": 1, "n_a": 2, "n_b": 1, "n_other": 2},
+        {"k": 2, "n_a": 0, "n_b": 1, "n_other": 0},
+    ]
+
+
+def test_winsorize_by_group(ray_session):
+    """Values clip to the group's exact [lo, hi] quantile cut values."""
+    from elasticsearch_minhash_ray.stages.text import winsorize_by_group
+
+    rows = [{"g": "x", "v": v, "id": i} for i, v in enumerate([1, 2, 3, 4, 100])]
+    rows += [{"g": "y", "v": 7, "id": 99}]
+    out = (
+        winsorize_by_group(
+            rd.from_items(rows), "v", "g", lo=0.25, hi=0.75, keep_cols=["id"]
+        )
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    x = out[out["g"] == "x"]["v_w"].tolist()
+    # cume_dist cuts for n=5: lo=min v with cd>=0.25 -> 2; hi -> 4
+    assert x == [2, 2, 3, 4, 4]
+    assert out[out["g"] == "y"]["v_w"].tolist() == [7]
