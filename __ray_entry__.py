@@ -2722,6 +2722,18 @@ def _q_name_near_match(sf_dir: str):
     return edit_distance_pairs(ds, "p_partkey", "p_name", "p_brand", max_dist=2)
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """Oracle-checked collocation mining: PMI of adjacent word pairs with
+    corpus count >= 5 — phrase discovery. No vocab broadcast, no shuffle
+    join: unigram and bigram partial counts ride the same token-hash
+    exchange twice (h(w1) then h(w2)), totals attach in-block
+    (stages/text.py:bigram_pmi)."""
+    from elasticsearch_minhash_ray.stages.text import bigram_pmi
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["text"], dense=True)
+    return bigram_pmi(ds, min_count=5)
+
+
 def _q_events_pivot(sf_dir: str):
     """Oracle-checked long→wide pivot: per-user event-type count vector
     (n_view .. n_error + n_other) — the per-entity feature row an activity
@@ -2828,7 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
-        "ngram_repetition": _q_ngram_repetition,
+        "bigram_pmi": _q_bigram_pmi,
         "media_stats_golden": _q_media_stats_golden,
         "repetition_gate": _q_repetition_gate,
         "normalize_text": _q_normalize_text,
@@ -2858,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "ngram_repetition": _q_ngram_repetition,
         "events_by_type": _q_events_by_type,
         "length_percentile_rank": _q_length_percentile_rank,
         "ann_topk_ivf_exact": _q_ann_topk_ivf_exact,
@@ -3636,6 +3649,32 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "bigram_pmi": """
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS t
+              FROM documents
+            ),
+            uni AS (SELECT unnest(t) AS w FROM toks),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+            uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+            big AS (
+              SELECT t[i] AS w1, t[i+1] AS w2
+              FROM toks, UNNEST(generate_series(1, len(t)-1)) AS s(i)
+              WHERE len(t) >= 2
+            ),
+            bc AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS cab
+              FROM big GROUP BY w1, w2 HAVING count(*) >= 5
+            )
+            SELECT bc.w1, bc.w2, bc.cab, a.c AS ca, b.c AS cb,
+                   round(ln((CAST(bc.cab AS DOUBLE) * n.n) /
+                            (CAST(a.c AS DOUBLE) * b.c)), 9) AS pmi
+            FROM bc
+            CROSS JOIN n
+            JOIN uc a ON a.w = bc.w1
+            JOIN uc b ON b.w = bc.w2
         """,
         "events_pivot": """
             SELECT user_id,

@@ -707,6 +707,162 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
+def bigram_pmi(ds, *, min_count: int = 5, text_col: str = "text"):
+    """Collocation mining: pointwise mutual information of adjacent word
+    pairs, ``pmi = ln(c_ab·N / (c_a·c_b))`` — the statistic behind
+    phrase/term discovery over a corpus.
+
+    Fully distributed, NO vocabulary broadcast and NO shuffle join — the
+    tfidf_topk co-location trick applied twice: unigram partial counts and
+    bigram partial counts ride the SAME exchange keyed by an int64 token
+    hash (h(w) for unigrams, h(w1) for bigrams), so after the exchange
+    every block holds all partials of its tokens; c_a totals and merged
+    bigram counts attach in-block. A second exchange keyed by h(w2) (the
+    merged unigram totals re-emitted alongside) attaches c_b the same way.
+    The ``min_count`` prune runs at the FIRST merge, so the second exchange
+    carries only surviving bigrams. A key collision merely co-locates two
+    token groups; all merges group by the string, staying exact.
+
+    N (total token occurrences) comes from one cheap projected count pass.
+    c_ab·N and c_a·c_b are computed in float64 with the same operation
+    order as the SQL twin (int64 products would overflow past N ≈ 3e9);
+    pmi rounds to 9dp for engine portability. Output:
+    (w1, w2, cab, ca, cb, pmi) for every bigram with c_ab >= min_count."""
+    import re
+
+    from ..functions.text_stats import TOKEN_RE
+    from ..grouping import map_copartitioned
+
+    word_re = re.compile(TOKEN_RE)
+
+    n_total = int(
+        ds.map_batches(
+            lambda b: pd.DataFrame(
+                {"n": [b[text_col].fillna("").str.count(TOKEN_RE).sum()]}
+            ),
+            batch_format="pandas",
+        ).sum("n")
+    )
+    n_f = float(n_total)
+
+    def partials(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        counts = toks.str.len().to_numpy(np.int64)
+        total = int(counts.sum())
+        empty = pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype=np.int64),
+                "kind": pd.Series([], dtype=np.int8),
+                "key": pd.Series([], dtype=np.int64),
+            }
+        )
+        if total == 0:
+            return empty
+        from itertools import chain
+
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        codes, uniq = pd.factorize(flat, sort=False)
+        uniq = np.asarray(uniq, dtype=object)
+        ucnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        # bigrams: adjacent positions within the same document
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        same = doc_idx[1:] == doc_idx[:-1]
+        a, b = codes[:-1][same], codes[1:][same]
+        if len(a):
+            pair = a.astype(np.int64) * len(uniq) + b
+            pu, pc = np.unique(pair, return_counts=True)
+            bw1 = uniq[(pu // len(uniq))]
+            bw2 = uniq[(pu % len(uniq))]
+        else:
+            bw1 = bw2 = np.empty(0, object)
+            pc = np.empty(0, np.int64)
+        w1 = np.concatenate([uniq, bw1])
+        w2 = np.concatenate([np.full(len(uniq), "", object), bw2])
+        cnt = np.concatenate([ucnt, pc.astype(np.int64)])
+        kind = np.concatenate(
+            [np.zeros(len(uniq), np.int8), np.ones(len(bw1), np.int8)]
+        )
+        key = pd.util.hash_array(w1).view(np.int64)
+        return pd.DataFrame({"w1": w1, "w2": w2, "cnt": cnt, "kind": kind, "key": key})
+
+    def merge_attach_ca(batch: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "cnt": pd.Series([], dtype=np.int64),
+                "kind": pd.Series([], dtype=np.int8),
+                "key": pd.Series([], dtype=np.int64),
+                "ca": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(batch):
+            return out_empty
+        uni = batch[batch["kind"] == 0]
+        tot = uni.groupby("w1", sort=False, as_index=False)["cnt"].sum()
+        big = (
+            batch[batch["kind"] == 1]
+            .groupby(["w1", "w2"], sort=False, as_index=False)["cnt"]
+            .sum()
+        )
+        big = big[big["cnt"] >= min_count]  # prune BEFORE the second exchange
+        ca_map = dict(zip(tot["w1"], tot["cnt"]))
+        frames = []
+        # merged unigram totals travel on to the h(w2) exchange (kind 0,
+        # key stays h(w)); surviving bigrams re-key to h(w2)
+        tot_rows = tot.assign(
+            w2="", kind=np.int8(0),
+            key=pd.util.hash_array(tot["w1"].to_numpy(object)).view(np.int64),
+            ca=np.int64(0),
+        )
+        frames.append(tot_rows[["w1", "w2", "cnt", "kind", "key", "ca"]])
+        if len(big):
+            big_rows = big.assign(
+                kind=np.int8(1),
+                key=pd.util.hash_array(big["w2"].to_numpy(object)).view(np.int64),
+                ca=big["w1"].map(ca_map).to_numpy(np.int64),
+            )
+            frames.append(big_rows[["w1", "w2", "cnt", "kind", "key", "ca"]])
+        return pd.concat(frames, ignore_index=True)
+
+    def attach_cb_score(batch: pd.DataFrame) -> pd.DataFrame:
+        out_empty = pd.DataFrame(
+            {
+                "w1": pd.Series([], dtype=object),
+                "w2": pd.Series([], dtype=object),
+                "cab": pd.Series([], dtype=np.int64),
+                "ca": pd.Series([], dtype=np.int64),
+                "cb": pd.Series([], dtype=np.int64),
+                "pmi": pd.Series([], dtype=np.float64),
+            }
+        )
+        if not len(batch):
+            return out_empty
+        uni = batch[batch["kind"] == 0]
+        cb_map = dict(zip(uni["w1"], uni["cnt"]))
+        big = batch[batch["kind"] == 1]
+        if not len(big):
+            return out_empty
+        cab = big["cnt"].to_numpy(np.int64)
+        ca = big["ca"].to_numpy(np.int64)
+        cb = big["w2"].map(cb_map).to_numpy(np.int64)
+        # same IEEE operation order as the SQL twin: (cab*N) / (ca*cb), ln
+        pmi = np.round(
+            np.log((cab.astype(np.float64) * n_f) / (ca.astype(np.float64) * cb)),
+            9,
+        )
+        return pd.DataFrame(
+            {"w1": big["w1"].to_numpy(object), "w2": big["w2"].to_numpy(object),
+             "cab": cab, "ca": ca, "cb": cb, "pmi": pmi}
+        )
+
+    stream = ds.map_batches(partials, batch_format="pandas")
+    stage1 = map_copartitioned(stream, "key", merge_attach_ca, batch_format="pandas")
+    return map_copartitioned(stage1, "key", attach_cb_score, batch_format="pandas")
+
+
 def _histogram_partial(by: str, col: str):
     """Per-batch ``(by, value, cnt)`` partial-histogram combiner — the
     shared primitive behind :func:`column_quantiles` and
