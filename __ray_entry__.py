@@ -2734,6 +2734,21 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(ds, min_count=5)
 
 
+def _q_sessionize(sf_dir: str):
+    """Oracle-checked event-level session assignment: each event labeled
+    with its user's 1-based session ordinal (new session after a >30 min
+    gap) — the clickstream enrichment that lets downstream stages group by
+    (user, session). One user-keyed exchange, vectorized gap flags + one
+    rebased cumsum (stages/window.py:sessionize); user_sessions is the
+    aggregate twin, this is the per-row one."""
+    from elasticsearch_minhash_ray.stages.window import sessionize
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return sessionize(ds, "user_id", "ts", "event_id", gap_us=1_800_000_000)
+
+
 def _q_events_pivot(sf_dir: str):
     """Oracle-checked long→wide pivot: per-user event-type count vector
     (n_view .. n_error + n_other) — the per-entity feature row an activity
@@ -2850,8 +2865,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_stats": _q_line_dedup_stats,
         "curation_pipeline_v2": _q_curation_pipeline_v2,
         "event_lag_gaps": _q_event_lag_gaps,
-        "value_rolling_sum": _q_value_rolling_sum,
         "event_debounce": _q_event_debounce,
+        "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "heavy_tokens": _q_heavy_tokens,
@@ -2870,6 +2885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "value_rolling_sum": _q_value_rolling_sum,
         "ngram_repetition": _q_ngram_repetition,
         "events_by_type": _q_events_by_type,
         "length_percentile_rank": _q_length_percentile_rank,
@@ -3649,6 +3665,21 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "sessionize": """
+            WITH flags AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, event_id,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM flags
         """,
         "bigram_pmi": """
             WITH toks AS (

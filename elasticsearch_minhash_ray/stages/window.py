@@ -175,6 +175,58 @@ def debounce(
     return map_copartitioned(ds, key_col, apply, batch_format="pandas")
 
 
+def sessionize(
+    ds,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    gap_us: int,
+    keep_cols: list[str] | None = None,
+    out_col: str = "session_seq",
+):
+    """Event-level session assignment: every row gets its key's 1-based
+    session ordinal, where a new session starts at the key's first event or
+    after a gap strictly greater than ``gap_us`` — the clickstream
+    enrichment step (:func:`debounce` keeps only burst heads; this labels
+    EVERY row so downstream aggregates can group by (key, session)).
+
+    Equivalent SQL: a windowed running sum of the new-session flag,
+    ``sum(is_new) OVER (PARTITION BY key ORDER BY ts, tiebreak ROWS
+    UNBOUNDED PRECEDING)``. Same one-exchange shape as the other ordered
+    per-key kernels here: in-block lexsort, vectorized gap flags, one
+    cumsum with per-key rebasing (subtract the running total at each key's
+    first row) — no per-group loop."""
+    keep = keep_cols or []
+
+    def apply(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {
+                    **{c: np.empty(0, np.int64) for c in [key_col, tiebreak_col, *keep]},
+                    out_col: np.empty(0, np.int64),
+                }
+            )
+        block = block.sort_values([key_col, ts_col, tiebreak_col], kind="stable")
+        k = block[key_col].to_numpy()
+        ts = _order_int64(block[ts_col])
+        new_key = np.r_[True, k[1:] != k[:-1]]
+        is_new = new_key | np.r_[True, (ts[1:] - ts[:-1]) > gap_us]
+        run = np.cumsum(is_new.astype(np.int64))
+        # rebase so each key's first session is 1: subtract the running
+        # total just BEFORE the key's first row
+        idx = np.arange(len(k), dtype=np.int64)
+        first = np.maximum.accumulate(np.where(new_key, idx, 0))
+        seq = run - (run[first] - 1)
+        out = {key_col: k, tiebreak_col: block[tiebreak_col].to_numpy()}
+        for c in keep:
+            out[c] = block[c].to_numpy()
+        out[out_col] = seq
+        return pd.DataFrame(out)
+
+    return map_copartitioned(ds, key_col, apply, batch_format="pandas")
+
+
 def rolling_mean(
     ds,
     key_col: str,

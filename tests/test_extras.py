@@ -2112,3 +2112,22 @@ def test_winsorize_by_group(ray_session):
     # cume_dist cuts for n=5: lo=min v with cd>=0.25 -> 2; hi -> 4
     assert x == [2, 2, 3, 4, 4]
     assert out[out["g"] == "y"]["v_w"].tolist() == [7]
+
+
+def test_sessionize_rebased_ordinals(ray_session):
+    """Each key's sessions number from 1; a gap strictly > gap_us opens a
+    new session; the boundary gap == gap_us does not."""
+    from elasticsearch_minhash_ray.stages.window import sessionize
+
+    rows = [
+        {"u": 1, "ts": np.int64(0), "id": 1},
+        {"u": 1, "ts": np.int64(10), "id": 2},   # gap == 10: same session
+        {"u": 1, "ts": np.int64(21), "id": 3},   # gap 11 > 10: session 2
+        {"u": 2, "ts": np.int64(1000), "id": 4}, # new key rebases to 1
+        {"u": 2, "ts": np.int64(1011), "id": 5}, # session 2
+    ]
+    out = (
+        sessionize(rd.from_items(rows), "u", "ts", "id", gap_us=10)
+        .to_pandas().sort_values("id")
+    )
+    assert out["session_seq"].tolist() == [1, 1, 2, 1, 2]
