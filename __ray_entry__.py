@@ -2734,6 +2734,18 @@ def _q_bigram_pmi(sf_dir: str):
     return bigram_pmi(ds, min_count=5)
 
 
+def _q_char_entropy(sf_dir: str):
+    """Oracle-checked per-doc character-distribution entropy (nats) — the
+    cheap gibberish/padding quality signal. Map-only, one packed np.unique
+    per batch, no exchange (stages/text.py:char_entropy)."""
+    from elasticsearch_minhash_ray.stages.text import char_entropy
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return char_entropy(ds)
+
+
 def _q_sessionize(sf_dir: str):
     """Oracle-checked event-level session assignment: each event labeled
     with its user's 1-based session ordinal (new session after a >30 min
@@ -2837,7 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_snapshot": _q_latest_snapshot,
         "source_stats": _q_source_stats,
         "text_quality_stats": _q_text_quality_stats,
-        "token_counts": _q_token_counts,
+        "char_entropy": _q_char_entropy,
         "events_pivot": _q_events_pivot,
         "ann_topk": _q_ann_topk,
         "ann_topk_filtered": _q_ann_topk_filtered,
@@ -2885,6 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "token_counts": _q_token_counts,
         "value_rolling_sum": _q_value_rolling_sum,
         "ngram_repetition": _q_ngram_repetition,
         "events_by_type": _q_events_by_type,
@@ -3665,6 +3678,25 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "char_entropy": """
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(coalesce(text, ''), '')) AS c
+              FROM documents
+            ),
+            cc AS (
+              SELECT doc_id, c, count(*) AS cnt
+              FROM ch WHERE c <> '' GROUP BY doc_id, c
+            ),
+            agg AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                     sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s
+              FROM cc GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   round(ln(CAST(n AS DOUBLE)) - s / n, 9) AS char_entropy
+            FROM agg
         """,
         "sessionize": """
             WITH flags AS (

@@ -707,6 +707,45 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
+def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document character-distribution Shannon entropy (nats) — the
+    cheap gibberish/boilerplate quality signal (keyboard mash and repeated
+    padding score low, natural prose ~3-4 nats). Map-only and fully
+    vectorized: the batch's texts concatenate into ONE UTF-32 codepoint
+    buffer (``str.len`` counts codepoints, so doc offsets align exactly),
+    per-(doc, char) counts come from a single ``np.unique`` over
+    ``doc_idx·2^21 + codepoint`` packed keys (codepoints < 0x110000 < 2^21),
+    and entropy uses the sum-stable form ``ln(n) − Σ c·ln(c)/n``. Empty /
+    null docs emit no row (the SQL twin's empty-split filter). Round-9
+    output; the Σ term's float addition ORDER differs from a SQL engine's
+    group sum, so agreement is at-round-9, same contract as
+    unigram_surprisal."""
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[text_col].fillna("")
+        ids = batch[id_col].to_numpy(np.int64)
+        lens = texts.str.len().to_numpy(np.int64)
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {id_col: np.empty(0, np.int64),
+                 "char_entropy": np.empty(0, np.float64)}
+            )
+        blob = "".join(texts.tolist())
+        cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        uniq, cnts = np.unique(doc_idx * (1 << 21) + cp, return_counts=True)
+        s = np.zeros(len(ids), np.float64)
+        c = cnts.astype(np.float64)
+        np.add.at(s, uniq >> 21, c * np.log(c))
+        nz = lens > 0
+        n = lens[nz].astype(np.float64)
+        ent = np.round(np.log(n) - s[nz] / n, 9)
+        return pd.DataFrame({id_col: ids[nz], "char_entropy": ent})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def bigram_pmi(ds, *, min_count: int = 5, text_col: str = "text"):
     """Collocation mining: pointwise mutual information of adjacent word
     pairs, ``pmi = ln(c_ab·N / (c_a·c_b))`` — the statistic behind

@@ -2131,3 +2131,24 @@ def test_sessionize_rebased_ordinals(ray_session):
         .to_pandas().sort_values("id")
     )
     assert out["session_seq"].tolist() == [1, 1, 2, 1, 2]
+
+
+def test_char_entropy_signal(ray_session):
+    """Constant text scores 0, uniform alphabet ln(k); unicode counts by
+    codepoint; empty/null docs emit no row."""
+    import math
+
+    from elasticsearch_minhash_ray.stages.text import char_entropy
+
+    rows = [
+        {"doc_id": 1, "text": "aaaaaaaa"},
+        {"doc_id": 2, "text": "abcd"},
+        {"doc_id": 3, "text": "🙂🙂éé"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},
+    ]
+    out = char_entropy(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "char_entropy"] == 0.0
+    assert out.loc[2, "char_entropy"] == round(math.log(4), 9)
+    assert out.loc[3, "char_entropy"] == round(math.log(2), 9)
+    assert 4 not in out.index and 5 not in out.index
