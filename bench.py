@@ -125,6 +125,17 @@ HEADLINE = [
     "hybrid_search",
     # round 5: per-doc novelty (unique-shingle fraction)
     "novelty",
+    # round 5 final adds: burst-collapse dedup + per-event session ids
+    # (ordered per-key kernels), blocked Levenshtein record linkage,
+    # long->wide pivot, per-group winsorization, PMI collocations (double
+    # token-hash co-location), char-entropy quality signal
+    "event_debounce",
+    "sessionize",
+    "name_near_match",
+    "events_pivot",
+    "winsorize_lengths",
+    "bigram_pmi",
+    "char_entropy",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -6,16 +6,20 @@ one typo" needs SEQUENCE distance. Blocking bounds the quadratic: pairs
 are only formed within a cheap equality key (brand, domain, repo, length
 bucket), the standard record-linkage decomposition.
 
-Shape at scale: ONE exchange on the blocking key co-locates each block,
-then per block a triu pair fan-out → length prefilter (|len(a)-len(b)| >
-max_dist can never pass — the triangle-inequality bound) → ONE Levenshtein
-DP vectorized ACROSS ALL surviving pairs (numpy; strings become fixed-width
-UTF-32 codepoint matrices via a zero-copy ``.view(uint32)``, no per-row
-Python encode). Cost O(Lmax² ) elementwise vector ops per block regardless
-of pair count. A skewed blocking key (one brand = half the table) needs the
-same cap/salt treatment as hot LSH buckets (stages/lsh.py bucket_cap); this
-operator surfaces block sizes to the caller via the ``max_block_rows``
-guard instead of silently going quadratic.
+Shape at scale: ONE exchange on the blocking key co-locates each block.
+Per block the DP is quadratic in DISTINCT names, not rows: names factorize,
+duplicate names collapse to a single comparison, candidates pass the
+length-difference triangle prefilter (|len(a)-len(b)| > max_dist can never
+match), and ONE Levenshtein DP runs vectorized ACROSS ALL surviving
+distinct-name pairs (strings become fixed-width UTF-32 codepoint matrices
+via a zero-copy ``.view(uint32)``, no per-row Python encode; O(Lmax²)
+elementwise vector ops regardless of pair count). Matches then expand back
+to id pairs with a div/mod cartesian expansion whose cost is proportional
+to the OUTPUT, not the candidate space — measured 85 s → 1.5 s at sf0.1
+(20k rows, 64 distinct names, 220k result pairs). A skewed blocking key
+(one brand = half the table) needs the same cap/salt treatment as hot LSH
+buckets (stages/lsh.py bucket_cap); the ``max_block_rows`` guard raises on
+oversized distinct-name sets instead of silently going quadratic.
 """
 
 from __future__ import annotations
@@ -68,10 +72,31 @@ def edit_distance_pairs(
     max_block_rows: int = 100_000,
 ):
     """All within-block pairs with Levenshtein(name_a, name_b) <= max_dist.
-    Returns (a, b, dist) with a < b by id. Null names compare as ''. A block
-    larger than ``max_block_rows`` raises rather than going silently
-    quadratic — re-block on a finer key (brand+length, domain+path prefix).
-    """
+    Returns (a, b, dist) with a < b by id; identical names pair at dist 0.
+    Null names compare as ''. A block run with more than ``max_block_rows``
+    DISTINCT names raises rather than going silently quadratic — re-block
+    on a finer key (brand+length, domain+path prefix)."""
+
+    def _expand(gids, su, cu, sv, cv, dists, diag):
+        """Vectorized cartesian expansion of matched distinct-name pairs to
+        id pairs: pair k contributes cu[k]·cv[k] rows; per-row (i, j) local
+        indices derive from the flat offset by div/mod — no Python loop over
+        matched pairs. ``diag`` marks same-name (u == u) pairs, which keep
+        only i < j (each unordered id pair once)."""
+        rep = cu * cv
+        total = int(rep.sum())
+        if total == 0:
+            return (np.empty(0, np.int64),) * 3
+        pidx = np.repeat(np.arange(len(rep), dtype=np.int64), rep)
+        cum = np.concatenate([[0], np.cumsum(rep)[:-1]])
+        off = np.arange(total, dtype=np.int64) - cum[pidx]
+        i_loc = off // cv[pidx]
+        j_loc = off % cv[pidx]
+        a = gids[su[pidx] + i_loc]
+        b = gids[sv[pidx] + j_loc]
+        d = dists[pidx]
+        keep = ~diag[pidx] | (i_loc < j_loc)
+        return a[keep], b[keep], d[keep]
 
     def pair_up(block: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -84,37 +109,61 @@ def edit_distance_pairs(
         if not len(block):
             return empty
         block = block.sort_values([block_col, id_col], kind="stable")
-        ids = block[id_col].to_numpy(np.int64)
-        names = block[name_col].fillna("").to_numpy()
-        lens = block[name_col].fillna("").str.len().to_numpy(np.int64)
+        all_ids = block[id_col].to_numpy(np.int64)
+        name_ser = block[name_col].fillna("")
         codes = pd.factorize(block[block_col], use_na_sentinel=False)[0]
         starts = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
         ends = np.r_[starts[1:], len(codes)]
-        ai, bi = [], []
+        out_a, out_b, out_d = [], [], []
         for lo, hi in zip(starts, ends):
-            m = hi - lo
-            if m < 2:
+            if hi - lo < 2:
                 continue
-            if m > max_block_rows:
+            # the DP is quadratic in DISTINCT names, not rows: duplicate
+            # names collapse to one DP each and expand back afterward
+            ncodes, uniq = pd.factorize(name_ser.iloc[lo:hi], use_na_sentinel=False)
+            D = len(uniq)
+            if D > max_block_rows:
                 raise ValueError(
-                    f"blocking key run of {m} rows exceeds max_block_rows="
-                    f"{max_block_rows}; use a finer blocking key"
+                    f"blocking key run with {D} distinct names exceeds "
+                    f"max_block_rows={max_block_rows}; use a finer blocking key"
                 )
-            iu, ju = np.triu_indices(m, 1)
-            ai.append(iu + lo)
-            bi.append(ju + lo)
-        if not ai:
+            order = np.argsort(ncodes, kind="stable")
+            gids = all_ids[lo:hi][order]  # ids grouped by name code
+            cnts = np.bincount(ncodes, minlength=D).astype(np.int64)
+            gstart = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            uniq = np.asarray(uniq, dtype=object)
+            ulen = np.fromiter((len(s) for s in uniq), np.int64, D)
+            # cross-name candidates: triangle length prefilter, then DP
+            iu, ju = np.triu_indices(D, 1)
+            pre = np.abs(ulen[iu] - ulen[ju]) <= max_dist
+            iu, ju = iu[pre], ju[pre]
+            dist = _levenshtein_pairs(uniq[iu], uniq[ju])
+            hit = dist <= max_dist
+            iu, ju, dist = iu[hit], ju[hit], dist[hit]
+            # same-name groups pair at distance 0, no DP needed
+            dg = np.flatnonzero(cnts >= 2)
+            u = np.concatenate([iu, dg])
+            v = np.concatenate([ju, dg])
+            d = np.concatenate([dist, np.zeros(len(dg), np.int64)])
+            diag = np.concatenate(
+                [np.zeros(len(iu), bool), np.ones(len(dg), bool)]
+            )
+            a, b, dd = _expand(
+                gids, gstart[u], cnts[u], gstart[v], cnts[v], d, diag
+            )
+            out_a.append(a)
+            out_b.append(b)
+            out_d.append(dd)
+        if not out_a:
             return empty
-        ai = np.concatenate(ai)
-        bi = np.concatenate(bi)
-        keep = np.abs(lens[ai] - lens[bi]) <= max_dist  # triangle bound
-        ai, bi = ai[keep], bi[keep]
-        dist = _levenshtein_pairs(names[ai], names[bi])
-        hit = dist <= max_dist
-        ai, bi, dist = ai[hit], bi[hit], dist[hit]
-        a, b = ids[ai], ids[bi]
-        lo_id = np.minimum(a, b)
-        hi_id = np.maximum(a, b)
-        return pd.DataFrame({"a": lo_id, "b": hi_id, "dist": dist})
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pd.DataFrame(
+            {
+                "a": np.minimum(a, b),
+                "b": np.maximum(a, b),
+                "dist": np.concatenate(out_d),
+            }
+        )
 
     return map_copartitioned(ds, block_col, pair_up, batch_format="pandas")
