@@ -2816,6 +2816,21 @@ def _q_heavy_tokens(sf_dir: str):
     return heavy_tokens_exact(ds, phi_num=1, phi_den=1000)
 
 
+def _q_approx_length_quantiles(sf_dir: str):
+    """KLL-style mergeable quantile sketch over doc lengths by language —
+    the sketch twin of length_quantiles for when per-group distinct values
+    are not exchange-sized: traffic O(k log(n/k)) per (group, block).
+    Rows-only (approximate by construction); pytest pins exact agreement
+    when n <= k, a rank-error contract at 50k values, and determinism
+    (stages/sketch.py:approx_quantiles_kll)."""
+    from elasticsearch_minhash_ray.stages.sketch import approx_quantiles_kll
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return approx_quantiles_kll(ds, "n_chars", "lang", k=200)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type (p=12, ~1.6%
     standard error) — the sketch form of `distinct_users_by_type`: exchange
@@ -2955,6 +2970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signature_collapse": _q_signature_collapse,
         "ann_topk_ivf": _q_ann_topk_ivf,
         "approx_distinct_users": _q_approx_distinct_users,
+        "approx_length_quantiles": _q_approx_length_quantiles,
         "multimodal_features": _q_multimodal_features,
         "kmeans_sizes": _q_kmeans_sizes,
     }

@@ -2152,3 +2152,56 @@ def test_char_entropy_signal(ray_session):
     assert out.loc[2, "char_entropy"] == round(math.log(4), 9)
     assert out.loc[3, "char_entropy"] == round(math.log(2), 9)
     assert 4 not in out.index and 5 not in out.index
+
+
+def test_kll_exact_when_under_capacity(ray_session):
+    """With n <= k no compaction happens, so the sketch answers EXACTLY the
+    exact operator's quantiles (same smallest-value-with-cume>=q rule)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.sketch import approx_quantiles_kll
+    from elasticsearch_minhash_ray.stages.text import column_quantiles
+
+    rows = [{"g": "a", "v": int(x)} for x in range(100)]
+    rows += [{"g": "b", "v": int(x * x)} for x in range(50)]
+    ds = rd.from_items(rows).repartition(4)
+    approx = (
+        approx_quantiles_kll(ds, "v", "g", k=200)
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    exact = (
+        column_quantiles(ds, col="v", by="g")
+        .to_pandas().sort_values(["g", "q"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        approx[["g", "q", "value"]], exact[["g", "q", "value"]],
+        check_dtype=False,
+    )
+    assert approx["n_rows"].tolist() == exact["n_rows"].tolist()
+
+
+def test_kll_rank_error_and_determinism(ray_session):
+    """At 50k skewed values the sketch's answers stay within ~2/k rank
+    error of truth, and two runs over the same partitioning are identical."""
+    from elasticsearch_minhash_ray.stages.sketch import approx_quantiles_kll
+
+    n = 50_000
+    # deterministic skewed ints (quadratic stretch + plateau of ties)
+    vals = np.concatenate([
+        (np.arange(n // 2, dtype=np.int64) ** 2) // 1000,
+        np.full(n // 2, 7, np.int64),
+    ])
+    rows = [{"g": "x", "v": int(v)} for v in vals]
+    ds = rd.from_items(rows).repartition(8)
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    out1 = approx_quantiles_kll(ds, "v", "g", qs=qs, k=200).to_pandas()
+    out2 = approx_quantiles_kll(ds, "v", "g", qs=qs, k=200).to_pandas()
+    assert out1.sort_values("q")["value"].tolist() == out2.sort_values("q")["value"].tolist()
+    svals = np.sort(vals)
+    for q, v in zip(out1["q"], out1["value"]):
+        lo = np.searchsorted(svals, v, side="left") / n
+        hi = np.searchsorted(svals, v, side="right") / n
+        # value's true cume-rank interval must come within 2/k of q
+        err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert err <= 0.01, (q, v, lo, hi)
+    assert int(out1["n_rows"].iloc[0]) == n  # weight conserved exactly
