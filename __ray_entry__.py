@@ -2831,6 +2831,18 @@ def _q_approx_length_quantiles(sf_dir: str):
     return approx_quantiles_kll(ds, "n_chars", "lang", k=200)
 
 
+def _q_approx_heavy_tokens(sf_dir: str):
+    """Misra-Gries heavy-hitter sketch over the token stream — the ONE-pass
+    approximate sibling of heavy_tokens (which re-reads the corpus for an
+    exact recount). Rows-only (approximate by construction); pytest pins
+    the no-false-negative superset guarantee and the N/k undercount bound
+    against the exact operator (stages/sketch.py:approx_heavy_tokens_mg)."""
+    from elasticsearch_minhash_ray.stages.sketch import approx_heavy_tokens_mg
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["text"], dense=True)
+    return approx_heavy_tokens_mg(ds, k=1000, phi_num=1, phi_den=1000)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """HyperLogLog approximate distinct users per event type (p=12, ~1.6%
     standard error) — the sketch form of `distinct_users_by_type`: exchange
@@ -2971,6 +2983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         "approx_distinct_users": _q_approx_distinct_users,
         "approx_length_quantiles": _q_approx_length_quantiles,
+        "approx_heavy_tokens": _q_approx_heavy_tokens,
         "multimodal_features": _q_multimodal_features,
         "kmeans_sizes": _q_kmeans_sizes,
     }

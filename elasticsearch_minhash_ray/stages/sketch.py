@@ -433,3 +433,106 @@ def approx_quantiles_kll(
 
     pre = ds.map_batches(partial, batch_format="pandas")
     return map_copartitioned(pre, by, merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy-hitter sketch
+# ---------------------------------------------------------------------------
+
+def _mg_compress(tokens: np.ndarray, counts: np.ndarray, k: int):
+    """Bulk Misra-Gries reduction of exact (token, count) pairs to at most
+    ``k`` counters: subtract the (k+1)-largest count from every counter and
+    drop the non-positive — the classic decrement step applied in one
+    vectorized shot. Returns (tokens, residual counts, err) where ``err``
+    (the subtracted offset) bounds each survivor's undercount and each
+    dropped token's uncounted mass."""
+    if len(tokens) <= k:
+        return tokens, counts, 0
+    kth = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > kth
+    return tokens[keep], counts[keep] - kth, int(kth)
+
+
+def approx_heavy_tokens_mg(
+    ds,
+    text_col: str = "text",
+    *,
+    k: int = 1000,
+    phi_num: int = 1,
+    phi_den: int = 1000,
+):
+    """Approximate frequent-token mining via mergeable Misra-Gries
+    summaries — the ONE-pass sketch sibling of :func:`heavy_tokens_exact`
+    (which re-reads the corpus for an exact recount): per block, exact
+    token counts compress to <= k counters (:func:`_mg_compress`), the
+    driver merges the O(blocks·k) summaries by token and compresses once
+    more, and every token whose count lower bound + error upper bound
+    clears phi·N is emitted.
+
+    Guarantees (the MG classics, pytest-pinned): NO FALSE NEGATIVES —
+    count_lo + err_ub >= true count >= count_lo, and the per-level
+    subtracted offsets sum to err_ub <= N/k per merge layer — so any token
+    with true share >= phi survives; reported counts may undercount by at
+    most err_ub and light tokens may false-positive into the candidate
+    list (their count_lo stays honest). Choose k >= a few × phi_den.
+    Deterministic: ties at the (k+1)-th count keep strictly-greater
+    counters only. Output: (token, count_lo, err_ub) sorted by count_lo
+    desc then token."""
+    import re
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"token": pd.Series([], dtype=object),
+             "cnt": pd.Series([], dtype=np.int64),
+             "err": pd.Series([], dtype=np.int64),
+             "n": pd.Series([], dtype=np.int64)}
+        )
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        total = int(toks.str.len().sum())
+        if total == 0:
+            return empty
+        from itertools import chain
+
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        uniq, cnts = np.unique(flat, return_counts=True)
+        t, c, err = _mg_compress(uniq, cnts.astype(np.int64), k)
+        # one explicit MARKER row per summary carries the block's offset +
+        # total (NUL-prefixed token no real token can collide with — the
+        # heavy_tokens_exact block-total trick); counter rows carry zeros.
+        # Recovering (err, n) from counter rows would undercount whenever
+        # two blocks emit identical pairs.
+        return pd.DataFrame(
+            {"token": np.r_[t, ["\x00__mg_block__"]],
+             "cnt": np.r_[c, [np.int64(0)]],
+             "err": np.r_[np.zeros(len(t), np.int64), [np.int64(err)]],
+             "n": np.r_[np.zeros(len(t), np.int64), [np.int64(total)]]}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(
+            {"token": pd.Series([], dtype=object),
+             "count_lo": pd.Series([], dtype=np.int64),
+             "err_ub": pd.Series([], dtype=np.int64)}
+        )
+    markers = parts["token"] == "\x00__mg_block__"
+    err_layer0 = int(parts.loc[markers, "err"].sum())
+    n_total = int(parts.loc[markers, "n"].sum())
+    merged = (
+        parts[~markers]
+        .groupby("token", sort=False, as_index=False)["cnt"].sum()
+    )
+    t2, c2, err2 = _mg_compress(
+        merged["token"].to_numpy(object), merged["cnt"].to_numpy(np.int64), k
+    )
+    err_ub = err_layer0 + err2
+    hit = (c2 + err_ub) * phi_den >= phi_num * n_total
+    out = pd.DataFrame(
+        {"token": t2[hit], "count_lo": c2[hit],
+         "err_ub": np.full(int(hit.sum()), err_ub, np.int64)}
+    )
+    return out.sort_values(
+        ["count_lo", "token"], ascending=[False, True]
+    ).reset_index(drop=True)

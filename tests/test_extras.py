@@ -2205,3 +2205,32 @@ def test_kll_rank_error_and_determinism(ray_session):
         err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
         assert err <= 0.01, (q, v, lo, hi)
     assert int(out1["n_rows"].iloc[0]) == n  # weight conserved exactly
+
+
+def test_mg_sketch_contracts(ray_session):
+    """Misra-Gries guarantees vs the exact operator: every phi-heavy token
+    survives (no false negatives), count_lo never exceeds the true count,
+    and count_lo + err_ub never falls below it."""
+    from elasticsearch_minhash_ray.stages.sketch import (
+        approx_heavy_tokens_mg,
+        heavy_tokens_exact,
+    )
+
+    # skewed stream: 'hot' dominates, mid-tier tokens, long unique tail
+    docs = []
+    for i in range(40):
+        body = ["hot"] * 25 + [f"mid{i % 5}"] * 10 + [f"tail{i}_{j}" for j in range(30)]
+        docs.append({"text": " ".join(body)})
+    ds = rd.from_items(docs).repartition(5)
+    approx = approx_heavy_tokens_mg(ds, k=8, phi_num=1, phi_den=20)
+    exact = heavy_tokens_exact(ds, phi_num=1, phi_den=20).to_pandas()
+    got = dict(zip(approx["token"], approx["count_lo"]))
+    err = int(approx["err_ub"].iloc[0]) if len(approx) else 0
+    true_counts = {}
+    for d in docs:
+        for t in d["text"].split():
+            true_counts[t] = true_counts.get(t, 0) + 1
+    for tok in exact["token"]:          # superset: no false negatives
+        assert tok in got, tok
+    for tok, lo in got.items():         # sandwich: lo <= true <= lo + err
+        assert lo <= true_counts[tok] <= lo + err, (tok, lo, err)
