@@ -136,6 +136,9 @@ HEADLINE = [
     "winsorize_lengths",
     "bigram_pmi",
     "char_entropy",
+    # round 5 final: KLL quantile + Misra-Gries heavy-hitter sketches
+    "approx_length_quantiles",
+    "approx_heavy_tokens",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
