@@ -118,6 +118,39 @@ def _q_exact_dedup_keep(sf_dir: str):
     return exact_dedup_keep(_docs_with_sha(sf_dir), num_partitions=16)
 
 
+def _q_clone_groups(sf_dir: str):
+    """Oracle-checked type-2 clone detection: documents identical after
+    literal normalization (strings → "", ints → 0, ws collapse) group into
+    clone families — the code-dedup case exact sha misses. Clones are
+    PLANTED deterministically (every doc_id % 5 == 0 gains a literal-
+    jittered copy at doc_id + 10_000_000; every doc gains a literal-bearing
+    suffix, constructed identically in the SQL twin) so the normalization
+    path is value-hash-exercised (stages/dedup.py:clone_groups)."""
+    from elasticsearch_minhash_ray.stages.dedup import clone_groups
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = [(t or "") for t in batch["text"].to_pylist()]
+        out_ids = list(ids)
+        out_txt = [
+            f'{t} print("doc {i}") limit = {i}' for i, t in zip(ids, texts)
+        ]
+        for i, t in zip(ids, texts):
+            if i % 5 == 0:
+                out_ids.append(int(i) + 10_000_000)
+                out_txt.append(f'{t} print("clone {i}") limit = {i * 7}')
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()),
+             "text": pa.array(out_txt, pa.string())}
+        )
+
+    return clone_groups(
+        ds.map_batches(plant, batch_format="pyarrow"), num_partitions=16
+    )
+
+
 def _q_latest_snapshot(sf_dir: str):
     """Snapshot dedup: newest doc per (source, lang) — the keep-latest-crawl
     /newest-commit-per-file curation step (stages/dedup.py:keep_latest;
@@ -2873,6 +2906,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_golden": _q_simhash_golden,
         "fingerprint_golden": _q_fingerprint_golden,
         "exact_dedup_groups": _q_exact_dedup_groups,
+        "clone_groups": _q_clone_groups,
         "latest_snapshot": _q_latest_snapshot,
         "source_stats": _q_source_stats,
         "text_quality_stats": _q_text_quality_stats,
@@ -2880,7 +2914,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "ann_topk": _q_ann_topk,
         "ann_topk_filtered": _q_ann_topk_filtered,
-        "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "embedding_near_dup_cc": _q_embedding_near_dup_cc,
         "ngram_jaccard_edges": _q_ngram_jaccard_edges,
@@ -2924,6 +2957,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "embedding_near_dup": _q_embedding_near_dup,
         "token_counts": _q_token_counts,
         "value_rolling_sum": _q_value_rolling_sum,
         "ngram_repetition": _q_ngram_repetition,
@@ -3707,6 +3741,31 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "clone_groups": """
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' print("doc ' || CAST(doc_id AS VARCHAR)
+                       || '") limit = ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000,
+                     coalesce(text, '') || ' print("clone ' || CAST(doc_id AS VARCHAR)
+                       || '") limit = ' || CAST(doc_id * 7 AS VARCHAR)
+              FROM documents WHERE doc_id % 5 = 0
+            ),
+            norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(text,
+                         '"[^"]*"', '""', 'g'),
+                         '[0-9]+', '0', 'g'),
+                         '[ \t\r\n\f\v]+', ' ', 'g')) AS n
+              FROM aug
+            )
+            SELECT sha256(n) AS clone_sha256,
+                   CAST(count(*) AS BIGINT) AS n_clones,
+                   min(doc_id) AS rep_doc_id
+            FROM norm GROUP BY n HAVING count(*) >= 2
         """,
         "char_entropy": """
             WITH ch AS (

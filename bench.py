@@ -136,9 +136,11 @@ HEADLINE = [
     "winsorize_lengths",
     "bigram_pmi",
     "char_entropy",
-    # round 5 final: KLL quantile + Misra-Gries heavy-hitter sketches
+    # round 5 final: KLL quantile + Misra-Gries heavy-hitter sketches,
+    # type-2 clone families
     "approx_length_quantiles",
     "approx_heavy_tokens",
+    "clone_groups",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

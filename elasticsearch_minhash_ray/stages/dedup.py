@@ -66,6 +66,57 @@ def exact_dedup_groups(ds, key_col: str = "content_sha256", id_col: str = "doc_i
     )
 
 
+def clone_groups(ds, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 64):
+    """Type-2 code-clone detection: documents identical after LITERAL
+    normalization — double-quoted strings → ``""``, integer literals → 0,
+    ASCII-whitespace runs → one space, strip — group into clone families
+    (``n_clones >= 2``); catches copies that differ only in embedded
+    constants/config strings, which exact sha dedup misses and MinHash only
+    catches when the literal mass is small. Single-quoted strings are NOT
+    stripped (prose apostrophes would swallow text between them; pass code
+    through a language-aware lexer stage for type-2-full).
+
+    Map-only normalization (pandas C regex kernels; the whitespace class is
+    the explicit ASCII set so Python and RE2 agree — see normalize_text),
+    per-row sha256 of the normalized text, then the exact_dedup_groups
+    combiner exchange. Output: (clone_sha256, n_clones, rep_<id_col>) for
+    families of 2+."""
+    import hashlib
+
+    import pandas as pd
+
+    def norm_sha(batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch[text_col].fillna("")
+        t = t.str.replace(r'"[^"]*"', '""', regex=True)
+        t = t.str.replace(r"[0-9]+", "0", regex=True)
+        t = t.str.replace(r"[ \t\r\n\f\v]+", " ", regex=True).str.strip()
+        sha = [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in t]
+        return pd.DataFrame(
+            {"clone_sha256": sha, id_col: batch[id_col].to_numpy(np.int64)}
+        )
+
+    groups = exact_dedup_groups(
+        ds.map_batches(norm_sha, batch_format="pandas"),
+        key_col="clone_sha256",
+        id_col=id_col,
+        num_partitions=num_partitions,
+    )
+
+    def families(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.greater_equal(batch["n_dups"], 2))
+        return pa.table(
+            {
+                "clone_sha256": batch["clone_sha256"],
+                "n_clones": batch["n_dups"],
+                f"rep_{id_col}": batch[f"rep_{id_col}"],
+            }
+        )
+
+    return groups.map_batches(families, batch_format="pyarrow")
+
+
 def exact_dedup_keep(ds, key_col: str = "content_sha256", id_col: str = "doc_id", num_partitions: int = 64):
     """The representative (kept) id per distinct content — the dedup output a
     training pipeline consumes."""

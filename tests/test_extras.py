@@ -2234,3 +2234,20 @@ def test_mg_sketch_contracts(ray_session):
         assert tok in got, tok
     for tok, lo in got.items():         # sandwich: lo <= true <= lo + err
         assert lo <= true_counts[tok] <= lo + err, (tok, lo, err)
+
+
+def test_clone_groups_type2(ray_session):
+    """Docs differing only in string/int literals form a clone family;
+    genuinely different docs do not; singletons are excluded."""
+    from elasticsearch_minhash_ray.stages.dedup import clone_groups
+
+    rows = [
+        {"doc_id": 1, "text": 'x = "alpha"  retries = 3\nrun(x)'},
+        {"doc_id": 2, "text": 'x = "beta" retries = 42 run(x)'},      # clone of 1
+        {"doc_id": 3, "text": "y = 'apostrophes untouched' z = 1"},   # single-quoted kept
+        {"doc_id": 4, "text": "y = 'apostrophes untouched' z = 99"},  # clone of 3 (ints only)
+        {"doc_id": 5, "text": "completely different body"},
+    ]
+    out = clone_groups(rd.from_items(rows), num_partitions=4).to_pandas()
+    fams = sorted(tuple(r) for r in out[["n_clones", "rep_doc_id"]].to_numpy())
+    assert fams == [(2, 1), (2, 3)]
