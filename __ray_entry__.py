@@ -1678,6 +1678,68 @@ def _q_semantic_dedup(sf_dir: str):
     return semantic_dedup(ds, _centroids_first_k(sf_dir), tau=0.35)
 
 
+def _q_curation_pipeline_v5(sf_dir: str):
+    """Oracle-checked curation composition v5 — the final-session operator
+    chain: (1) char-entropy quality gate (keep >= 2.75 nats; both engines
+    compare the identical 9dp-rounded double, drops ~8% at sf0.01 plus
+    empty docs), (2) literal-normalized clone dedup KEEP within survivors —
+    min doc_id per normalized fingerprint (the clone_groups normalization;
+    ONE sha-keyed exchange carrying survivors' metadata, never text), (3)
+    per-language winsorization of survivor lengths to exact [p05, p95]
+    (cuts computed on the SURVIVING corpus). Output: (lang, doc_id,
+    n_chars_w) per kept doc. Full 3-stage SQL twin."""
+    import hashlib
+
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+    from elasticsearch_minhash_ray.stages.text import (
+        char_entropy_values,
+        winsorize_by_group,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def gate_and_fingerprint(batch: pd.DataFrame) -> pd.DataFrame:
+        ent, nz = char_entropy_values(batch["text"])
+        keep = nz & (ent >= 2.75)
+        sub = batch[keep]
+        t = sub["text"].fillna("")
+        t = t.str.replace(r'"[^"]*"', '""', regex=True)
+        t = t.str.replace(r"[0-9]+", "0", regex=True)
+        t = t.str.replace(r"[ \t\r\n\f\v]+", " ", regex=True).str.strip()
+        return pd.DataFrame(
+            {
+                "clone_sha": [hashlib.sha256(s.encode("utf-8")).hexdigest() for s in t],
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "lang": sub["lang"].to_numpy(object),
+                "n_chars": sub["n_chars"].to_numpy(np.int64),
+            }
+        )
+
+    def keep_min(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64),
+                 "lang": pd.Series([], dtype=object),
+                 "n_chars": np.empty(0, np.int64)}
+            )
+        block = block.sort_values(["clone_sha", "doc_id"], kind="stable")
+        first = np.r_[True, block["clone_sha"].to_numpy()[1:]
+                      != block["clone_sha"].to_numpy()[:-1]]
+        return block.loc[first, ["doc_id", "lang", "n_chars"]].reset_index(drop=True)
+
+    surv = map_copartitioned(
+        ds.map_batches(gate_and_fingerprint, batch_format="pandas"),
+        "clone_sha",
+        keep_min,
+        batch_format="pandas",
+    )
+    return winsorize_by_group(
+        surv, "n_chars", "lang", lo=0.05, hi=0.95, keep_cols=["doc_id"]
+    )
+
+
 def _q_curation_pipeline_v4(sf_dir: str):
     """Oracle-checked curation composition v4 — the round-5 operator chain:
     (1) corpus-LM bigram cross-entropy gate (keep xent <= 3.4; both engines
@@ -2925,7 +2987,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_gate": _q_quality_gate,
         "unigram_surprisal": _q_unigram_surprisal,
         "decontaminate": _q_decontaminate,
-        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "tfidf_topk": _q_tfidf_topk,
         "bigram_pmi": _q_bigram_pmi,
         "media_stats_golden": _q_media_stats_golden,
@@ -2936,6 +2997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup_global": _q_line_dedup_global,
         "line_dedup_stats": _q_line_dedup_stats,
         "curation_pipeline_v2": _q_curation_pipeline_v2,
+        "curation_pipeline_v5": _q_curation_pipeline_v5,
         "event_lag_gaps": _q_event_lag_gaps,
         "event_debounce": _q_event_debounce,
         "sessionize": _q_sessionize,
@@ -2957,6 +3019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "embedding_near_dup": _q_embedding_near_dup,
         "token_counts": _q_token_counts,
         "value_rolling_sum": _q_value_rolling_sum,
@@ -3741,6 +3804,53 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "curation_pipeline_v5": """
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(coalesce(text, ''), '')) AS c
+              FROM documents
+            ),
+            cc AS (
+              SELECT doc_id, c, count(*) AS cnt
+              FROM ch WHERE c <> '' GROUP BY doc_id, c
+            ),
+            eagg AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                     sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s
+              FROM cc GROUP BY doc_id
+            ),
+            gated AS (
+              SELECT d.doc_id, d.lang, d.n_chars,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                         coalesce(d.text, ''),
+                         '"[^"]*"', '""', 'g'),
+                         '[0-9]+', '0', 'g'),
+                         '[ \t\r\n\f\v]+', ' ', 'g')) AS norm
+              FROM documents d JOIN eagg e USING (doc_id)
+              WHERE round(ln(CAST(e.n AS DOUBLE)) - e.s / e.n, 9) >= 2.75
+            ),
+            surv AS (
+              SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+                FROM gated
+              ) WHERE rn = 1
+            ),
+            cd AS (
+              SELECT lang, n_chars AS v,
+                     cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+              FROM surv
+            ),
+            cuts AS (
+              SELECT lang,
+                     min(CASE WHEN cd >= 0.05 THEN v END) AS lo_v,
+                     min(CASE WHEN cd >= 0.95 THEN v END) AS hi_v
+              FROM cd GROUP BY lang
+            )
+            SELECT s.lang, s.doc_id,
+                   least(greatest(s.n_chars, c.lo_v), c.hi_v) AS n_chars_w
+            FROM surv s JOIN cuts c USING (lang)
         """,
         "clone_groups": """
             WITH aug AS (

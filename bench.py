@@ -141,6 +141,8 @@ HEADLINE = [
     "approx_length_quantiles",
     "approx_heavy_tokens",
     "clone_groups",
+    # round 5 final capstone: entropy gate -> clone-dedup keep -> winsorize
+    "curation_pipeline_v5",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -707,6 +707,30 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
+def char_entropy_values(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(per-row 9dp-rounded char entropy, nonzero-length mask) for a text
+    Series — the shared kernel behind :func:`char_entropy` and the
+    curation_pipeline_v5 gate. Entropy of zero-length rows is 0.0 with the
+    mask False (callers decide drop-vs-keep)."""
+    texts = texts.fillna("")
+    lens = texts.str.len().to_numpy(np.int64)
+    ent = np.zeros(len(lens), np.float64)
+    nz = lens > 0
+    total = int(lens.sum())
+    if total == 0:
+        return ent, nz
+    blob = "".join(texts.tolist())
+    cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    uniq, cnts = np.unique(doc_idx * (1 << 21) + cp, return_counts=True)
+    s = np.zeros(len(lens), np.float64)
+    c = cnts.astype(np.float64)
+    np.add.at(s, uniq >> 21, c * np.log(c))
+    n = lens[nz].astype(np.float64)
+    ent[nz] = np.round(np.log(n) - s[nz] / n, 9)
+    return ent, nz
+
+
 def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Per-document character-distribution Shannon entropy (nats) — the
     cheap gibberish/boilerplate quality signal (keyboard mash and repeated
@@ -722,26 +746,9 @@ def char_entropy(ds, text_col: str = "text", id_col: str = "doc_id"):
     unigram_surprisal."""
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[text_col].fillna("")
+        ent, nz = char_entropy_values(batch[text_col])
         ids = batch[id_col].to_numpy(np.int64)
-        lens = texts.str.len().to_numpy(np.int64)
-        total = int(lens.sum())
-        if total == 0:
-            return pd.DataFrame(
-                {id_col: np.empty(0, np.int64),
-                 "char_entropy": np.empty(0, np.float64)}
-            )
-        blob = "".join(texts.tolist())
-        cp = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
-        uniq, cnts = np.unique(doc_idx * (1 << 21) + cp, return_counts=True)
-        s = np.zeros(len(ids), np.float64)
-        c = cnts.astype(np.float64)
-        np.add.at(s, uniq >> 21, c * np.log(c))
-        nz = lens > 0
-        n = lens[nz].astype(np.float64)
-        ent = np.round(np.log(n) - s[nz] / n, 9)
-        return pd.DataFrame({id_col: ids[nz], "char_entropy": ent})
+        return pd.DataFrame({id_col: ids[nz], "char_entropy": ent[nz]})
 
     return ds.map_batches(score, batch_format="pandas")
 
