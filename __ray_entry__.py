@@ -2872,6 +2872,18 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_sample_n_per_lang(sf_dir: str):
+    """Oracle-checked exact-size per-group sampling: 30 docs per language,
+    deterministically (smallest (Knuth-hash, id) per group — reshard/
+    resume-stable, groups under 30 keep everything). Per-block per-group
+    top-n combiner, one group exchange, no global sort
+    (stages/sample.py:hash_sample_n_per_group)."""
+    from elasticsearch_minhash_ray.stages.sample import hash_sample_n_per_group
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return hash_sample_n_per_group(ds, "doc_id", "lang", n=30)
+
+
 def _q_winsorize_lengths(sf_dir: str):
     """Oracle-checked per-group winsorization: each document's n_chars
     clipped to its language's exact [p05, p95] — the outlier-taming
@@ -3009,7 +3021,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join": _q_hash_join,
         "value_zscore": _q_value_zscore,
         "mix_sources": _q_mix_sources,
-        "sample_exact_n": _q_sample_exact_n,
+        "sample_n_per_lang": _q_sample_n_per_lang,
         "stratified_sample": _q_stratified_sample,
         "length_quantiles": _q_length_quantiles,
         "winsorize_lengths": _q_winsorize_lengths,
@@ -3019,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "sample_exact_n": _q_sample_exact_n,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "embedding_near_dup": _q_embedding_near_dup,
         "token_counts": _q_token_counts,
@@ -3804,6 +3817,16 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "sample_n_per_lang": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 30
         """,
         "curation_pipeline_v5": """
             WITH ch AS (

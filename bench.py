@@ -143,6 +143,8 @@ HEADLINE = [
     "clone_groups",
     # round 5 final capstone: entropy gate -> clone-dedup keep -> winsorize
     "curation_pipeline_v5",
+    # round 5 final: per-group exact-n deterministic sample
+    "sample_n_per_lang",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

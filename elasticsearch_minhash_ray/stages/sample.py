@@ -356,6 +356,52 @@ def hash_sample_n(ds, key_col: str, n: int, salt: int = 0):
     )
 
 
+def hash_sample_n_per_group(ds, key_col: str, group_col: str, n: int, salt: int = 0):
+    """EXACT-size deterministic sample PER GROUP ("take n docs per
+    language"): each group keeps its ``n`` rows with the smallest
+    ``(hash(key), key)`` — the stratified companion to the global
+    :func:`hash_sample_n`, with the same reshard/resume stability and the
+    same SQL-exact Knuth arithmetic. Groups smaller than ``n`` keep
+    everything.
+
+    Shape: per-block per-group top-n combiner (rows ≤ n × groups-per-block)
+    → ONE group-keyed exchange → per-group head-n — no global sort, no
+    LIMIT barrier. Null key/group rows drop (the hash_sample convention)."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def local_topn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[key_col].notna() & batch[group_col].notna()]
+        if not len(batch):
+            return batch.assign(_hkey=np.empty(0, np.int64))
+        hk = _hash32(
+            batch[key_col].to_numpy(np.int64), salt, "hash_sample_n_per_group"
+        )
+        df = batch.assign(_hkey=hk).sort_values(
+            ["_hkey", key_col], kind="stable"
+        )
+        return df.groupby(group_col, sort=False).head(n)
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block.drop(columns=["_hkey"], errors="ignore")
+        block = block.sort_values(["_hkey", key_col], kind="stable")
+        return (
+            block.groupby(group_col, sort=False)
+            .head(n)
+            .drop(columns=["_hkey"])
+            .reset_index(drop=True)
+        )
+
+    return map_copartitioned(
+        ds.map_batches(local_topn, batch_format="pandas"),
+        group_col,
+        final,
+        batch_format="pandas",
+    )
+
+
 def leakage_safe_split(
     ids_ds,
     labels_ds,

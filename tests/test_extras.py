@@ -2251,3 +2251,27 @@ def test_clone_groups_type2(ray_session):
     out = clone_groups(rd.from_items(rows), num_partitions=4).to_pandas()
     fams = sorted(tuple(r) for r in out[["n_clones", "rep_doc_id"]].to_numpy())
     assert fams == [(2, 1), (2, 3)]
+
+
+def test_hash_sample_n_per_group(ray_session):
+    """Each group keeps exactly min(n, group size) rows; membership is
+    partitioning-invariant and matches the global operator's hash order."""
+    from elasticsearch_minhash_ray.stages.sample import hash_sample_n_per_group
+
+    rows = [{"id": i, "g": "big"} for i in range(40)]
+    rows += [{"id": 100 + i, "g": "tiny"} for i in range(3)]
+    out1 = (
+        hash_sample_n_per_group(rd.from_items(rows).repartition(2), "id", "g", n=5)
+        .to_pandas()
+    )
+    out2 = (
+        hash_sample_n_per_group(rd.from_items(rows).repartition(7), "id", "g", n=5)
+        .to_pandas()
+    )
+    c1 = out1.groupby("g")["id"].apply(lambda s: sorted(s)).to_dict()
+    c2 = out2.groupby("g")["id"].apply(lambda s: sorted(s)).to_dict()
+    assert c1 == c2                       # reshard-invariant
+    assert len(c1["big"]) == 5 and c1["tiny"] == [100, 101, 102]
+    # matches the scalar hash order
+    knuth = sorted(range(40), key=lambda i: ((i * 2654435761) % 2**32, i))[:5]
+    assert c1["big"] == sorted(knuth)
