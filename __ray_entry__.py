@@ -2872,6 +2872,37 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_assemble_chunks(sf_dir: str):
+    """Oracle-checked ordered chunk reassembly (string_agg ORDER BY): each
+    doc splits into 120-codepoint chunks (identically in the SQL twin via
+    substring + generate_series), then stitches back — a round-trip whose
+    output text must equal the original, exercising order restoration
+    across the exchange. Empty docs produce no chunks and are absent on
+    both sides (stages/text.py:assemble_chunks)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import assemble_chunks
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    W = 120
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, poss, parts = [], [], []
+        for i, t in zip(batch["doc_id"].to_numpy(np.int64), batch["text"].fillna("")):
+            for p in range(0, len(t), W):
+                ids.append(i)
+                poss.append(p // W)
+                parts.append(t[p : p + W])
+        return pd.DataFrame(
+            {"doc_id": np.asarray(ids, np.int64),
+             "pos": np.asarray(poss, np.int64),
+             "chunk": pd.Series(parts, dtype=object)}
+        )
+
+    chunks = ds.map_batches(chunk, batch_format="pandas")
+    return assemble_chunks(chunks)
+
+
 def _q_sample_n_per_lang(sf_dir: str):
     """Oracle-checked exact-size per-group sampling: 30 docs per language,
     deterministically (smallest (Knuth-hash, id) per group — reshard/
@@ -3007,7 +3038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_spans": _q_substring_spans,
         "substring_clean": _q_substring_clean,
         "line_dedup_global": _q_line_dedup_global,
-        "line_dedup_stats": _q_line_dedup_stats,
+        "assemble_chunks": _q_assemble_chunks,
         "curation_pipeline_v2": _q_curation_pipeline_v2,
         "curation_pipeline_v5": _q_curation_pipeline_v5,
         "event_lag_gaps": _q_event_lag_gaps,
@@ -3031,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "line_dedup_stats": _q_line_dedup_stats,
         "sample_exact_n": _q_sample_exact_n,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -3817,6 +3849,19 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "assemble_chunks": """
+            WITH chunks AS (
+              SELECT doc_id, i - 1 AS pos,
+                     substring(coalesce(text, ''), (i - 1) * 120 + 1, 120) AS chunk
+              FROM documents,
+                   UNNEST(generate_series(
+                       1, CAST(ceil(len(coalesce(text, '')) / 120.0) AS BIGINT)
+                   )) AS s(i)
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                   string_agg(chunk, '' ORDER BY pos) AS text
+            FROM chunks GROUP BY doc_id
         """,
         "sample_n_per_lang": """
             SELECT doc_id, lang FROM (

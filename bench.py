@@ -145,6 +145,8 @@ HEADLINE = [
     "curation_pipeline_v5",
     # round 5 final: per-group exact-n deterministic sample
     "sample_n_per_lang",
+    # round 5 final: ordered chunk reassembly (string_agg ORDER BY)
+    "assemble_chunks",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -707,6 +707,56 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
+def assemble_chunks(
+    ds,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    text_col: str = "chunk",
+    sep: str = "",
+):
+    """Ordered per-group string reassembly — SQL's ``string_agg(chunk, sep
+    ORDER BY pos)``, the inverse of document chunking: after chunk-level
+    processing (embedding, scoring, scrubbing) the pipeline stitches
+    documents back together. Ray Data has no ordered-concat aggregate; the
+    shape is the usual ONE id-keyed exchange + in-block lexsort, then ONE
+    vectorized join per block: chunks group contiguously after the sort, so
+    ``np.add.reduceat``-style assembly reduces to a single Python-level
+    ''.join per GROUP (strings defeat numpy here; the per-group join is
+    C-speed inside str.join). Duplicate (id, pos) pairs raise — silent
+    double-concat corrupts documents. Output: (id, n_chunks, text)."""
+
+    def build(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {id_col: np.empty(0, np.int64),
+                 "n_chunks": np.empty(0, np.int64),
+                 "text": pd.Series([], dtype=object)}
+            )
+        block = block.sort_values([id_col, pos_col], kind="stable")
+        ids = block[id_col].to_numpy(np.int64)
+        pos = block[pos_col].to_numpy(np.int64)
+        same = ids[1:] == ids[:-1]
+        if np.any(same & (pos[1:] == pos[:-1])):
+            raise ValueError(
+                f"duplicate ({id_col}, {pos_col}) chunk — refusing to "
+                "double-concatenate"
+            )
+        chunks = block[text_col].fillna("").to_numpy(object)
+        starts = np.flatnonzero(np.r_[True, ~same])
+        ends = np.r_[starts[1:], len(ids)]
+        return pd.DataFrame(
+            {
+                id_col: ids[starts],
+                "n_chunks": (ends - starts).astype(np.int64),
+                "text": [sep.join(chunks[s:e]) for s, e in zip(starts, ends)],
+            }
+        )
+
+    from ..grouping import map_copartitioned
+
+    return map_copartitioned(ds, id_col, build, batch_format="pandas")
+
+
 def char_entropy_values(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """(per-row 9dp-rounded char entropy, nonzero-length mask) for a text
     Series — the shared kernel behind :func:`char_entropy` and the

@@ -2275,3 +2275,30 @@ def test_hash_sample_n_per_group(ray_session):
     # matches the scalar hash order
     knuth = sorted(range(40), key=lambda i: ((i * 2654435761) % 2**32, i))[:5]
     assert c1["big"] == sorted(knuth)
+
+
+def test_assemble_chunks_roundtrip(ray_session):
+    """Order restores across shuffled chunk input; duplicate (id, pos)
+    raises; separator honored."""
+    from elasticsearch_minhash_ray.stages.text import assemble_chunks
+
+    rows = [
+        {"doc_id": 1, "pos": 2, "chunk": "c"},
+        {"doc_id": 1, "pos": 0, "chunk": "a"},
+        {"doc_id": 1, "pos": 1, "chunk": "b"},
+        {"doc_id": 2, "pos": 0, "chunk": "solo"},
+    ]
+    out = (
+        assemble_chunks(rd.from_items(rows).repartition(3))
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "text"] == "abc" and out.loc[1, "n_chunks"] == 3
+    assert out.loc[2, "text"] == "solo"
+
+    sep = assemble_chunks(rd.from_items(rows), sep="|").to_pandas().set_index("doc_id")
+    assert sep.loc[1, "text"] == "a|b|c"
+
+    with pytest.raises(Exception, match="duplicate"):
+        assemble_chunks(
+            rd.from_items(rows + [{"doc_id": 2, "pos": 0, "chunk": "dup"}])
+        ).materialize()
