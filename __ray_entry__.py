@@ -2872,6 +2872,16 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_chunk_documents(sf_dir: str):
+    """Oracle-checked RAG-style chunking: 120-codepoint windows every 80
+    (overlapping), map-only fan-out (stages/text.py:chunk_documents).
+    assemble_chunks is the stride=width inverse."""
+    from elasticsearch_minhash_ray.stages.text import chunk_documents
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return chunk_documents(ds, width=120, stride=80)
+
+
 def _q_assemble_chunks(sf_dir: str):
     """Oracle-checked ordered chunk reassembly (string_agg ORDER BY): each
     doc splits into 120-codepoint chunks (identically in the SQL twin via
@@ -3036,7 +3046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_gate": _q_repetition_gate,
         "normalize_text": _q_normalize_text,
         "substring_spans": _q_substring_spans,
-        "substring_clean": _q_substring_clean,
+        "chunk_documents": _q_chunk_documents,
         "line_dedup_global": _q_line_dedup_global,
         "assemble_chunks": _q_assemble_chunks,
         "curation_pipeline_v2": _q_curation_pipeline_v2,
@@ -3062,6 +3072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "substring_clean": _q_substring_clean,
         "line_dedup_stats": _q_line_dedup_stats,
         "sample_exact_n": _q_sample_exact_n,
         "fuzzy_decontaminate": _q_fuzzy_decontaminate,
@@ -3849,6 +3860,14 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "chunk_documents": """
+            SELECT doc_id, i - 1 AS pos,
+                   substring(coalesce(text, ''), (i - 1) * 80 + 1, 120) AS chunk
+            FROM documents,
+                 UNNEST(generate_series(
+                     1, CAST(ceil(len(coalesce(text, '')) / 80.0) AS BIGINT)
+                 )) AS s(i)
         """,
         "assemble_chunks": """
             WITH chunks AS (

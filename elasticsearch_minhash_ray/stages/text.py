@@ -707,6 +707,43 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
+def chunk_documents(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    width: int = 120,
+    stride: int | None = None,
+):
+    """Document chunking — fixed ``width``-codepoint windows starting every
+    ``stride`` codepoints (stride < width ⇒ overlapping RAG-style windows;
+    default stride = width ⇒ a partition, the exact inverse of
+    :func:`assemble_chunks`). Map-only fan-out; chunk count per doc is
+    ``ceil(len/stride)`` with the final window truncated at the text end —
+    a window's start must lie inside the text, so empty docs emit nothing.
+    Output: (id, pos, chunk) with pos the 0-based window ordinal."""
+    stride = width if stride is None else stride
+    if stride <= 0 or width <= 0:
+        raise ValueError("width and stride must be positive")
+
+    def fan_out(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_in = batch[id_col].to_numpy(np.int64)
+        texts = batch[text_col].fillna("").to_numpy(object)
+        ids, poss, parts = [], [], []
+        for i, t in zip(ids_in, texts):
+            for k, p in enumerate(range(0, len(t), stride)):
+                ids.append(i)
+                poss.append(k)
+                parts.append(t[p : p + width])
+        return pd.DataFrame(
+            {id_col: np.asarray(ids, np.int64),
+             "pos": np.asarray(poss, np.int64),
+             "chunk": pd.Series(parts, dtype=object)}
+        )
+
+    return ds.map_batches(fan_out, batch_format="pandas")
+
+
 def assemble_chunks(
     ds,
     id_col: str = "doc_id",

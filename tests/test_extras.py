@@ -2302,3 +2302,20 @@ def test_assemble_chunks_roundtrip(ray_session):
         assemble_chunks(
             rd.from_items(rows + [{"doc_id": 2, "pos": 0, "chunk": "dup"}])
         ).materialize()
+
+
+def test_chunk_documents_windows(ray_session):
+    """Overlapping windows: starts every stride, width-truncated at the
+    end; stride=width partitions exactly; empty docs emit nothing."""
+    from elasticsearch_minhash_ray.stages.text import chunk_documents
+
+    rows = [{"doc_id": 1, "text": "abcdefghij"}, {"doc_id": 2, "text": ""}]
+    out = (
+        chunk_documents(rd.from_items(rows), width=4, stride=3)
+        .to_pandas().sort_values("pos")
+    )
+    assert out["chunk"].tolist() == ["abcd", "defg", "ghij", "j"]
+    assert out["doc_id"].unique().tolist() == [1]
+
+    part = chunk_documents(rd.from_items(rows), width=4).to_pandas().sort_values("pos")
+    assert part["chunk"].tolist() == ["abcd", "efgh", "ij"]
