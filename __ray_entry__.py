@@ -2872,6 +2872,42 @@ def _q_events_pivot(sf_dir: str):
     )
 
 
+def _q_dedup_rate_by_source(sf_dir: str):
+    """Oracle-checked per-source duplication report — where the duplicate
+    mass lives before spending a dedup pass. Duplicates are PLANTED
+    deterministically (every doc_id % 10 == 0 gains an exact copy at
+    doc_id + 20_000_000, identically in the SQL twin) so rates are nonzero
+    and value-hash-exercised. Distinct-pair combiner → one source exchange
+    (stages/dedup.py:dedup_rate_by_group)."""
+    import hashlib
+
+    from elasticsearch_minhash_ray.stages.dedup import dedup_rate_by_group
+
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+
+    def plant_and_sha(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = [(t or "") for t in batch["text"].to_pylist()]
+        srcs = batch["source"].to_pylist()
+        out_src, out_sha = list(srcs), [
+            hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts
+        ]
+        for i, t, s in zip(ids, texts, srcs):
+            if i % 10 == 0:
+                out_src.append(s)
+                out_sha.append(hashlib.sha256(t.encode("utf-8")).hexdigest())
+        return pa.table(
+            {"source": pa.array(out_src, pa.string()),
+             "content_sha256": pa.array(out_sha, pa.string())}
+        )
+
+    return dedup_rate_by_group(
+        ds.map_batches(plant_and_sha, batch_format="pyarrow"),
+        key_col="content_sha256",
+        by="source",
+    )
+
+
 def _q_chunk_documents(sf_dir: str):
     """Oracle-checked RAG-style chunking: 120-codepoint windows every 80
     (overlapping), map-only fan-out (stages/text.py:chunk_documents).
@@ -3023,7 +3059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_groups": _q_exact_dedup_groups,
         "clone_groups": _q_clone_groups,
         "latest_snapshot": _q_latest_snapshot,
-        "source_stats": _q_source_stats,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         "text_quality_stats": _q_text_quality_stats,
         "char_entropy": _q_char_entropy,
         "events_pivot": _q_events_pivot,
@@ -3072,6 +3108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_hopping ~ the windowed aggregates, substring_stats ~
         # substring_spans/clean, curation_pipeline ~ curation_pipeline_v2;
         # generic aggregates verified r3+r4, pytest-covered) ---
+        "source_stats": _q_source_stats,
         "substring_clean": _q_substring_clean,
         "line_dedup_stats": _q_line_dedup_stats,
         "sample_exact_n": _q_sample_exact_n,
@@ -3860,6 +3897,22 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "dedup_rate_by_source": """
+            WITH aug AS (
+              SELECT source, sha256(coalesce(text, '')) AS sha FROM documents
+              UNION ALL
+              SELECT source, sha256(coalesce(text, ''))
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            g AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(count(DISTINCT sha) AS BIGINT) AS n_distinct
+              FROM aug GROUP BY source
+            )
+            SELECT source, n_docs, n_distinct,
+                   round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 9) AS dup_rate
+            FROM g
         """,
         "chunk_documents": """
             SELECT doc_id, i - 1 AS pos,

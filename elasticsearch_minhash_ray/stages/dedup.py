@@ -117,6 +117,47 @@ def clone_groups(ds, text_col: str = "text", id_col: str = "doc_id", num_partiti
     return groups.map_batches(families, batch_format="pyarrow")
 
 
+def dedup_rate_by_group(ds, key_col: str = "content_sha256", by: str = "source"):
+    """Per-group duplication report: (by, n_docs, n_distinct, dup_rate) —
+    the dedup-dashboard aggregate that tells you WHERE the duplicate mass
+    lives before you spend a full dedup pass on it. Combiner: per-block
+    distinct (by, key) pairs with partial counts (exchange rows ∝ distinct
+    pairs, never docs) → ONE by-keyed exchange → per-group total + nunique.
+    dup_rate = 1 − distinct/docs as a single float64 divide+subtract, the
+    same two IEEE ops as the SQL twin."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([by, key_col]).to_pandas()
+        agg = df.groupby([by, key_col], sort=False, as_index=False).size()
+        agg = agg.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+        return table_from_pandas(agg)
+
+    def final(block: pa.Table) -> pa.Table:
+        df = block.to_pandas()
+        if not len(df):
+            return table_from_pandas(
+                pd.DataFrame(
+                    {by: pd.Series([], dtype=object),
+                     "n_docs": pd.Series([], dtype=np.int64),
+                     "n_distinct": pd.Series([], dtype=np.int64),
+                     "dup_rate": pd.Series([], dtype=np.float64)}
+                )
+            )
+        g = df.groupby(by, sort=False).agg(
+            n_docs=("cnt", "sum"), n_distinct=(key_col, "nunique")
+        ).reset_index()
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        g["n_distinct"] = g["n_distinct"].astype(np.int64)
+        g["dup_rate"] = np.round(
+            1.0 - g["n_distinct"].to_numpy(np.float64) / g["n_docs"].to_numpy(np.float64),
+            9,
+        )
+        return table_from_pandas(g)
+
+    return map_copartitioned(ds.map_batches(partial, batch_format="pyarrow"), by, final)
+
+
 def exact_dedup_keep(ds, key_col: str = "content_sha256", id_col: str = "doc_id", num_partitions: int = 64):
     """The representative (kept) id per distinct content — the dedup output a
     training pipeline consumes."""
