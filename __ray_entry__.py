@@ -996,6 +996,75 @@ def _q_top_events_per_user(sf_dir: str):
     return topk_per_group(ds, by="user_id", order_col="value", k=3, tiebreak="event_id")
 
 
+def _q_left_join_orders(sf_dir: str):
+    """Oracle-checked LEFT OUTER join with the scale-correct aggregate-
+    before-join shape: orders pre-aggregate to (custkey, n_orders,
+    total_cents) via a per-block combiner + one keyed exchange, THEN the
+    customer table left-outer-joins the small aggregate (Ray Data native
+    join), and customers with no orders null-fill to zeros — the classic
+    'every entity gets a row' report. Integer cents for bit-exactness."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"], dense=True
+    )
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"], dense=True
+    )
+
+    # the synthetic corpus gives every customer >= 1 order, so orphan
+    # customers are PLANTED (every c_custkey % 20 == 0 gains a no-order
+    # twin at +1_000_000, identically in the SQL twin) to exercise the
+    # null-fill path, not just pass through it
+    def plant(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["c_custkey"].to_numpy(np.int64)
+        extra = k[k % 20 == 0] + 1_000_000
+        return pd.DataFrame({"c_custkey": np.concatenate([k, extra])})
+
+    cust = cust.map_batches(plant, batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy(np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        g = pd.DataFrame({"o_custkey": batch["o_custkey"], "c": cents})
+        out = g.groupby("o_custkey", sort=False, as_index=False).agg(
+            n_orders=("c", "size"), total_cents=("c", "sum")
+        )
+        return out.astype({"n_orders": np.int64, "total_cents": np.int64})
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block
+        return block.groupby("o_custkey", sort=False, as_index=False)[
+            ["n_orders", "total_cents"]
+        ].sum()
+
+    agg = map_copartitioned(
+        orders.map_batches(partial, batch_format="pandas"), "o_custkey", merge,
+        batch_format="pandas",
+    )
+    joined = cust.join(
+        agg,
+        join_type="left_outer",
+        num_partitions=4,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def fill(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy(np.int64),
+                "n_orders": batch["n_orders"].fillna(0).to_numpy(np.int64),
+                "total_cents": batch["total_cents"].fillna(0).to_numpy(np.int64),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
 def _q_hash_join(sf_dir: str):
     """Oracle-checked big-big shuffle equi-join via Ray Data's NATIVE
     hash join (Dataset.join, hash-partitioned aggregators on both sides —
@@ -3096,6 +3165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "hash_join": _q_hash_join,
+        "left_join_orders": _q_left_join_orders,
         "value_zscore": _q_value_zscore,
         "mix_sources": _q_mix_sources,
         "sample_n_per_lang": _q_sample_n_per_lang,
@@ -3897,6 +3967,19 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "left_join_orders": """
+            WITH cust AS (
+              SELECT c_custkey FROM customer
+              UNION ALL
+              SELECT c_custkey + 1000000 FROM customer WHERE c_custkey % 20 = 0
+            )
+            SELECT c.c_custkey,
+                   CAST(count(o.o_custkey) AS BIGINT) AS n_orders,
+                   CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS total_cents
+            FROM cust c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
         """,
         "dedup_rate_by_source": """
             WITH aug AS (
