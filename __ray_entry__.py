@@ -2855,6 +2855,30 @@ def _q_value_rolling_sum(sf_dir: str):
     )
 
 
+def _q_dominant_lang_by_source(sf_dir: str):
+    """Oracle-checked per-group MODE: each source's most common language
+    (ties to the lexically smallest). Distinct-pair combiner, one exchange,
+    deterministic argmax (stages/sample.py:mode_by_group)."""
+    from elasticsearch_minhash_ray.stages.sample import mode_by_group
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return mode_by_group(ds, "source", "lang", out_col="top_lang")
+
+
+def _q_event_transitions(sf_dir: str):
+    """Oracle-checked Markov transition counts: (prev event_type → next
+    event_type) frequencies over per-user ordered streams — the next-event
+    model input. One user exchange + packed-pair bincount partials + a tiny
+    final reduce (stages/window.py:transition_counts)."""
+    from elasticsearch_minhash_ray.stages.window import transition_counts
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
+
+
 def _q_event_debounce(sf_dir: str):
     """Oracle-checked burst-collapse dedup (debounce): within each
     (user, event_type) stream ordered by (ts, event_id), keep an event iff
@@ -3159,6 +3183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline_v5": _q_curation_pipeline_v5,
         "event_lag_gaps": _q_event_lag_gaps,
         "event_debounce": _q_event_debounce,
+        "event_transitions": _q_event_transitions,
+        "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
         "distinct_users_by_type": _q_distinct_users_by_type,
@@ -3966,6 +3992,29 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "dominant_lang_by_source": """
+            SELECT source, lang AS top_lang, n_value FROM (
+              SELECT source, lang, CAST(count(*) AS BIGINT) AS n_value,
+                     row_number() OVER (
+                         PARTITION BY source ORDER BY count(*) DESC, lang ASC
+                     ) AS rn
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              GROUP BY source, lang
+            ) WHERE rn = 1
+        """,
+        "event_transitions": """
+            WITH nxt AS (
+              SELECT event_type AS prev_state,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS next_state
+              FROM events
+            )
+            SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS cnt
+            FROM nxt WHERE next_state IS NOT NULL
+            GROUP BY prev_state, next_state
         """,
         "left_join_orders": """
             WITH cust AS (

@@ -145,12 +145,16 @@ HEADLINE = [
     "curation_pipeline_v5",
     # round 5 final: per-group exact-n deterministic sample
     "sample_n_per_lang",
-    # round 5 final: ordered chunk reassembly (string_agg ORDER BY)
+    # round 5 final: chunking + ordered reassembly (string_agg ORDER BY)
+    "chunk_documents",
     "assemble_chunks",
     # round 5 final: LEFT OUTER join with aggregate-before-join + null fill
     "left_join_orders",
     # round 5 final: per-source dedup-rate report + type-2 clone families
     "dedup_rate_by_source",
+    # round 5 final: per-group mode + Markov transition counts
+    "dominant_lang_by_source",
+    "event_transitions",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -356,6 +356,45 @@ def hash_sample_n(ds, key_col: str, n: int, salt: int = 0):
     )
 
 
+def mode_by_group(ds, by: str, value_col: str, out_col: str = "mode_value"):
+    """Per-group MODE (most frequent value), deterministic: ties break to
+    the lexically smallest value — the 'dominant language per source'
+    aggregate. Combiner: per-block (by, value, cnt) partials (rows ∝
+    distinct pairs) → ONE by-keyed exchange → merge + argmax. Null groups
+    and null values drop (the combiner convention). Output: (by, out_col,
+    n_value) with n_value the winning count."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[by].notna() & batch[value_col].notna()]
+        out = batch.groupby([by, value_col], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {by: pd.Series([], dtype=object),
+                 out_col: pd.Series([], dtype=object),
+                 "n_value": pd.Series([], dtype=np.int64)}
+            )
+        merged = block.groupby([by, value_col], sort=False, as_index=False)["cnt"].sum()
+        merged = merged.sort_values(
+            [by, "cnt", value_col], ascending=[True, False, True], kind="mergesort"
+        )
+        top = merged.groupby(by, sort=False).head(1)
+        return pd.DataFrame(
+            {by: top[by].to_numpy(), out_col: top[value_col].to_numpy(),
+             "n_value": top["cnt"].to_numpy(np.int64)}
+        )
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), by, final,
+        batch_format="pandas",
+    )
+
+
 def hash_sample_n_per_group(ds, key_col: str, group_col: str, n: int, salt: int = 0):
     """EXACT-size deterministic sample PER GROUP ("take n docs per
     language"): each group keeps its ``n`` rows with the smallest

@@ -175,6 +175,62 @@ def debounce(
     return map_copartitioned(ds, key_col, apply, batch_format="pandas")
 
 
+def transition_counts(
+    ds,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    state_col: str,
+):
+    """Markov transition counts over per-key ordered event streams: how
+    often state A is immediately followed by state B within the same key —
+    the behavioral-analytics / next-event-model input. ONE key exchange +
+    in-block lexsort (the lag_diff shape) produces per-block (prev, next,
+    cnt) partials via factorize + packed-pair bincount; a tiny final
+    repartition(1) reduce sums them (output ∝ distinct state pairs, not
+    events). First event per key has no predecessor and emits nothing."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def pairs(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"prev_state": pd.Series([], dtype=object),
+             "next_state": pd.Series([], dtype=object),
+             "cnt": pd.Series([], dtype=np.int64)}
+        )
+        if not len(block):
+            return empty
+        block = block.sort_values([key_col, ts_col, tiebreak_col], kind="stable")
+        k = block[key_col].to_numpy()
+        codes, uniq = pd.factorize(block[state_col], use_na_sentinel=False)
+        same = k[1:] == k[:-1]
+        a, b = codes[:-1][same], codes[1:][same]
+        if not len(a):
+            return empty
+        pair = a.astype(np.int64) * len(uniq) + b
+        pu, pc = np.unique(pair, return_counts=True)
+        uniq = np.asarray(uniq, dtype=object)
+        return pd.DataFrame(
+            {"prev_state": uniq[pu // len(uniq)],
+             "next_state": uniq[pu % len(uniq)],
+             "cnt": pc.astype(np.int64)}
+        )
+
+    partials = map_copartitioned(ds, key_col, pairs, batch_format="pandas")
+
+    def reduce(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        return batch.groupby(
+            ["prev_state", "next_state"], sort=False, as_index=False
+        )["cnt"].sum()
+
+    return partials.repartition(1).map_batches(
+        reduce, batch_size=None, batch_format="pandas"
+    )
+
+
 def sessionize(
     ds,
     key_col: str,
