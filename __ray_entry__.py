@@ -2879,6 +2879,19 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_user_active_time(sf_dir: str):
+    """Oracle-checked interval-union: total microseconds each user was
+    active, counting each moment once under overlapping 5-minute activity
+    windows (naive count x duration double-counts) — the gaps-and-islands
+    kernel over one user exchange (stages/window.py:interval_union)."""
+    from elasticsearch_minhash_ray.stages.window import interval_union
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return interval_union(ds, "user_id", "ts", "event_id", dur_us=300_000_000)
+
+
 def _q_event_debounce(sf_dir: str):
     """Oracle-checked burst-collapse dedup (debounce): within each
     (user, event_type) stream ordered by (ts, event_id), keep an event iff
@@ -3184,6 +3197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag_gaps": _q_event_lag_gaps,
         "event_debounce": _q_event_debounce,
         "event_transitions": _q_event_transitions,
+        "user_active_time": _q_user_active_time,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -3992,6 +4006,33 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "user_active_time": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+              FROM events
+            ),
+            m AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS pm
+              FROM iv
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS gid
+              FROM m
+            ),
+            g AS (
+              SELECT user_id, gid, min(s) AS st, max(e) AS en
+              FROM isl GROUP BY user_id, gid
+            )
+            SELECT user_id, CAST(sum(en - st) AS BIGINT) AS active_us,
+                   CAST(count(*) AS BIGINT) AS n_islands
+            FROM g GROUP BY user_id
         """,
         "dominant_lang_by_source": """
             SELECT source, lang AS top_lang, n_value FROM (

@@ -152,9 +152,10 @@ HEADLINE = [
     "left_join_orders",
     # round 5 final: per-source dedup-rate report + type-2 clone families
     "dedup_rate_by_source",
-    # round 5 final: per-group mode + Markov transition counts
+    # round 5 final: per-group mode + Markov transitions + interval union
     "dominant_lang_by_source",
     "event_transitions",
+    "user_active_time",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

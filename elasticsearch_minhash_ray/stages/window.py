@@ -175,6 +175,54 @@ def debounce(
     return map_copartitioned(ds, key_col, apply, batch_format="pandas")
 
 
+def interval_union(
+    ds,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    *,
+    dur_us: int,
+):
+    """Total covered time per key of the UNION of [ts, ts + dur) activity
+    intervals — 'how long was each user actually active', where naive
+    count·dur double-counts overlapping windows. The gaps-and-islands
+    kernel: after ONE key exchange and an in-block lexsort, an island
+    starts where the interval's start exceeds the running max end of all
+    earlier intervals in its key; covered time = Σ (island max-end −
+    island start). Segmented cummax/shift/group reductions are pandas C
+    kernels (a pure-numpy segmented cummax would need per-key offsets that
+    overflow int64 at epoch-us scale). Output: (key, active_us,
+    n_islands)."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def apply(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {key_col: np.empty(0, np.int64),
+                 "active_us": np.empty(0, np.int64),
+                 "n_islands": np.empty(0, np.int64)}
+            )
+        block = block.sort_values([key_col, ts_col, tiebreak_col], kind="stable")
+        k = pd.Series(block[key_col].to_numpy())
+        s = pd.Series(_order_int64(block[ts_col]))
+        e = s + dur_us
+        prev_max = e.groupby(k).cummax().groupby(k).shift(1)
+        new_island = prev_max.isna() | (s > prev_max)
+        gid = new_island.cumsum()  # global island id (keys are contiguous)
+        g = pd.DataFrame({"k": k, "gid": gid, "s": s, "e": e}).groupby(
+            "gid", sort=False
+        ).agg(k=("k", "first"), st=("s", "first"), en=("e", "max"))
+        out = g.assign(cov=g["en"] - g["st"]).groupby("k", sort=False).agg(
+            active_us=("cov", "sum"), n_islands=("cov", "size")
+        )
+        out = out.reset_index().rename(columns={"k": key_col})
+        return out.astype({"active_us": np.int64, "n_islands": np.int64})
+
+    return map_copartitioned(ds, key_col, apply, batch_format="pandas")
+
+
 def transition_counts(
     ds,
     key_col: str,

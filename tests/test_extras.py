@@ -2319,3 +2319,24 @@ def test_chunk_documents_windows(ray_session):
 
     part = chunk_documents(rd.from_items(rows), width=4).to_pandas().sort_values("pos")
     assert part["chunk"].tolist() == ["abcd", "efgh", "ij"]
+
+
+def test_interval_union_islands(ray_session):
+    """Overlapping and touching intervals merge (end == next start touches
+    since intervals are half-open and start > prev_max splits); disjoint
+    ones don't; per-key independence."""
+    from elasticsearch_minhash_ray.stages.window import interval_union
+
+    rows = [
+        {"u": 1, "ts": np.int64(0), "id": 1},    # [0, 10)
+        {"u": 1, "ts": np.int64(5), "id": 2},    # overlaps -> [0, 15)
+        {"u": 1, "ts": np.int64(15), "id": 3},   # touches end: NOT > 15 -> merges [0, 25)
+        {"u": 1, "ts": np.int64(100), "id": 4},  # new island [100, 110)
+        {"u": 2, "ts": np.int64(0), "id": 5},    # own key
+    ]
+    out = (
+        interval_union(rd.from_items(rows), "u", "ts", "id", dur_us=10)
+        .to_pandas().set_index("u")
+    )
+    assert out.loc[1, "active_us"] == 35 and out.loc[1, "n_islands"] == 2
+    assert out.loc[2, "active_us"] == 10 and out.loc[2, "n_islands"] == 1
