@@ -2879,6 +2879,19 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_label_centroids(sf_dir: str):
+    """Oracle-checked per-label embedding centroids (class prototypes):
+    one (label, sum-vec, count) partial per block — dim x 8 bytes per group
+    per block regardless of rows — one exchange, exploded (label, i, avg_v)
+    output (stages/embed.py:label_centroids)."""
+    from elasticsearch_minhash_ray.stages.embed import label_centroids
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"], dense=True
+    )
+    return label_centroids(ds)
+
+
 def _q_user_active_time(sf_dir: str):
     """Oracle-checked interval-union: total microseconds each user was
     active, counting each moment once under overlapping 5-minute activity
@@ -3198,6 +3211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_debounce": _q_event_debounce,
         "event_transitions": _q_event_transitions,
         "user_active_time": _q_user_active_time,
+        "label_centroids": _q_label_centroids,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4006,6 +4020,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, i,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 9) AS avg_v
+            FROM embeddings,
+                 UNNEST(generate_series(1, len(embedding))) AS s(i)
+            GROUP BY label, i
         """,
         "user_active_time": """
             WITH iv AS (

@@ -156,6 +156,7 @@ HEADLINE = [
     "dominant_lang_by_source",
     "event_transitions",
     "user_active_time",
+    "label_centroids",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

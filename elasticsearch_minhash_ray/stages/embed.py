@@ -800,3 +800,59 @@ def pack_vectors(ds, vec_col: str = "embedding"):
         return batch.set_column(idx, vec_col, arr)
 
     return ds.map_batches(pack, batch_format="pyarrow")
+
+
+def label_centroids(ds, by: str = "label", vec_col: str = "embedding"):
+    """Per-group embedding centroid (component means) — the class-prototype
+    aggregate behind nearest-centroid classifiers and per-source embedding
+    drift reports. Combiner shape: each block emits ONE (group, sum-vector,
+    count) partial (vector rides as float64 bytes, dim x 8 B per group per
+    block regardless of rows) -> one group exchange -> sum + divide.
+
+    Output is EXPLODED to (by, i, avg_v) rows — 1-based component index,
+    round-9 — because a list column would be silently dropped from the
+    driver's value-hash; the exploded form is exactly hashable and matches
+    the SQL twin's generate_series indexing. Component sums accumulate
+    per-block then across blocks, so float addition ORDER differs from the
+    SQL engine's single stream — agreement at round-9 (the unigram_surprisal
+    contract)."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _stack(batch, vec_col)
+        lab = np.asarray(batch[by], dtype=np.int64)
+        codes, uniq = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(codes), m.shape[1]), np.float64)
+        np.add.at(sums, uniq, m)
+        cnt = np.bincount(uniq, minlength=len(codes)).astype(np.int64)
+        return pa.table(
+            {
+                by: pa.array(codes, pa.int64()),
+                "vsum": pa.array([s.tobytes() for s in sums], pa.binary()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {by: np.empty(0, np.int64), "i": np.empty(0, np.int64),
+                 "avg_v": np.empty(0, np.float64)}
+            )
+        outs = []
+        for g, sub in block.groupby(by, sort=True):
+            vs = np.stack([np.frombuffer(b, np.float64) for b in sub["vsum"]])
+            mean = vs.sum(axis=0) / float(sub["cnt"].sum())
+            outs.append(pd.DataFrame(
+                {by: np.int64(g),
+                 "i": np.arange(1, len(mean) + 1, dtype=np.int64),
+                 "avg_v": np.round(mean, 9)}
+            ))
+        return pd.concat(outs, ignore_index=True)
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pyarrow"), by, final,
+        batch_format="pandas",
+    )
