@@ -2879,6 +2879,19 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_value_histogram(sf_dir: str):
+    """Oracle-checked per-type value histogram (equi-width 10-unit buckets)
+    — the distribution profiling aggregate. Bucket = floor(value/10) exact
+    int on both engines; combiner + one exchange
+    (stages/sample.py:value_histogram)."""
+    from elasticsearch_minhash_ray.stages.sample import value_histogram
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    return value_histogram(ds, "event_type", "value", bucket_width=10.0)
+
+
 def _q_label_centroids(sf_dir: str):
     """Oracle-checked per-label embedding centroids (class prototypes):
     one (label, sum-vec, count) partial per block — dim x 8 bytes per group
@@ -3212,6 +3225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "user_active_time": _q_user_active_time,
         "label_centroids": _q_label_centroids,
+        "value_histogram": _q_value_histogram,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4020,6 +4034,15 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "value_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(CAST(floor(value / 10.0) AS BIGINT) * 10.0, 9) AS bucket_lo
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY event_type, floor(value / 10.0)
         """,
         "label_centroids": """
             SELECT CAST(label AS BIGINT) AS label, i,

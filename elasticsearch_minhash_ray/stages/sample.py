@@ -356,6 +356,46 @@ def hash_sample_n(ds, key_col: str, n: int, salt: int = 0):
     )
 
 
+def value_histogram(ds, by: str, value_col: str, *, bucket_width: float):
+    """Per-group equi-width value histogram — the distribution-profiling
+    aggregate (value ranges per event type, length bands per source).
+    Bucket = floor(value / width) as an exact int64 on both engines;
+    combiner: per-block (by, bucket, cnt) partials → ONE by-keyed exchange
+    → sum. Null group/value rows drop. Output: (by, bucket, cnt,
+    bucket_lo) with bucket_lo = bucket·width for report readability."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[by].notna() & batch[value_col].notna()]
+        b = np.floor(
+            batch[value_col].to_numpy(np.float64) / bucket_width
+        ).astype(np.int64)
+        g = pd.DataFrame({by: batch[by], "bucket": b})
+        out = g.groupby([by, "bucket"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {by: pd.Series([], dtype=object),
+                 "bucket": pd.Series([], dtype=np.int64),
+                 "cnt": pd.Series([], dtype=np.int64),
+                 "bucket_lo": pd.Series([], dtype=np.float64)}
+            )
+        out = block.groupby([by, "bucket"], sort=False, as_index=False)["cnt"].sum()
+        out["bucket_lo"] = np.round(
+            out["bucket"].to_numpy(np.float64) * bucket_width, 9
+        )
+        return out
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), by, final,
+        batch_format="pandas",
+    )
+
+
 def mode_by_group(ds, by: str, value_col: str, out_col: str = "mode_value"):
     """Per-group MODE (most frequent value), deterministic: ties break to
     the lexically smallest value — the 'dominant language per source'
