@@ -2340,3 +2340,71 @@ def test_interval_union_islands(ray_session):
     )
     assert out.loc[1, "active_us"] == 35 and out.loc[1, "n_islands"] == 2
     assert out.loc[2, "active_us"] == 10 and out.loc[2, "n_islands"] == 1
+
+
+def test_mode_by_group_tiebreak(ray_session):
+    """Equal counts break to the lexically smallest value; null groups and
+    values drop."""
+    from elasticsearch_minhash_ray.stages.sample import mode_by_group
+
+    rows = [
+        {"g": "s", "v": "zz"}, {"g": "s", "v": "aa"},   # tie -> aa
+        {"g": "t", "v": "x"}, {"g": "t", "v": "x"}, {"g": "t", "v": "y"},
+        {"g": None, "v": "x"}, {"g": "u", "v": None},
+    ]
+    out = (
+        mode_by_group(rd.from_items(rows).repartition(3), "g", "v", out_col="top")
+        .to_pandas().set_index("g")
+    )
+    assert out.loc["s", "top"] == "aa" and out.loc["s", "n_value"] == 1
+    assert out.loc["t", "top"] == "x" and out.loc["t", "n_value"] == 2
+    assert "u" not in out.index and len(out) == 2
+
+
+def test_transition_counts_key_boundary(ray_session):
+    """No transition spans two keys; counts merge across blocks."""
+    from elasticsearch_minhash_ray.stages.window import transition_counts
+
+    rows = [
+        {"u": 1, "ts": np.int64(0), "id": 1, "t": "a"},
+        {"u": 1, "ts": np.int64(1), "id": 2, "t": "b"},
+        {"u": 1, "ts": np.int64(2), "id": 3, "t": "a"},
+        {"u": 2, "ts": np.int64(0), "id": 4, "t": "b"},  # no (a->b) from u1's tail
+        {"u": 2, "ts": np.int64(1), "id": 5, "t": "a"},
+    ]
+    out = (
+        transition_counts(rd.from_items(rows).repartition(2), "u", "ts", "id", "t")
+        .to_pandas()
+    )
+    got = {(r.prev_state, r.next_state): r.cnt for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "a"): 2}
+
+
+def test_value_histogram_negative_floor(ray_session):
+    """floor(-0.5/10) = -1 (toward -inf, matching SQL floor), not 0."""
+    from elasticsearch_minhash_ray.stages.sample import value_histogram
+
+    rows = [{"g": "x", "v": -5.0}, {"g": "x", "v": 5.0}, {"g": "x", "v": 15.0}]
+    out = (
+        value_histogram(rd.from_items(rows), "g", "v", bucket_width=10.0)
+        .to_pandas().sort_values("bucket")
+    )
+    assert out["bucket"].tolist() == [-1, 0, 1]
+    assert out["bucket_lo"].tolist() == [-10.0, 0.0, 10.0]
+
+
+def test_label_centroids_cross_block_merge(ray_session):
+    """Partial sum-vectors from different blocks merge to the exact mean."""
+    from elasticsearch_minhash_ray.stages.embed import label_centroids
+
+    rows = [
+        {"label": 1, "embedding": [0.0, 4.0]},
+        {"label": 1, "embedding": [2.0, 0.0]},
+        {"label": 2, "embedding": [10.0, 10.0]},
+    ]
+    out = (
+        label_centroids(rd.from_items(rows).repartition(3))
+        .to_pandas().set_index(["label", "i"])
+    )
+    assert out.loc[(1, 1), "avg_v"] == 1.0 and out.loc[(1, 2), "avg_v"] == 2.0
+    assert out.loc[(2, 1), "avg_v"] == 10.0
