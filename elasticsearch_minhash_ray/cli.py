@@ -199,6 +199,53 @@ def cmd_delta(args) -> int:
     return 0
 
 
+def _entry_module():
+    """Import the repo-root ``__ray_entry__`` catalog. The CLI ships inside
+    the package but the query catalog (driver contract) lives at the repo
+    root; resolve it relative to this file so the subcommand works from any
+    cwd."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", root / "__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _entry_queries() -> list[str]:
+    return sorted(_entry_module().queries())
+
+
+def cmd_query(args) -> int:
+    qs = _entry_module().queries()
+    if not args.name or args.name not in qs:
+        print(json.dumps({"error": f"unknown query {args.name!r}; use --list"}))
+        return 2
+    res = qs[args.name](args.sf_dir)
+    out: dict = {"query": args.name, "sf_dir": args.sf_dir}
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        if args.output:
+            res.write_parquet(args.output)
+            out["output"] = args.output
+        out["n_rows"] = res.count()
+    else:  # pandas / pyarrow results are driver-small
+        import pandas as pd
+
+        df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        if args.output:
+            df.to_parquet(f"{args.output.rstrip('/')}/result.parquet")
+            out["output"] = args.output
+        out["n_rows"] = len(df)
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="elasticsearch_minhash_ray", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -256,7 +303,24 @@ def main(argv: list[str] | None = None) -> int:
     p_cl.add_argument("--min-len", type=int, default=1, help="lines mode: min line length to participate")
     p_cl.add_argument("--num-partitions", type=int, default=64)
 
+    p_q = sub.add_parser(
+        "query",
+        help="run any catalog query from __ray_entry__.queries() over an "
+        "sf-dir of parquet tables (use --list to enumerate)",
+    )
+    p_q.add_argument("name", nargs="?", help="query name (see --list)")
+    p_q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                     help="directory holding the parquet tables")
+    p_q.add_argument("--output", default=None,
+                     help="write result parquet here (default: print row count)")
+    p_q.add_argument("--list", action="store_true", help="list query names and exit")
+
     args = parser.parse_args(argv)
+
+    if args.cmd == "query" and args.list:
+        # no Ray session needed to enumerate
+        print("\n".join(_entry_queries()))
+        return 0
 
     import ray
 
@@ -270,6 +334,7 @@ def main(argv: list[str] | None = None) -> int:
             "keep": cmd_keep,
             "index": cmd_index,
             "delta": cmd_delta,
+            "query": cmd_query,
         }[args.cmd](args)
     finally:
         ray.shutdown()

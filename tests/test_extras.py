@@ -2408,3 +2408,13 @@ def test_label_centroids_cross_block_merge(ray_session):
     )
     assert out.loc[(1, 1), "avg_v"] == 1.0 and out.loc[(1, 2), "avg_v"] == 2.0
     assert out.loc[(2, 1), "avg_v"] == 10.0
+
+
+def test_cli_query_list_and_unknown(capsys):
+    """--list enumerates the full catalog without a Ray session; unknown
+    names exit 2 with a JSON error."""
+    from elasticsearch_minhash_ray.cli import main
+
+    assert main(["query", "--list"]) == 0
+    names = capsys.readouterr().out.split()
+    assert len(names) >= 122 and "event_debounce" in names
