@@ -2879,6 +2879,26 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_qty_price_corr(sf_dir: str):
+    """Oracle-checked per-group Pearson correlation (quantity vs extended
+    price per returnflag) — BIT-exact, no tolerance: integer-fixed inputs
+    (whole units — dollar² · rows must stay in int64), exact BIGINT
+    sufficient statistics through the combiner exchange, final expression
+    in doubles with the SQL twin's op order
+    (stages/sample.py:corr_by_group)."""
+    from elasticsearch_minhash_ray.stages.sample import corr_by_group
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+        dense=True,
+    )
+    return corr_by_group(
+        ds, "l_quantity", "l_extendedprice", "l_returnflag",
+        x_scale=1.0, y_scale=1.0,
+    )
+
+
 def _q_value_histogram(sf_dir: str):
     """Oracle-checked per-type value histogram (equi-width 10-unit buckets)
     — the distribution profiling aggregate. Bucket = floor(value/10) exact
@@ -3226,6 +3246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": _q_user_active_time,
         "label_centroids": _q_label_centroids,
         "value_histogram": _q_value_histogram,
+        "qty_price_corr": _q_qty_price_corr,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4034,6 +4055,32 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "qty_price_corr": """
+            WITH ints AS (
+              SELECT l_returnflag AS g,
+                     CAST(round(l_quantity) AS BIGINT) AS x,
+                     CAST(round(l_extendedprice) AS BIGINT) AS y
+              FROM lineitem
+            ),
+            s AS (
+              SELECT g, CAST(count(*) AS BIGINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+              FROM ints GROUP BY g
+            )
+            SELECT g AS l_returnflag,
+                   CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+                        THEN round((CAST(n AS DOUBLE) * sxy
+                                    - CAST(sx AS DOUBLE) * sy)
+                                   / sqrt((CAST(n AS DOUBLE) * sxx
+                                           - CAST(sx AS DOUBLE) * sx)
+                                          * (CAST(n AS DOUBLE) * syy
+                                             - CAST(sy AS DOUBLE) * sy)), 9)
+                        ELSE 0.0 END AS corr,
+                   n
+            FROM s
         """,
         "value_histogram": """
             SELECT event_type,

@@ -158,6 +158,7 @@ HEADLINE = [
     "user_active_time",
     "label_centroids",
     "value_histogram",
+    "qty_price_corr",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

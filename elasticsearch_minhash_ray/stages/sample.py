@@ -356,6 +356,85 @@ def hash_sample_n(ds, key_col: str, n: int, salt: int = 0):
     )
 
 
+def corr_by_group(
+    ds,
+    x_col: str,
+    y_col: str,
+    by: str,
+    *,
+    x_scale: float = 1.0,
+    y_scale: float = 1.0,
+    out_col: str = "corr",
+):
+    """Per-group Pearson correlation, engineered for BIT-exact cross-engine
+    parity (the zscore_by_group contract extended to two variables): both
+    columns fix to integers (``round(v * scale)``), the six sufficient
+    statistics (n, Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs through the
+    combiner exchange, and r derives from them with an identical
+    IEEE-double operation order on both engines — every float input is
+    exact, every op deterministic, so no tolerance needed.
+
+    Overflow bounds (int64): |x_int|²·rows and |x_int·y_int|·rows must stay
+    under 2^63 (~9.2e18) — pick scales so the SCALED ints are small (whole
+    units, not micro-units); n·Σy² may exceed int64, so the FINAL expression
+    runs in doubles, not BIGINTs, on both sides. Zero-variance groups (and
+    singletons) emit r = 0.0. Null group/x/y rows drop. Output: (by,
+    out_col, n)."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def to_int(v: np.ndarray, scale: float) -> np.ndarray:
+        return (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype(np.int64)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[
+            batch[by].notna() & batch[x_col].notna() & batch[y_col].notna()
+        ]
+        x = to_int(batch[x_col].to_numpy(np.float64), x_scale)
+        y = to_int(batch[y_col].to_numpy(np.float64), y_scale)
+        g = pd.DataFrame(
+            {by: batch[by], "x": x, "y": y, "xx": x * x, "yy": y * y, "xy": x * y}
+        )
+        out = g.groupby(by, sort=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+        )
+        return out.reset_index()
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {by: pd.Series([], dtype=object),
+                 out_col: pd.Series([], dtype=np.float64),
+                 "n": pd.Series([], dtype=np.int64)}
+            )
+        m = block.groupby(by, sort=False, as_index=False)[cols].sum()
+        # identical op order as the SQL twin: all six ints -> double, then
+        # cov = n*sxy - sx*sy; vx = n*sxx - sx*sx; vy = n*syy - sy*sy;
+        # r = cov / sqrt(vx * vy)
+        n = m["n"].to_numpy(np.float64)
+        sx = m["sx"].to_numpy(np.float64)
+        sy = m["sy"].to_numpy(np.float64)
+        cov = n * m["sxy"].to_numpy(np.float64) - sx * sy
+        vx = n * m["sxx"].to_numpy(np.float64) - sx * sx
+        vy = n * m["syy"].to_numpy(np.float64) - sy * sy
+        denom = np.sqrt(vx * vy)
+        r = np.zeros(len(m), np.float64)
+        ok = denom > 0
+        r[ok] = np.round(cov[ok] / denom[ok], 9)
+        return pd.DataFrame(
+            {by: m[by], out_col: r, "n": m["n"].to_numpy(np.int64)}
+        )
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), by, final,
+        batch_format="pandas",
+    )
+
+
 def value_histogram(ds, by: str, value_col: str, *, bucket_width: float):
     """Per-group equi-width value histogram — the distribution-profiling
     aggregate (value ranges per event type, length bands per source).
