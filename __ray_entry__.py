@@ -2879,6 +2879,21 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_value_drift(sf_dir: str):
+    """Oracle-checked distribution drift: per event type, L1 distance
+    between the value histograms of events before vs after 2024-01-16 UTC —
+    the silent-source-change monitor. Exact cross-multiplied integer form,
+    one double divide at the end (stages/sample.py:histogram_drift)."""
+    from elasticsearch_minhash_ray.stages.sample import histogram_drift
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "ts"]
+    )
+    return histogram_drift(
+        ds, "event_type", "value", "ts", 1_705_363_200_000_000, bucket_width=10.0
+    )
+
+
 def _q_qty_price_corr(sf_dir: str):
     """Oracle-checked per-group Pearson correlation (quantity vs extended
     price per returnflag) — BIT-exact, no tolerance: integer-fixed inputs
@@ -3247,6 +3262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "value_histogram": _q_value_histogram,
         "qty_price_corr": _q_qty_price_corr,
+        "value_drift": _q_value_drift,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4055,6 +4071,37 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "value_drift": """
+            WITH h AS (
+              SELECT event_type,
+                     CASE WHEN epoch_us(ts) >= 1705363200000000
+                          THEN 1 ELSE 0 END AS half,
+                     CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events
+              WHERE event_type IS NOT NULL AND value IS NOT NULL
+              GROUP BY 1, 2, 3
+            ),
+            tot AS (
+              SELECT event_type,
+                     CAST(sum(CASE WHEN half = 0 THEN cnt ELSE 0 END) AS BIGINT) AS n1,
+                     CAST(sum(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS BIGINT) AS n2
+              FROM h GROUP BY 1
+            ),
+            p AS (
+              SELECT event_type, bucket,
+                     CAST(sum(CASE WHEN half = 0 THEN cnt ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN half = 1 THEN cnt ELSE 0 END) AS BIGINT) AS c2
+              FROM h GROUP BY 1, 2
+            )
+            SELECT p.event_type,
+                   round(CAST(sum(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                         / (CAST(n1 AS DOUBLE) * n2), 9) AS l1_drift,
+                   n1 AS n_first, n2 AS n_second
+            FROM p JOIN tot USING (event_type)
+            WHERE n1 > 0 AND n2 > 0
+            GROUP BY p.event_type, n1, n2
         """,
         "qty_price_corr": """
             WITH ints AS (

@@ -159,6 +159,7 @@ HEADLINE = [
     "label_centroids",
     "value_histogram",
     "qty_price_corr",
+    "value_drift",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -475,6 +475,82 @@ def value_histogram(ds, by: str, value_col: str, *, bucket_width: float):
     )
 
 
+def histogram_drift(
+    ds,
+    by: str,
+    value_col: str,
+    split_col: str,
+    split_at: int,
+    *,
+    bucket_width: float,
+):
+    """Distribution drift per group between two cohorts (rows before /
+    after ``split_at`` on int64-comparable ``split_col``): L1 distance
+    between the cohorts' equi-width value histograms — the data-quality
+    monitor that catches a source silently changing shape. EXACT integer
+    form: drift = Σ|c1·N2 − c2·N1| / (N1·N2), one cross-multiplied BIGINT
+    sum then a single double divide (no per-bucket float fractions), so the
+    SQL twin matches bit-for-bit. Overflow bound: bucket count × cohort
+    total must stay under 2^63 — fine to ~3e9 rows per (group, cohort);
+    shard the window first beyond that. Groups missing either cohort are
+    dropped (drift undefined). Combiner: (by, half, bucket, cnt) partials →
+    ONE by-keyed exchange. Output: (by, l1_drift, n_first, n_second)."""
+    import pandas as pd
+
+    from ..grouping import map_copartitioned
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[by].notna() & batch[value_col].notna()]
+        s = batch[split_col]
+        if np.issubdtype(s.dtype, np.datetime64):
+            sv = s.to_numpy().astype("datetime64[us]").view("int64")
+        else:
+            sv = s.to_numpy(np.int64)
+        half = (sv >= split_at).astype(np.int64)
+        b = np.floor(
+            batch[value_col].to_numpy(np.float64) / bucket_width
+        ).astype(np.int64)
+        g = pd.DataFrame({by: batch[by], "half": half, "bucket": b})
+        out = g.groupby([by, "half", "bucket"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {by: pd.Series([], dtype=object),
+             "l1_drift": pd.Series([], dtype=np.float64),
+             "n_first": pd.Series([], dtype=np.int64),
+             "n_second": pd.Series([], dtype=np.int64)}
+        )
+        if not len(block):
+            return empty
+        m = block.groupby([by, "half", "bucket"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+        rows = []
+        for g, sub in m.groupby(by, sort=True):
+            piv = sub.pivot_table(
+                index="bucket", columns="half", values="cnt",
+                fill_value=0, aggfunc="sum",
+            ).reindex(columns=[0, 1], fill_value=0)
+            c1 = piv[0].to_numpy(np.int64)
+            c2 = piv[1].to_numpy(np.int64)
+            n1, n2 = int(c1.sum()), int(c2.sum())
+            if n1 == 0 or n2 == 0:
+                continue
+            num = int(np.abs(c1 * n2 - c2 * n1).sum())
+            rows.append(
+                (g, round(float(num) / (float(n1) * n2), 9), n1, n2)
+            )
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=[by, "l1_drift", "n_first", "n_second"])
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), by, final,
+        batch_format="pandas",
+    )
+
+
 def mode_by_group(ds, by: str, value_col: str, out_col: str = "mode_value"):
     """Per-group MODE (most frequent value), deterministic: ties break to
     the lexically smallest value — the 'dominant language per source'
