@@ -2879,6 +2879,32 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_profile_docs(sf_dir: str):
+    """Oracle-checked ingest profile of the documents table's categorical
+    columns: per column, row/null/distinct counts from ONE melted
+    column-keyed exchange (stages/text.py:profile_columns). Nulls are
+    PLANTED (every doc_id % 9 == 0 nulls its lang, identically in SQL) so
+    the null path is value-hash-exercised — the raw corpus has none."""
+    from elasticsearch_minhash_ray.stages.text import profile_columns
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "source"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        keep = pa.array(ids % 9 != 0)
+        lang = pc.if_else(keep, batch["lang"], pa.scalar(None, pa.string()))
+        return pa.table(
+            {"lang": lang.combine_chunks() if hasattr(lang, "combine_chunks") else lang,
+             "source": batch["source"]}
+        )
+
+    return profile_columns(
+        ds.map_batches(plant, batch_format="pyarrow"), ["lang", "source"]
+    )
+
+
 def _q_value_drift(sf_dir: str):
     """Oracle-checked distribution drift: per event type, L1 distance
     between the value histograms of events before vs after 2024-01-16 UTC —
@@ -3263,6 +3289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "qty_price_corr": _q_qty_price_corr,
         "value_drift": _q_value_drift,
+        "profile_docs": _q_profile_docs,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4071,6 +4098,22 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, tot
             GROUP BY token, tot.n
             HAVING count(*) * 1000 >= tot.n
+        """,
+        "profile_docs": """
+            WITH planted AS (
+              SELECT CASE WHEN doc_id % 9 = 0 THEN NULL ELSE lang END AS lang,
+                     source
+              FROM documents
+            )
+            SELECT 'lang' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(*) FILTER (lang IS NULL) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+            FROM planted
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(count(*) FILTER (source IS NULL) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT)
+            FROM planted
         """,
         "value_drift": """
             WITH h AS (

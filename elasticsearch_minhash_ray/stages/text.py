@@ -707,6 +707,59 @@ def tfidf_topk(ds, k: int = 5, text_col: str = "text", id_col: str = "doc_id",
     return map_copartitioned(with_idf, id_col, per_doc_topk, batch_format="pandas")
 
 
+def profile_columns(ds, columns: list[str]):
+    """Schema-quality profile for the named columns: (column, n_rows,
+    n_nulls, n_distinct) — the ingest sanity report (a silently-null or
+    near-constant column is a broken upstream). Per block the listed
+    columns MELT to (column, value-as-string, null flag) distinct-pair
+    partials with counts, so ONE column-keyed exchange serves every column
+    at once; exchange rows ∝ Σ distinct values per column per block —
+    profile exchange-sized columns directly (categoricals, enums, langs)
+    and pre-hash unbounded ones (text → sha) before calling."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for c in columns:
+            s = batch[c]
+            n_null = int(s.isna().sum())
+            vals = s.dropna().astype(str)
+            vc = vals.value_counts()
+            frames.append(pd.DataFrame(
+                {"column": c, "value": vc.index.to_numpy(object),
+                 "cnt": vc.to_numpy(np.int64), "nulls": np.int64(0)}
+            ))
+            frames.append(pd.DataFrame(
+                {"column": [c], "value": [None], "cnt": [np.int64(0)],
+                 "nulls": [np.int64(n_null)]}
+            ))
+        return pd.concat(frames, ignore_index=True)
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"column": pd.Series([], dtype=object),
+                 "n_rows": pd.Series([], dtype=np.int64),
+                 "n_nulls": pd.Series([], dtype=np.int64),
+                 "n_distinct": pd.Series([], dtype=np.int64)}
+            )
+        rows = []
+        for c, sub in block.groupby("column", sort=True):
+            vals = sub[sub["value"].notna()]
+            n_nulls = int(sub["nulls"].sum())
+            n_vals = int(vals["cnt"].sum())
+            rows.append((c, n_vals + n_nulls, n_nulls, vals["value"].nunique()))
+        return pd.DataFrame(
+            rows, columns=["column", "n_rows", "n_nulls", "n_distinct"]
+        ).astype({"n_rows": np.int64, "n_nulls": np.int64, "n_distinct": np.int64})
+
+    from ..grouping import map_copartitioned
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), "column", final,
+        batch_format="pandas",
+    )
+
+
 def chunk_documents(
     ds,
     id_col: str = "doc_id",
