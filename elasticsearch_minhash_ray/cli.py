@@ -246,6 +246,22 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-file compaction: read a fragmented parquet directory, coalesce
+    to ~target-rows blocks, rewrite. The 100-TB housekeeping pass after
+    incremental ingest — thousands of tiny delta shards re-pack into
+    read-efficient files; repartition here is a COALESCE (no shuffle),
+    rows keep their block-local order."""
+    from .sources.corpus import read_parquet_auto
+
+    ds = read_parquet_auto(args.input)
+    n = ds.count()
+    blocks = max(1, -(-n // args.target_rows))
+    ds.repartition(blocks).write_parquet(args.output)
+    print(json.dumps({"rows": n, "output_blocks": blocks, "output": args.output}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="elasticsearch_minhash_ray", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -315,6 +331,14 @@ def main(argv: list[str] | None = None) -> int:
                      help="write result parquet here (default: print row count)")
     p_q.add_argument("--list", action="store_true", help="list query names and exit")
 
+    p_cp = sub.add_parser(
+        "compact",
+        help="coalesce a fragmented parquet dir into ~target-rows blocks",
+    )
+    p_cp.add_argument("--input", required=True)
+    p_cp.add_argument("--output", required=True)
+    p_cp.add_argument("--target-rows", type=int, default=1_000_000)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "query" and args.list:
@@ -335,6 +359,7 @@ def main(argv: list[str] | None = None) -> int:
             "index": cmd_index,
             "delta": cmd_delta,
             "query": cmd_query,
+            "compact": cmd_compact,
         }[args.cmd](args)
     finally:
         ray.shutdown()

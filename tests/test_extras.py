@@ -2418,3 +2418,31 @@ def test_cli_query_list_and_unknown(capsys):
     assert main(["query", "--list"]) == 0
     names = capsys.readouterr().out.split()
     assert len(names) >= 122 and "event_debounce" in names
+
+
+def test_cli_compact(ray_session, tmp_path):
+    """Fragmented shards coalesce to the requested block count with the
+    row multiset preserved."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from elasticsearch_minhash_ray.cli import cmd_compact
+
+    src = tmp_path / "frag"
+    src.mkdir()
+    for i in range(8):
+        pd.DataFrame({"a": range(i * 10, i * 10 + 10)}).to_parquet(
+            src / f"part{i}.parquet"
+        )
+    out = tmp_path / "compact"
+
+    class A:
+        input = str(src)
+        output = str(out)
+        target_rows = 40
+
+    assert cmd_compact(A()) == 0
+    files = list(out.glob("*.parquet"))
+    assert len(files) == 2
+    got = sorted(pd.concat([pq.read_table(f).to_pandas() for f in files])["a"])
+    assert got == list(range(80))
