@@ -2879,6 +2879,50 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_lang_agreement(sf_dir: str):
+    """Oracle-checked label-quality audit: per CLAIMED language, how often
+    the n-gram language-ID prediction agrees — the mislabeled-metadata
+    detector. Map-only LangIdStage + per-(lang, hit) count combiner + one
+    exchange; integer-exact agree counts, one double divide (twin reuses
+    the full lang_id stopword SQL)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+    from elasticsearch_minhash_ray.stages.text import LangIdStage
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangIdStage(), batch_format="pandas")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        agree = (batch["lang"] == batch["lang_pred"]).astype(np.int64)
+        g = pd.DataFrame({"lang": batch["lang"], "agree": agree})
+        out = g.groupby("lang", sort=False, as_index=False).agg(
+            n_docs=("agree", "size"), n_agree=("agree", "sum")
+        )
+        return out.astype({"n_docs": np.int64, "n_agree": np.int64})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"lang": pd.Series([], dtype=object),
+                 "n_docs": pd.Series([], dtype=np.int64),
+                 "n_agree": pd.Series([], dtype=np.int64),
+                 "agree_rate": pd.Series([], dtype=np.float64)}
+            )
+        m = block.groupby("lang", sort=False, as_index=False)[
+            ["n_docs", "n_agree"]
+        ].sum()
+        m["agree_rate"] = np.round(
+            m["n_agree"].to_numpy(np.float64) / m["n_docs"].to_numpy(np.float64), 9
+        )
+        return m
+
+    return map_copartitioned(
+        pred.map_batches(partial, batch_format="pandas"), "lang", final,
+        batch_format="pandas",
+    )
+
+
 def _q_profile_docs(sf_dir: str):
     """Oracle-checked ingest profile of the documents table's categorical
     columns: per column, row/null/distinct counts from ONE melted
@@ -3290,6 +3334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": _q_qty_price_corr,
         "value_drift": _q_value_drift,
         "profile_docs": _q_profile_docs,
+        "lang_agreement": _q_lang_agreement,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4669,6 +4714,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tp.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "lang_agreement": f"""
+            WITH pred AS ({_lang_id_sql()})
+            SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) FILTER (d.lang = p.lang_pred) AS BIGINT) AS n_agree,
+                   round(CAST(count(*) FILTER (d.lang = p.lang_pred) AS DOUBLE)
+                         / count(*), 9) AS agree_rate
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang
+        """,
         "line_dedup_stats": """
             SELECT doc_id,
                    CAST(len(ls) AS BIGINT) AS n_lines,

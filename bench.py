@@ -161,6 +161,7 @@ HEADLINE = [
     "qty_price_corr",
     "value_drift",
     "profile_docs",
+    "lang_agreement",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
