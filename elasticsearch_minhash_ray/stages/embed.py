@@ -242,14 +242,27 @@ class HyperplaneLSHStage:
     bytes/row; verification re-attaches vectors in two co-partitioned passes.
     With ``carry_vec=True`` the normalized float64 vector rides each band row
     instead (n_bands× duplication) for in-bucket verification — see
-    :func:`cosine_near_dup_edges_lsh` for when each shape wins."""
+    :func:`cosine_near_dup_edges_lsh` for when each shape wins.
 
-    def __init__(self, dim: int, n_bits: int = 32, n_bands: int = 4, seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 64, carry_vec: bool = False):
+    ``n_probes > 1`` enables MULTI-PROBE LSH (Lv et al., VLDB 2007): besides
+    its primary bucket, each vector also probes the buckets reached by
+    flipping its per-band LOWEST-|margin| projection bits (the bits most
+    likely to differ for a true near neighbor). Recall rises toward more-
+    bands levels at n_probes× band-row cost but NO extra projection state
+    and no extra verify passes — the scale knob when band-collision
+    probability, not verification, limits recall. Probe buckets mix with
+    the SAME band salt as primaries, so probes collide with other vectors'
+    primary buckets."""
+
+    def __init__(self, dim: int, n_bits: int = 32, n_bands: int = 4, seed: int = 17, id_col: str = "vec_id", vec_col: str = "embedding", num_partitions: int = 64, carry_vec: bool = False, n_probes: int = 1):
         rng = np.random.default_rng(seed)
         self.proj = rng.standard_normal((dim, n_bits))
         self.n_bits = n_bits
         self.n_bands = n_bands
         self.band_bits = n_bits // n_bands
+        if not 1 <= n_probes <= self.band_bits:
+            raise ValueError("n_probes must be in [1, band_bits]")
+        self.n_probes = n_probes
         self.id_col = id_col
         self.vec_col = vec_col
         self.num_partitions = num_partitions
@@ -259,25 +272,40 @@ class HyperplaneLSHStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _stack(batch, self.vec_col)
         ids = np.asarray(batch[self.id_col], dtype=np.int64)
-        bits = (m @ self.proj) > 0  # (n, n_bits)
+        scores = m @ self.proj  # (n, n_bits)
+        bits = scores > 0
         n = len(ids)
+        bb = self.band_bits
         words = np.zeros(n, dtype=np.uint64)
         for j in range(self.n_bits):
             words |= bits[:, j].astype(np.uint64) << np.uint64(j)
         bands = np.empty((n, self.n_bands), dtype=np.uint64)
-        mask = np.uint64((1 << self.band_bits) - 1)
+        mask = np.uint64((1 << bb) - 1)
         for b in range(self.n_bands):
-            bands[:, b] = (words >> np.uint64(b * self.band_bits)) & mask
+            bands[:, b] = (words >> np.uint64(b * bb)) & mask
+        band_grids = [bands]
+        for p in range(self.n_probes - 1):
+            flipped = np.empty_like(bands)
+            for b in range(self.n_bands):
+                seg = np.abs(scores[:, b * bb : (b + 1) * bb])
+                weak = np.argpartition(seg, p, axis=1)[:, p]  # p-th weakest bit
+                flipped[:, b] = bands[:, b] ^ (np.uint64(1) << weak.astype(np.uint64))
+            band_grids.append(flipped)
+        bands_all = np.concatenate(band_grids, axis=1)  # (n, n_bands*n_probes)
+        band_idx = np.tile(
+            np.arange(self.n_bands, dtype=np.uint64), self.n_probes
+        )
         with np.errstate(over="ignore"):
-            bucket = (bands ^ ((np.arange(self.n_bands, dtype=np.uint64) + np.uint64(1)) * _MIX)) >> np.uint64(1)
+            bucket = (bands_all ^ ((band_idx + np.uint64(1)) * _MIX)) >> np.uint64(1)
             part = (bucket % np.uint64(self.num_partitions)).astype(np.int32)
+        rows_per = self.n_bands * self.n_probes
         cols = {
             "bucket_part": pa.array(part.ravel(), pa.int32()),
             "bucket": pa.array(bucket.ravel().view(np.int64), pa.int64()),
-            "vec_id": pa.array(np.repeat(ids, self.n_bands), pa.int64()),
+            "vec_id": pa.array(np.repeat(ids, rows_per), pa.int64()),
         }
         if self.carry_vec:
-            vecs = _normalize(m)[np.repeat(np.arange(n), self.n_bands)]
+            vecs = _normalize(m)[np.repeat(np.arange(n), rows_per)]
             cols["vec"] = pa.FixedSizeListArray.from_arrays(
                 pa.array(vecs.ravel(), pa.float64()), self.dim
             )
@@ -301,6 +329,7 @@ def cosine_near_dup_edges_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     strategy: str = "auto",
+    n_probes: int = 1,
 ):
     """Hyperplane-LSH candidates + exact (float64) cosine verify.
 
@@ -337,10 +366,11 @@ def cosine_near_dup_edges_lsh(
         strategy = "inplace" if n / 2 ** (n_bits // n_bands) > dim / 6 else "join"
     if strategy == "inplace":
         return _lsh_edges_inplace(
-            ds, dim, threshold, n_bits, n_bands, seed, num_partitions, bucket_cap, id_col, vec_col
+            ds, dim, threshold, n_bits, n_bands, seed, num_partitions, bucket_cap, id_col, vec_col, n_probes
         )
     stage = HyperplaneLSHStage(
-        dim, n_bits, n_bands, seed, id_col=id_col, vec_col=vec_col, num_partitions=num_partitions
+        dim, n_bits, n_bands, seed, id_col=id_col, vec_col=vec_col, num_partitions=num_partitions,
+        n_probes=n_probes,
     )
 
     def pair(batch: pa.Table) -> pa.Table:
@@ -514,7 +544,7 @@ def cosine_near_dup_edges_lsh(
 
 
 def _lsh_edges_inplace(
-    ds, dim, threshold, n_bits, n_bands, seed, num_partitions, bucket_cap, id_col, vec_col
+    ds, dim, threshold, n_bits, n_bands, seed, num_partitions, bucket_cap, id_col, vec_col, n_probes=1
 ):
     """In-bucket verification strategy: normalized float64 vectors ride the
     band rows; each bucket verifies with one matmul; only VERIFIED pairs
@@ -522,7 +552,7 @@ def _lsh_edges_inplace(
     dedupe shuffle."""
     stage = HyperplaneLSHStage(
         dim, n_bits, n_bands, seed, id_col=id_col, vec_col=vec_col,
-        num_partitions=num_partitions, carry_vec=True,
+        num_partitions=num_partitions, carry_vec=True, n_probes=n_probes,
     )
 
     def pair_verify(batch: pa.Table) -> pa.Table:

@@ -2446,3 +2446,46 @@ def test_cli_compact(ray_session, tmp_path):
     assert len(files) == 2
     got = sorted(pd.concat([pq.read_table(f).to_pandas() for f in files])["a"])
     assert got == list(range(80))
+
+
+def test_multiprobe_lsh_recall(ray_session):
+    """Multi-probe LSH: probing the weakest-margin bit flip per band
+    strictly improves recall over single-probe at the same (n_bits,
+    n_bands), and both stay exact-verified subsets of brute force."""
+    from elasticsearch_minhash_ray.stages.embed import (
+        cosine_near_dup_edges_brute,
+        cosine_near_dup_edges_lsh,
+        split_pair_metrics,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 16))
+    jit = base + 0.18 * rng.standard_normal(base.shape)  # near-dup partners
+    vecs = np.concatenate([base, jit])
+    rows = [
+        {"vec_id": i, "embedding": [float(x) for x in v]}
+        for i, v in enumerate(vecs)
+    ]
+    ds = rd.from_items(rows)
+
+    import pyarrow as pa_
+
+    def edge_set(res):
+        df = res.to_pandas()
+        tbl, _ = split_pair_metrics(
+            pa_.table({"a_id": df["a_id"].to_numpy(np.int64),
+                       "b_id": df["b_id"].to_numpy(np.int64)})
+        )
+        d = tbl.to_pandas()
+        return set(zip(d["a_id"], d["b_id"]))
+
+    brute = edge_set(cosine_near_dup_edges_brute(ds, 0.85))
+    kw = dict(dim=16, threshold=0.85, n_bits=16, n_bands=2, strategy="join")
+    single = edge_set(cosine_near_dup_edges_lsh(ds, **kw, n_probes=1))
+    multi = edge_set(cosine_near_dup_edges_lsh(ds, **kw, n_probes=3))
+    assert single <= brute and multi <= brute  # exact verify: no false edges
+    assert single <= multi                     # probes only add candidates
+    assert len(brute) > 0
+    r1, r3 = len(single) / len(brute), len(multi) / len(brute)
+    assert r3 > r1, (r1, r3)
+    assert r3 >= 0.9
