@@ -719,6 +719,39 @@ def _q_near_dup_keep(sf_dir: str):
     return near_dup_keep(res.signatures, res.clusters)
 
 
+def _q_near_dup_keep_best(sf_dir: str):
+    """Rows-only: the near-dup dedup ACTION with a QUALITY-priority
+    representative — each cluster keeps its longest member (token count,
+    ties to min doc_key) instead of the structural min-key member; what a
+    curation pipeline actually wants. Scores ride their own (doc_key,
+    score) Dataset through one tagged-union exchange
+    (pipelines/neardup.py:near_dup_keep_best; reduces to near_dup_keep on
+    constant scores, pytest-pinned)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import near_dup_pipeline
+    from elasticsearch_minhash_ray.pipelines.neardup import near_dup_keep_best
+
+    res = near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg())
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        from elasticsearch_minhash_ray.functions.text_stats import TOKEN_RE
+
+        return pd.DataFrame(
+            {"doc_key": batch["doc_key"].to_numpy(np.int64),
+             "score": batch["content"].fillna("").str.count(TOKEN_RE).to_numpy(np.int64)}
+        )
+
+    from elasticsearch_minhash_ray.sources.corpus import prepare_batch
+
+    scores = (
+        _corpus(sf_dir)
+        .map_batches(prepare_batch, batch_format="pyarrow")
+        .map_batches(score, batch_format="pandas")
+    )
+    return near_dup_keep_best(res.signatures, res.clusters, scores)
+
+
 def _q_near_dup_keep_join(sf_dir: str):
     """Rows-only: near_dup_keep via the FORCED union anti-join strategy
     (broadcast_limit=0) — the scale path when the clustered-doc set is too
@@ -3411,6 +3444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_collapsed": _q_near_dup_clusters_collapsed,
         "near_dup_keep": _q_near_dup_keep,
         "near_dup_keep_join": _q_near_dup_keep_join,
+        "near_dup_keep_best": _q_near_dup_keep_best,
         "ngram_jaccard_clusters": _q_ngram_jaccard_clusters,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,

@@ -741,3 +741,115 @@ def near_dup_keep(
         num_partitions=num_partitions,
         broadcast_limit=broadcast_limit,
     )
+
+
+def near_dup_keep_best(
+    signatures,
+    clusters,
+    scores,
+    *,
+    score_col: str = "score",
+    key_col: str = "doc_key",
+    columns: tuple[str, ...] = ("doc_id", "doc_key", "content_sha256"),
+    num_partitions: int = 64,
+    broadcast_limit: int = 2_000_000,
+):
+    """:func:`near_dup_keep` with a QUALITY-priority representative: each
+    cluster keeps its highest-``score_col`` member (ties → min doc_key)
+    instead of the structural min-key member — what a curation pipeline
+    actually wants (keep the longest / cleanest / highest-signal copy, drop
+    the rest). Reduces to :func:`near_dup_keep` when scores are constant
+    (pytest-pinned).
+
+    ``scores`` is its own (key_col, score_col int) Dataset — quality can
+    come from any stage (token counts, xent, entropy) without widening the
+    signature schema. Scores must be NON-NEGATIVE: docs missing a score row
+    compete at 0, so they can never beat a scored member, and a cluster
+    whose members all lack scores keeps its min-key member (the tiebreak).
+
+    Dataflow: member rows and (key, score) rows ride ONE tagged-union
+    doc_key exchange to attach scores (scores for unclustered docs drop in
+    place — no driver pull), then one cluster_id exchange picks the argmax;
+    the drop-set derives as a Dataset and the cut is the same auto
+    broadcast/union anti-join."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ..grouping import map_copartitioned
+    from ..stages.dedup import anti_join_keys
+
+    if isinstance(clusters, pa.Table):
+        clusters = rd.from_arrow(clusters)
+
+    cols = list(columns)
+    payload = signatures.map_batches(lambda b, c=cols: b.select(c), batch_format="pyarrow")
+
+    member_rows = clusters.map_batches(
+        lambda b: pa.table(
+            {key_col: b["doc_key"], "cluster_id": b["cluster_id"],
+             "score": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+             "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8())}
+        ),
+        batch_format="pyarrow",
+    )
+    score_rows = scores.map_batches(
+        lambda b: pa.table(
+            {key_col: b[key_col],
+             "cluster_id": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+             "score": pc_cast_int64(b[score_col]),
+             "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8())}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def attach(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"cluster_id": np.empty(0, np.int64),
+                 key_col: np.empty(0, np.int64),
+                 "score": np.empty(0, np.int64)}
+            )
+        block = block.sort_values([key_col, "kind"], kind="stable")
+        k = block[key_col].to_numpy(np.int64)
+        kind = block["kind"].to_numpy(np.int8)
+        score = block["score"].to_numpy(np.int64)
+        # member row (kind 0) directly precedes its score row (kind 1) when
+        # one exists; members with no score row compete at score 0 (they
+        # lose ties to any scored member; an all-unscored cluster keeps its
+        # min-key member via the tiebreak)
+        is_member = kind == 0
+        nxt_same = np.r_[k[1:] == k[:-1], False]
+        out_score = np.where(nxt_same, np.roll(score, -1), 0)
+        return pd.DataFrame(
+            {"cluster_id": block["cluster_id"].to_numpy(np.int64)[is_member],
+             key_col: k[is_member], "score": out_score[is_member]}
+        )
+
+    members = map_copartitioned(
+        member_rows.union(score_rows), key_col, attach, batch_format="pandas"
+    )
+
+    def pick_drop(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame({key_col: np.empty(0, np.int64)})
+        # argmax score per cluster, ties -> min key: sort so the winner is
+        # first in its run, then drop everything that is not first
+        block = block.sort_values(
+            ["cluster_id", "score", key_col], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        c = block["cluster_id"].to_numpy(np.int64)
+        first = np.r_[True, c[1:] != c[:-1]]
+        return pd.DataFrame({key_col: block[key_col].to_numpy(np.int64)[~first]})
+
+    drop_ds = map_copartitioned(members, "cluster_id", pick_drop, batch_format="pandas")
+    return anti_join_keys(
+        payload, drop_ds, key_col=key_col,
+        num_partitions=num_partitions, broadcast_limit=broadcast_limit,
+    )
+
+
+def pc_cast_int64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())

@@ -2489,3 +2489,41 @@ def test_multiprobe_lsh_recall(ray_session):
     r1, r3 = len(single) / len(brute), len(multi) / len(brute)
     assert r3 > r1, (r1, r3)
     assert r3 >= 0.9
+
+
+def test_near_dup_keep_best(ray_session):
+    """Quality-priority representative: highest score wins, ties to min
+    key, unclustered docs survive, unscored members compete at 0; constant
+    scores reduce to near_dup_keep."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import near_dup_keep
+    from elasticsearch_minhash_ray.pipelines.neardup import near_dup_keep_best
+
+    sigs = rd.from_items([
+        {"doc_id": f"d{k}", "doc_key": k, "content_sha256": f"s{k}"}
+        for k in (10, 20, 30, 40)
+    ])
+    clusters = rd.from_items([
+        {"doc_key": 10, "cluster_id": 10},
+        {"doc_key": 20, "cluster_id": 10},
+        {"doc_key": 30, "cluster_id": 10},
+    ])
+    scores = rd.from_items([
+        {"doc_key": 10, "score": 1},
+        {"doc_key": 20, "score": 5},
+        {"doc_key": 30, "score": 5},  # tie with 20 -> min key 20 wins
+        {"doc_key": 40, "score": 9},  # unclustered; score irrelevant
+    ])
+    best = near_dup_keep_best(sigs, clusters, scores).to_pandas()
+    assert sorted(best["doc_key"]) == [20, 40]
+
+    flat = rd.from_items([{"doc_key": k, "score": 7} for k in (10, 20, 30, 40)])
+    const = near_dup_keep_best(sigs, clusters, flat).to_pandas()
+    base = near_dup_keep(sigs, clusters).to_pandas()
+    assert sorted(const["doc_key"]) == sorted(base["doc_key"]) == [10, 40]
+
+    # member 20 unscored -> competes at 0, scored 30 wins over min-key 10
+    part = rd.from_items([{"doc_key": 10, "score": 2}, {"doc_key": 30, "score": 4}])
+    got = near_dup_keep_best(sigs, clusters, part).to_pandas()
+    assert sorted(got["doc_key"]) == [30, 40]
