@@ -743,6 +743,12 @@ def near_dup_keep(
     )
 
 
+def _cast_int64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
+
+
 def near_dup_keep_best(
     signatures,
     clusters,
@@ -796,7 +802,7 @@ def near_dup_keep_best(
         lambda b: pa.table(
             {key_col: b[key_col],
              "cluster_id": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
-             "score": pc_cast_int64(b[score_col]),
+             "score": _cast_int64(b[score_col]),
              "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8())}
         ),
         batch_format="pyarrow",
@@ -847,9 +853,3 @@ def near_dup_keep_best(
         payload, drop_ds, key_col=key_col,
         num_partitions=num_partitions, broadcast_limit=broadcast_limit,
     )
-
-
-def pc_cast_int64(col):
-    import pyarrow.compute as pc
-
-    return pc.cast(col, pa.int64())
