@@ -755,7 +755,7 @@ def _q_near_dup_keep_best(sf_dir: str):
 def _q_near_dup_keep_join(sf_dir: str):
     """Rows-only: near_dup_keep via the FORCED union anti-join strategy
     (broadcast_limit=0) — the scale path when the clustered-doc set is too
-    large to broadcast. Must return the same 235 rows as near_dup_keep
+    large to broadcast. Must return rows identical to near_dup_keep
     (pytest test_near_dup_keep_strategies_equal pins full equality)."""
     from elasticsearch_minhash_ray import near_dup_keep, near_dup_pipeline
 
