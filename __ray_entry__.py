@@ -2912,6 +2912,18 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_oov_rate(sf_dir: str):
+    """Oracle-checked per-doc out-of-vocabulary rate against the corpus's
+    own top-20 token head (the synthetic corpus has only ~31 distinct words, so K=20 leaves a real OOV tail) — the tokenizer-health / domain-shift signal.
+    Distributed top-K vocab (count combiner → token exchange → per-block
+    head-K → driver merge of <= K·blocks rows) broadcast once; streaming
+    searchsorted membership (stages/text.py:oov_rate)."""
+    from elasticsearch_minhash_ray.stages.text import oov_rate
+
+    ds = read_parquet_auto(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return oov_rate(ds, vocab_k=20)
+
+
 def _q_lang_agreement(sf_dir: str):
     """Oracle-checked label-quality audit: per CLAIMED language, how often
     the n-gram language-ID prediction agrees — the mislabeled-metadata
@@ -3368,6 +3380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_drift": _q_value_drift,
         "profile_docs": _q_profile_docs,
         "lang_agreement": _q_lang_agreement,
+        "oov_rate": _q_oov_rate,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4748,6 +4761,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tp.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "oov_rate": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                            '[0-9A-Za-z_]+')) AS w
+              FROM documents
+            ),
+            vc AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+            vocab AS (SELECT w FROM vc ORDER BY c DESC, w ASC LIMIT 20),
+            per AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov
+              FROM toks t LEFT JOIN vocab v ON v.w = t.w
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens, n_oov,
+                   round(CAST(n_oov AS DOUBLE) / n_tokens, 9) AS oov_rate
+            FROM per
+        """,
         "lang_agreement": f"""
             WITH pred AS ({_lang_id_sql()})
             SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,

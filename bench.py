@@ -162,6 +162,7 @@ HEADLINE = [
     "value_drift",
     "profile_docs",
     "lang_agreement",
+    "oov_rate",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -533,6 +533,89 @@ def pack_sequences(ds, budget: int = 2048, num_partitions: int = 8,
     )
 
 
+def oov_rate(ds, vocab_k: int = 200, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc out-of-vocabulary rate against the corpus's own top-``vocab_k``
+    token vocabulary — the tokenizer-health / domain-shift signal (a doc
+    whose words mostly fall outside the corpus head is noise or from
+    another distribution).
+
+    Pass 1: per-block token-count combiner → one token-keyed exchange →
+    per-block (count desc, token asc) head-K → driver merge of ≤ K·blocks
+    rows (the top-K pigeonhole: any global top-K token is in its block's
+    top-K) → broadcast SET via ray.put. Deterministic under count ties
+    (token asc on both engines). Pass 2: streaming per-doc membership —
+    sorted-vocab searchsorted, one integer divide per doc. Zero-token docs
+    emit nothing. Output: (doc_id, n_tokens, n_oov, oov_rate[9dp])."""
+    import re
+    from itertools import chain
+
+    import ray
+
+    from ..grouping import map_copartitioned
+
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def counts(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        total = int(toks.str.len().sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "cnt": pd.Series([], dtype=np.int64),
+                 "tkey": pd.Series([], dtype=np.int64)}
+            )
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        uniq, c = np.unique(flat, return_counts=True)
+        out = pd.DataFrame({"token": uniq, "cnt": c.astype(np.int64)})
+        out["tkey"] = pd.util.hash_array(out["token"].to_numpy(object)).view(np.int64)
+        return out
+
+    def head_k(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block.drop(columns=["tkey"], errors="ignore")
+        m = block.groupby("token", sort=False, as_index=False)["cnt"].sum()
+        m = m.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+        return m.head(vocab_k)
+
+    cand = map_copartitioned(
+        ds.map_batches(counts, batch_format="pandas"), "tkey", head_k,
+        batch_format="pandas",
+    ).to_pandas()
+    cand = cand.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+    vocab = np.sort(cand["token"].head(vocab_k).to_numpy(object).astype(str))
+    vocab_ref = ray.put(vocab)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        toks = batch[text_col].fillna("").str.findall(word_re)
+        n = toks.str.len().to_numpy(np.int64)
+        total = int(n.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {id_col: np.empty(0, np.int64),
+                 "n_tokens": np.empty(0, np.int64),
+                 "n_oov": np.empty(0, np.int64),
+                 "oov_rate": np.empty(0, np.float64)}
+            )
+        # fixed width W+1 where W = longest vocab token: members are
+        # unaffected, and any longer token keeps > W chars so truncation
+        # can never fold it ONTO a vocab entry
+        w = (v.dtype.itemsize // 4) + 1
+        flat = np.fromiter(chain.from_iterable(toks), dtype=f"U{w}", count=total)
+        idx = np.searchsorted(v.astype(f"U{w}"), flat)
+        inv = (idx < len(v)) & (v[np.minimum(idx, len(v) - 1)] == flat)
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        oov = np.bincount(doc_idx, weights=~inv, minlength=len(n)).astype(np.int64)
+        nz = n > 0
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy(np.int64)[nz],
+             "n_tokens": n[nz], "n_oov": oov[nz],
+             "oov_rate": np.round(oov[nz] / n[nz].astype(np.float64), 9)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def unigram_surprisal(ds, text_col: str = "text", id_col: str = "doc_id",
                       vocab_limit: int | None = 1_000_000):
     """Mean unigram surprisal per doc — the cheap 'LM-quality' scoring signal

@@ -2527,3 +2527,21 @@ def test_near_dup_keep_best(ray_session):
     part = rd.from_items([{"doc_key": 10, "score": 2}, {"doc_key": 30, "score": 4}])
     got = near_dup_keep_best(sigs, clusters, part).to_pandas()
     assert sorted(got["doc_key"]) == [30, 40]
+
+
+def test_oov_rate_membership(ray_session):
+    """Vocab = corpus top-K with deterministic ties; OOV fraction exact;
+    tokens longer than every vocab word can never false-match through the
+    fixed-width compare."""
+    from elasticsearch_minhash_ray.stages.text import oov_rate
+
+    long_tok = "x" * 80
+    rows = [
+        {"doc_id": 1, "text": "aa aa aa bb bb cc"},   # vocab(top2): aa, bb
+        {"doc_id": 2, "text": f"aa zz {long_tok}"},   # 2 of 3 OOV
+        {"doc_id": 3, "text": ""},                    # no row
+    ]
+    out = oov_rate(rd.from_items(rows), vocab_k=2).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_oov"] == 1 and out.loc[1, "n_tokens"] == 6  # cc OOV
+    assert out.loc[2, "n_oov"] == 2
+    assert 3 not in out.index
