@@ -2912,6 +2912,57 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_dedup_method_agreement(sf_dir: str):
+    """Rows-only eval: edge-set agreement between the two sketch families —
+    MinHash-LSH near-dup edges vs SimHash near-dup edges on the SAME corpus
+    (|∩|, |∪|, Jaccard, plus per-method counts). The honest cross-method
+    report a dedup owner uses to pick thresholds: both methods target the
+    same notion of near-duplicate but measure different distances, so
+    agreement is expected to be partial (the number IS the finding). Edge
+    sets are output-sized; the compare runs on the pulled frames."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import near_dup_pipeline
+    from elasticsearch_minhash_ray.pipelines.neardup import split_edge_metrics
+    from elasticsearch_minhash_ray.sources.corpus import prepare_batch
+    from elasticsearch_minhash_ray.stages.dedup import (
+        SimHashStage,
+        simhash_near_dup_edges,
+    )
+
+    res = near_dup_pipeline(_corpus(sf_dir), _pipeline_cfg())
+    edges = res.edges
+    mh_tbl, _ = split_edge_metrics(
+        edges if isinstance(edges, pa.Table)
+        else pa.Table.from_pandas(edges.to_pandas())
+    )
+    mh_df = mh_tbl.to_pandas()
+    mh = {
+        (min(a, b), max(a, b))
+        for a, b in zip(mh_df["src"].astype(np.int64), mh_df["dst"].astype(np.int64))
+    }
+    sh_ds = (
+        _corpus(sf_dir)
+        .map_batches(prepare_batch, batch_format="pyarrow")
+        .map_batches(SimHashStage(), batch_format="pyarrow")
+        .select_columns(["doc_key", "simhash"])
+    )
+    sh_df = simhash_near_dup_edges(sh_ds, max_hamming=3, num_partitions=16).to_pandas()
+    sh = {
+        (min(a, b), max(a, b))
+        for a, b in zip(sh_df["src"].astype(np.int64), sh_df["dst"].astype(np.int64))
+    }
+    inter, union = len(mh & sh), len(mh | sh)
+    return pd.DataFrame(
+        {
+            "n_minhash": [np.int64(len(mh))],
+            "n_simhash": [np.int64(len(sh))],
+            "n_common": [np.int64(inter)],
+            "jaccard": [round(inter / union, 9) if union else 0.0],
+        }
+    )
+
+
 def _q_oov_rate(sf_dir: str):
     """Oracle-checked per-doc out-of-vocabulary rate against the corpus's
     own top-20 token head (the synthetic corpus has only ~31 distinct words, so K=20 leaves a real OOV tail) — the tokenizer-health / domain-shift signal.
@@ -3458,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep": _q_near_dup_keep,
         "near_dup_keep_join": _q_near_dup_keep_join,
         "near_dup_keep_best": _q_near_dup_keep_best,
+        "dedup_method_agreement": _q_dedup_method_agreement,
         "ngram_jaccard_clusters": _q_ngram_jaccard_clusters,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,
