@@ -2912,6 +2912,83 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_flagship_recall(sf_dir: str):
+    """Rows-only eval of the NORTH-RULE metric itself: plant a known
+    near-duplicate (first token dropped for docs of 60+ tokens — shingle
+    overlap ~ (n-k)/n stays above the verify threshold by construction;
+    shorter docs plant an exact copy) for
+    every 4th document, run the UNMODIFIED flagship MinHash-LSH pipeline
+    over the planted corpus, and report planted-pair recall from the edge
+    set — dup-pair recall >= 0.99 is the acceptance bar, measured per run
+    as a first-class catalog entry (the pytest twin pins >= 0.99 against
+    brute force on the organic corpus). Ground-truth keys resolve via one
+    projected (path, doc_key) pull — pairs ∝ corpus/4, gate-scale only; at
+    10^12 rows the truth join would ride a key exchange instead."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray import near_dup_pipeline
+    from elasticsearch_minhash_ray.pipelines.neardup import split_edge_metrics
+    from elasticsearch_minhash_ray.sources.corpus import prepare_batch
+
+    def plant(t: pa.Table) -> pa.Table:
+        repo = t["repo"].to_pylist()
+        path = t["path"].to_pylist()
+        lang = t["lang"].to_pylist()
+        content = t["content"].to_pylist()
+        out = {"repo": list(repo), "path": list(path),
+               "commit": ["v0"] * len(path), "lang": list(lang),
+               "content": list(content)}
+        for r, p, lg, c in zip(repo, path, lang, content):
+            toks = (c or "").split()
+            if int(p) % 4 == 0 and toks:
+                out["repo"].append(r)
+                out["path"].append(p + "-dup")
+                out["commit"].append("v0")
+                out["lang"].append(lg)
+                # threshold-safe construction: dropping one of n tokens
+                # removes ~shingle_n shingles, so the planted pair's
+                # Jaccard ~ (n - shingle_n - 1)/n stays above the verify
+                # threshold only for long docs; short docs plant an exact
+                # copy (still a true near-dup — exercises the exact-sig
+                # path through the same LSH machinery)
+                out["content"].append(
+                    " ".join(toks[1:]) if len(toks) >= 60 else (c or "")
+                )
+        return pa.table(
+            {k: pa.array(v, pa.string()) for k, v in out.items()}
+        )
+
+    planted = _corpus(sf_dir).map_batches(plant, batch_format="pyarrow")
+    res = near_dup_pipeline(planted, _pipeline_cfg())
+    keys = (
+        planted.map_batches(prepare_batch, batch_format="pyarrow")
+        .map_batches(lambda b: b.select(["path", "doc_key"]), batch_format="pyarrow")
+        .to_pandas()
+    )
+    kmap = dict(zip(keys["path"], keys["doc_key"].astype(np.int64)))
+    truth = {
+        (min(kmap[p], kmap[p + "-dup"]), max(kmap[p], kmap[p + "-dup"]))
+        for p in kmap
+        if not p.endswith("-dup") and p + "-dup" in kmap
+    }
+    edges = res.edges
+    tbl, _ = split_edge_metrics(
+        edges if isinstance(edges, pa.Table)
+        else pa.Table.from_pandas(edges.to_pandas())
+    )
+    df = tbl.to_pandas()
+    eset = {
+        (min(a, b), max(a, b))
+        for a, b in zip(df["src"].astype(np.int64), df["dst"].astype(np.int64))
+    }
+    found = len(truth & eset)
+    return pd.DataFrame(
+        {"n_planted": [np.int64(len(truth))],
+         "n_found": [np.int64(found)],
+         "recall": [round(found / len(truth), 9) if truth else 1.0]}
+    )
+
+
 def _q_dedup_method_agreement(sf_dir: str):
     """Rows-only eval: edge-set agreement between the two sketch families —
     MinHash-LSH near-dup edges vs SimHash near-dup edges on the SAME corpus
@@ -3510,6 +3587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_keep_join": _q_near_dup_keep_join,
         "near_dup_keep_best": _q_near_dup_keep_best,
         "dedup_method_agreement": _q_dedup_method_agreement,
+        "flagship_recall": _q_flagship_recall,
         "ngram_jaccard_clusters": _q_ngram_jaccard_clusters,
         "simhash_signatures": _q_simhash_signatures,
         "simhash_near_dup": _q_simhash_near_dup,
