@@ -2912,6 +2912,120 @@ def _q_event_transitions(sf_dir: str):
     return transition_counts(ds, "user_id", "ts", "event_id", "event_type")
 
 
+def _q_smoothed_priority_value(sf_dir: str):
+    """Oracle-checked m-estimate (Bayesian-smoothed) group means: average
+    order value per priority, shrunk toward the global mean with prior
+    weight m=100 — the small-group-safe quality prior (a 3-order priority
+    can't dominate a mixture decision). Integer-cents sums through one
+    combiner exchange; the global prior and the shrink are the identical
+    two-divide double expression on both engines."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"],
+        dense=True,
+    )
+    M = 100.0
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch["o_totalprice"].to_numpy(np.float64)
+        cents = (np.sign(v) * np.floor(np.abs(v) * 100.0 + 0.5)).astype(np.int64)
+        g = pd.DataFrame({"o_orderpriority": batch["o_orderpriority"], "c": cents})
+        out = g.groupby("o_orderpriority", sort=False, as_index=False).agg(
+            n=("c", "size"), s=("c", "sum")
+        )
+        return out.astype({"n": np.int64, "s": np.int64})
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block
+        return block.groupby("o_orderpriority", sort=False, as_index=False)[
+            ["n", "s"]
+        ].sum()
+
+    stats = map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), "o_orderpriority", merge,
+        batch_format="pandas",
+    ).to_pandas()  # groups are driver-tiny (5 priorities)
+    n_all = float(stats["n"].sum())
+    s_all = float(stats["s"].sum())
+    prior = s_all / n_all  # one divide, exact-int inputs — both engines
+    sm = (stats["s"].to_numpy(np.float64) + M * prior) / (
+        stats["n"].to_numpy(np.float64) + M
+    )
+    return pd.DataFrame(
+        {"o_orderpriority": stats["o_orderpriority"],
+         "n_orders": stats["n"].astype(np.int64),
+         "smoothed_cents": np.round(sm, 9)}
+    )
+
+
+def _q_trending_tokens(sf_dir: str):
+    """Oracle-checked token-level drift: per token, the add-one-smoothed
+    log-ratio of second-half vs first-half occurrence counts over the
+    events... over the documents corpus split by doc_id parity (a stable
+    proxy for 'old vs new crawl' in the static testdata). Combiner counts
+    per (token, half) → one token exchange → ln((c2+1)/(c1+1)), round-9 —
+    which sources/phrases are rising. No top-k: all tokens above the floor
+    emit, so no float-ordering dependence."""
+    import re
+    from itertools import chain
+
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    )
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.findall(word_re)
+        n = toks.str.len().to_numpy(np.int64)
+        total = int(n.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "half": pd.Series([], dtype=np.int64),
+                 "cnt": pd.Series([], dtype=np.int64)}
+            )
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        half = np.repeat(batch["doc_id"].to_numpy(np.int64) % 2, n)
+        g = pd.DataFrame({"token": flat, "half": half})
+        out = g.groupby(["token", "half"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 "c1": pd.Series([], dtype=np.int64),
+                 "c2": pd.Series([], dtype=np.int64),
+                 "trend": pd.Series([], dtype=np.float64)}
+            )
+        m = block.groupby(["token", "half"], sort=False, as_index=False)["cnt"].sum()
+        piv = m.pivot_table(index="token", columns="half", values="cnt",
+                            fill_value=0, aggfunc="sum").reindex(columns=[0, 1], fill_value=0)
+        c1 = piv[0].to_numpy(np.int64)
+        c2 = piv[1].to_numpy(np.int64)
+        keep = (c1 + c2) >= 20
+        trend = np.round(
+            np.log((c2[keep] + 1).astype(np.float64) / (c1[keep] + 1)), 9
+        )
+        return pd.DataFrame(
+            {"token": piv.index.to_numpy(object)[keep],
+             "c1": c1[keep], "c2": c2[keep], "trend": trend}
+        )
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), "token", final,
+        batch_format="pandas",
+    )
+
+
 def _q_flagship_recall(sf_dir: str):
     """Rows-only eval of the NORTH-RULE metric itself: plant a known
     near-duplicate (first token dropped for docs of 60+ tokens — shingle
@@ -3509,6 +3623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_docs": _q_profile_docs,
         "lang_agreement": _q_lang_agreement,
         "oov_rate": _q_oov_rate,
+        "smoothed_priority_value": _q_smoothed_priority_value,
+        "trending_tokens": _q_trending_tokens,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -4891,6 +5007,38 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tp.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "trending_tokens": """
+            WITH toks AS (
+              SELECT doc_id % 2 AS half,
+                     unnest(regexp_extract_all(coalesce(text, ''),
+                            '[0-9A-Za-z_]+')) AS w
+              FROM documents
+            ),
+            c AS (
+              SELECT w AS token,
+                     CAST(count(*) FILTER (half = 0) AS BIGINT) AS c1,
+                     CAST(count(*) FILTER (half = 1) AS BIGINT) AS c2
+              FROM toks GROUP BY w
+            )
+            SELECT token, c1, c2,
+                   round(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + 1)), 9) AS trend
+            FROM c WHERE c1 + c2 >= 20
+        """,
+        "smoothed_priority_value": """
+            WITH s AS (
+              SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s
+              FROM orders GROUP BY o_orderpriority
+            ),
+            tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS n_all, CAST(sum(s) AS DOUBLE) AS s_all
+              FROM s
+            )
+            SELECT o_orderpriority, n AS n_orders,
+                   round((CAST(s AS DOUBLE) + 100.0 * (s_all / n_all))
+                         / (CAST(n AS DOUBLE) + 100.0), 9) AS smoothed_cents
+            FROM s CROSS JOIN tot
+        """,
         "oov_rate": """
             WITH toks AS (
               SELECT doc_id,
