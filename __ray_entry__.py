@@ -2962,6 +2962,65 @@ def _q_smoothed_priority_value(sf_dir: str):
     )
 
 
+def _q_coherent_sample(sf_dir: str):
+    """Oracle-checked referential-integrity-preserving sample: ~10% of
+    orders AND every lineitem of a sampled order, selected by the SAME
+    Knuth hash of o_orderkey on both tables — the eval-set construction
+    that keeps parent/child rows together (independent per-table sampling
+    would orphan ~90% of children). Stateless map-side filter on each
+    table, then integer counts per order via the combiner exchange; output
+    (o_orderkey, n_lineitems) for sampled orders — orders with no
+    lineitems surface as 0 via the left join twin."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+    from elasticsearch_minhash_ray.stages.sample import hash_bucket
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"], dense=True
+    )
+    items = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"], dense=True
+    )
+
+    def keep_orders(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["o_orderkey"].to_numpy(np.int64)
+        sel = hash_bucket(k) < 10  # 10 of 100 buckets
+        return pd.DataFrame({"o_orderkey": k[sel], "n": np.zeros(int(sel.sum()), np.int64),
+                             "kind": np.zeros(int(sel.sum()), np.int8)})
+
+    def keep_items(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch["l_orderkey"].to_numpy(np.int64)
+        sel = hash_bucket(k) < 10
+        g = pd.DataFrame({"o_orderkey": k[sel]})
+        out = g.groupby("o_orderkey", sort=False, as_index=False).size()
+        out = out.rename(columns={"size": "n"}).astype({"n": np.int64})
+        out["kind"] = np.int8(1)
+        return out
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"o_orderkey": np.empty(0, np.int64),
+                 "n_lineitems": np.empty(0, np.int64)}
+            )
+        # only orders present as kind-0 rows emit (the sampled-order set);
+        # child counts sum over kind-1 rows of the same key
+        g = block.groupby("o_orderkey", sort=False).agg(
+            min_kind=("kind", "min"), n_lineitems=("n", "sum")
+        ).reset_index()
+        g = g[g["min_kind"] == 0]  # kind-0 present == sampled order
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+             "n_lineitems": g["n_lineitems"].to_numpy(np.int64)}
+        )
+
+    both = orders.map_batches(keep_orders, batch_format="pandas").union(
+        items.map_batches(keep_items, batch_format="pandas")
+    )
+    return map_copartitioned(both, "o_orderkey", merge, batch_format="pandas")
+
+
 def _q_trending_tokens(sf_dir: str):
     """Oracle-checked token-level drift: per token, the add-one-smoothed
     log-ratio of second-half vs first-half occurrence counts over the
@@ -3625,6 +3684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "oov_rate": _q_oov_rate,
         "smoothed_priority_value": _q_smoothed_priority_value,
         "trending_tokens": _q_trending_tokens,
+        "coherent_sample": _q_coherent_sample,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5007,6 +5067,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tp.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "coherent_sample": """
+            WITH so AS (
+              SELECT o_orderkey FROM orders
+              WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < 10
+            ),
+            si AS (
+              SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n
+              FROM lineitem
+              WHERE ((l_orderkey * 2654435761) % 4294967296) % 100 < 10
+              GROUP BY l_orderkey
+            )
+            SELECT so.o_orderkey,
+                   CAST(coalesce(si.n, 0) AS BIGINT) AS n_lineitems
+            FROM so LEFT JOIN si ON si.l_orderkey = so.o_orderkey
+        """,
         "trending_tokens": """
             WITH toks AS (
               SELECT doc_id % 2 AS half,

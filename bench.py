@@ -165,6 +165,7 @@ HEADLINE = [
     "oov_rate",
     "smoothed_priority_value",
     "trending_tokens",
+    "coherent_sample",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
