@@ -2962,6 +2962,34 @@ def _q_smoothed_priority_value(sf_dir: str):
     )
 
 
+def _q_active_customers(sf_dir: str):
+    """Oracle-checked LEFT SEMI join via Ray Data's native join: customers
+    with at least one HIGH-priority order (EXISTS semantics — no row
+    multiplication, unlike an inner join + distinct). Completes the
+    exposed join-type coverage: inner (hash_join), left_outer
+    (left_join_orders), asof, range, anti (anti_join_keys), semi (here)."""
+    def urgent(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"], dense=True,
+    ).map_batches(urgent, batch_format="pyarrow")
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"], dense=True,
+    )
+    return cust.join(
+        orders,
+        join_type="left_semi",
+        num_partitions=4,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
 def _q_coherent_sample(sf_dir: str):
     """Oracle-checked referential-integrity-preserving sample: ~10% of
     orders AND every lineitem of a sampled order, selected by the SAME
@@ -3685,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smoothed_priority_value": _q_smoothed_priority_value,
         "trending_tokens": _q_trending_tokens,
         "coherent_sample": _q_coherent_sample,
+        "active_customers": _q_active_customers,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5067,6 +5096,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY tp.doc_id
         """,
         "lang_id": _lang_id_sql(),
+        "active_customers": """
+            SELECT c_custkey, c_mktsegment FROM customer c
+            WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
         "coherent_sample": """
             WITH so AS (
               SELECT o_orderkey FROM orders

@@ -166,6 +166,7 @@ HEADLINE = [
     "smoothed_priority_value",
     "trending_tokens",
     "coherent_sample",
+    "active_customers",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
