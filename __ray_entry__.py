@@ -3589,6 +3589,23 @@ def _q_winsorize_lengths(sf_dir: str):
     )
 
 
+def _q_value_ewma(sf_dir: str):
+    """Rows-only per-user EWMA of event values in time order (alpha=0.3,
+    adjust=False) — the smoothed-rate signal; the one ordered-key kernel
+    whose scan is inherently sequential (grouped Cython ewm after the
+    usual one-exchange lexsort; pytest pins it against an explicit per-row
+    recurrence). No SQL twin: a recursive-CTE float chain accumulates in a
+    different op order (stages/window.py:ewma_by_key)."""
+    from elasticsearch_minhash_ray.stages.window import ewma_by_key
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return ewma_by_key(
+        ds, "user_id", ["ts", "event_id"], "value", alpha=0.3, keep_cols=["event_id"]
+    )
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     """Oracle-checked exact per-group distinct count: users per event type.
     Per-block distinct-pair combiner → ONE group-keyed exchange (rows ∝
@@ -3804,6 +3821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_heavy_tokens": _q_approx_heavy_tokens,
         "multimodal_features": _q_multimodal_features,
         "kmeans_sizes": _q_kmeans_sizes,
+        "value_ewma": _q_value_ewma,
     }
 
 

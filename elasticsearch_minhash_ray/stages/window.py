@@ -175,6 +175,52 @@ def debounce(
     return map_copartitioned(ds, key_col, apply, batch_format="pandas")
 
 
+def ewma_by_key(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    *,
+    alpha: float,
+    out_col: str = "ewma",
+    keep_cols: list[str] | None = None,
+):
+    """Exponentially weighted moving average per key in event order —
+    ``y_t = α·x_t + (1−α)·y_{t−1}`` (adjust=False), the standard smoothed-
+    rate signal. The scan is inherently sequential per key, so this is the
+    one ordered-key kernel NOT expressed as shifted-array arithmetic: after
+    the usual ONE key exchange + in-block lexsort, pandas' grouped
+    ``ewm(...).mean()`` runs the recurrence in its Cython kernel — no
+    Python per-row work. Rows-only semantics (a SQL twin needs a recursive
+    CTE whose float op order differs; the pytest contract pins the kernel
+    against an explicit per-row reference loop instead). Output rounds to
+    9dp."""
+    keep = keep_cols or []
+
+    def apply(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {
+                    **{c: np.empty(0, np.int64) for c in [key_col, *keep]},
+                    out_col: np.empty(0, np.float64),
+                }
+            )
+        block = block.sort_values([key_col, *order_cols], kind="stable")
+        e = (
+            block.groupby(key_col, sort=False)[value_col]
+            .ewm(alpha=alpha, adjust=False)
+            .mean()
+            .reset_index(drop=True)
+        )
+        out = {key_col: block[key_col].to_numpy()}
+        for c in keep:
+            out[c] = block[c].to_numpy()
+        out[out_col] = np.round(e.to_numpy(np.float64), 9)
+        return pd.DataFrame(out)
+
+    return map_copartitioned(ds, key_col, apply, batch_format="pandas")
+
+
 def interval_union(
     ds,
     key_col: str,

@@ -2545,3 +2545,30 @@ def test_oov_rate_membership(ray_session):
     assert out.loc[1, "n_oov"] == 1 and out.loc[1, "n_tokens"] == 6  # cc OOV
     assert out.loc[2, "n_oov"] == 2
     assert 3 not in out.index
+
+
+def test_ewma_matches_reference_loop(ray_session):
+    """Grouped Cython EWMA == the explicit per-row recurrence; per-key
+    independence; first value passes through."""
+    from elasticsearch_minhash_ray.stages.window import ewma_by_key
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for u in (1, 2):
+        for i in range(25):
+            rows.append({"u": u, "ts": np.int64(i), "id": u * 100 + i,
+                         "v": float(rng.standard_normal())})
+    out = (
+        ewma_by_key(rd.from_items(rows), "u", ["ts", "id"], "v",
+                    alpha=0.3, keep_cols=["id", "ts"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    a = 0.3
+    want = {}
+    for u in (1, 2):
+        y = None
+        for r in [r for r in rows if r["u"] == u]:
+            y = r["v"] if y is None else a * r["v"] + (1 - a) * y
+            want[r["id"]] = round(y, 9)
+    got = dict(zip(out["id"], out["ewma"]))
+    assert got == want
