@@ -261,9 +261,19 @@ def cmd_compact(args) -> int:
         # clustered layout: one range-partitioning sort so equal/nearby keys
         # co-locate in files — downstream keyed reads touch fewer row groups
         ds = ds.sort(args.sort_by)
-    ds.repartition(blocks).write_parquet(args.output)
+    part_cols = getattr(args, "partition_by", None)
+    if part_cols:
+        # hive layout (key=value/ dirs): downstream reads of one partition
+        # touch only its directory, and a failed rewrite resumes per
+        # partition — the resumable-output shape for keyed corpora
+        ds.repartition(blocks).write_parquet(
+            args.output, partition_cols=part_cols.split(",")
+        )
+    else:
+        ds.repartition(blocks).write_parquet(args.output)
     print(json.dumps({"rows": n, "output_blocks": blocks, "output": args.output,
-                      "sort_by": getattr(args, "sort_by", None)}))
+                      "sort_by": getattr(args, "sort_by", None),
+                      "partition_by": part_cols}))
     return 0
 
 
@@ -345,6 +355,8 @@ def main(argv: list[str] | None = None) -> int:
     p_cp.add_argument("--target-rows", type=int, default=1_000_000)
     p_cp.add_argument("--sort-by", default=None,
                       help="cluster output by this column (one sort exchange)")
+    p_cp.add_argument("--partition-by", default=None,
+                      help="hive-partition output by these comma-separated columns")
 
     args = parser.parse_args(argv)
 

@@ -2572,3 +2572,31 @@ def test_ewma_matches_reference_loop(ray_session):
             want[r["id"]] = round(y, 9)
     got = dict(zip(out["id"], out["ewma"]))
     assert got == want
+
+
+def test_cli_compact_partition_by(ray_session, tmp_path):
+    """Hive layout: one key=value/ dir per partition value, rows preserved."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from elasticsearch_minhash_ray.cli import cmd_compact
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pd.DataFrame({"a": range(20), "g": ["x"] * 10 + ["y"] * 10}).to_parquet(
+        src / "p.parquet"
+    )
+    out = tmp_path / "hive"
+
+    class A:
+        input = str(src)
+        output = str(out)
+        target_rows = 100
+        sort_by = None
+        partition_by = "g"
+
+    assert cmd_compact(A()) == 0
+    dirs = sorted(d.name for d in out.iterdir() if d.is_dir())
+    assert dirs == ["g=x", "g=y"]
+    n = sum(pq.read_table(f).num_rows for d in out.iterdir() for f in d.glob("*.parquet"))
+    assert n == 20
