@@ -2990,6 +2990,30 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_entity_clusters(sf_dir: str):
+    """Oracle-checked entity resolution END-TO-END: blocked Levenshtein
+    near-match pairs (the record-linkage edges) → connected components →
+    one canonical entity id (component min part key) per clustered part —
+    the dedupe-customers/products pipeline. The recursive-CTE closure twin
+    puts the WHOLE chain (blocking, pair-vectorized DP, CC) under the
+    value-hash check."""
+    from elasticsearch_minhash_ray.stages.cluster import connected_components_driver
+    from elasticsearch_minhash_ray.stages.linkage import edit_distance_pairs
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+    edges = edit_distance_pairs(ds, "p_partkey", "p_name", "p_brand", max_dist=2)
+    # CC driver expects src/dst; edge rows are output-sized
+    e2 = edges.map_batches(
+        lambda b: pa.table({"src": b["a"], "dst": b["b"]}), batch_format="pyarrow"
+    )
+    cc = connected_components_driver(e2)
+    return pa.table(
+        {"p_partkey": cc["doc_key"], "entity_id": cc["cluster_id"]}
+    )
+
+
 def _q_coherent_sample(sf_dir: str):
     """Oracle-checked referential-integrity-preserving sample: ~10% of
     orders AND every lineitem of a sampled order, selected by the SAME
@@ -3731,6 +3755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_tokens": _q_trending_tokens,
         "coherent_sample": _q_coherent_sample,
         "active_customers": _q_active_customers,
+        "entity_clusters": _q_entity_clusters,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5121,6 +5146,26 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "entity_clusters": """
+            WITH RECURSIVE pairs AS (
+              SELECT x.p_partkey AS a, y.p_partkey AS b
+              FROM part x
+              JOIN part y ON x.p_brand = y.p_brand AND x.p_partkey < y.p_partkey
+              WHERE levenshtein(x.p_name, y.p_name) <= 2
+            ),
+            und AS (
+              SELECT a AS s, b AS d FROM pairs
+              UNION ALL
+              SELECT b, a FROM pairs
+            ),
+            reach(s, d) AS (
+              SELECT s, d FROM und
+              UNION
+              SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+            )
+            SELECT s AS p_partkey, LEAST(s, MIN(d)) AS entity_id
+            FROM reach GROUP BY s
         """,
         "coherent_sample": """
             WITH so AS (

@@ -167,6 +167,7 @@ HEADLINE = [
     "trending_tokens",
     "coherent_sample",
     "active_customers",
+    "entity_clusters",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
