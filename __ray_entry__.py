@@ -2990,6 +2990,67 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_segment_priority_chi2(sf_dir: str):
+    """Oracle-checked chi-square contingency statistic: is order priority
+    independent of customer market segment? (The data-quality test behind
+    'did sampling skew a dimension'.) Broadcast the small customer→segment
+    map into the orders scan, (segment, priority) count combiner → one
+    exchange; the chi² = Σ (o−e)²/e expression runs over the driver-tiny
+    cell table from exact BIGINT counts with the SQL twin's op order
+    (cells summed in sorted (segment, priority) order — 25 well-scaled
+    terms, round-9)."""
+    import pandas as pd
+    import ray
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    cust = read_parquet_auto(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"], dense=True
+    ).to_pandas()
+    seg_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"], dense=True
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        seg = ray.get(seg_ref)
+        g = pd.DataFrame(
+            {"segment": batch["o_custkey"].map(seg),
+             "priority": batch["o_orderpriority"]}
+        )
+        out = g.groupby(["segment", "priority"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block
+        return block.groupby(["segment", "priority"], sort=False, as_index=False)[
+            "cnt"
+        ].sum()
+
+    cells = map_copartitioned(
+        orders.map_batches(partial, batch_format="pandas"), "segment", merge,
+        batch_format="pandas",
+    ).to_pandas()  # driver-tiny: segments x priorities
+    cells = cells.sort_values(["segment", "priority"]).reset_index(drop=True)
+    n = float(cells["cnt"].sum())
+    row_tot = cells.groupby("segment")["cnt"].sum()
+    col_tot = cells.groupby("priority")["cnt"].sum()
+    o = cells["cnt"].to_numpy(np.float64)
+    e = (
+        cells["segment"].map(row_tot).to_numpy(np.float64)
+        * cells["priority"].map(col_tot).to_numpy(np.float64)
+        / n
+    )
+    chi2 = float(((o - e) * (o - e) / e).sum())
+    return pd.DataFrame(
+        {"n_cells": [np.int64(len(cells))],
+         "n_orders": [np.int64(int(n))],
+         "chi2": [round(chi2, 9)]}
+    )
+
+
 def _q_entity_clusters(sf_dir: str):
     """Oracle-checked entity resolution END-TO-END: blocked Levenshtein
     near-match pairs (the record-linkage edges) → connected components →
@@ -3756,6 +3817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coherent_sample": _q_coherent_sample,
         "active_customers": _q_active_customers,
         "entity_clusters": _q_entity_clusters,
+        "segment_priority_chi2": _q_segment_priority_chi2,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5146,6 +5208,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "segment_priority_chi2": """
+            WITH cells AS (
+              SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM cells),
+            rt AS (SELECT segment, CAST(sum(cnt) AS DOUBLE) AS r FROM cells GROUP BY 1),
+            ct AS (SELECT priority, CAST(sum(cnt) AS DOUBLE) AS c FROM cells GROUP BY 1),
+            terms AS (
+              SELECT cells.segment, cells.priority,
+                     (CAST(cnt AS DOUBLE) - rt.r * ct.c / tot.n)
+                     * (CAST(cnt AS DOUBLE) - rt.r * ct.c / tot.n)
+                     / (rt.r * ct.c / tot.n) AS t
+              FROM cells CROSS JOIN tot
+              JOIN rt USING (segment) JOIN ct USING (priority)
+              ORDER BY cells.segment, cells.priority
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   CAST((SELECT CAST(n AS BIGINT) FROM tot) AS BIGINT) AS n_orders,
+                   round(sum(t), 9) AS chi2
+            FROM terms
         """,
         "entity_clusters": """
             WITH RECURSIVE pairs AS (

@@ -168,6 +168,7 @@ HEADLINE = [
     "coherent_sample",
     "active_customers",
     "entity_clusters",
+    "segment_priority_chi2",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
