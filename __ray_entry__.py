@@ -2990,6 +2990,104 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_session_conversion(sf_dir: str):
+    """Oracle-checked conversion by session ordinal: of each user's 1st,
+    2nd, ... session, what fraction contains a purchase — do later sessions
+    convert better? Composition over the sessionize kernel: session ids
+    attach per event (user exchange), per-(user, session) converted flags
+    reduce IN the same blocks (sessionize output is already user-
+    co-located), then one tiny seq-keyed exchange counts. Ordinals above 20
+    fold into one '21+' bucket so output stays enumerable."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+    from elasticsearch_minhash_ray.stages.window import sessionize
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    sess = sessionize(
+        ds, "user_id", "ts", "event_id", gap_us=1_800_000_000,
+        keep_cols=["event_type"],
+    )
+
+    def per_session(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            conv=(batch["event_type"] == "purchase").astype(np.int64),
+            seq=np.minimum(batch["session_seq"].to_numpy(np.int64), 21),
+        )
+        out = batch.groupby(["user_id", "seq"], sort=False, as_index=False)[
+            "conv"
+        ].max()
+        return out.astype({"conv": np.int64})
+
+    def reduce_seq(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"seq": np.empty(0, np.int64),
+                 "n_sessions": np.empty(0, np.int64),
+                 "n_converting": np.empty(0, np.int64),
+                 "rate": np.empty(0, np.float64)}
+            )
+        g = block.groupby("seq", sort=False).agg(
+            n_sessions=("conv", "size"), n_converting=("conv", "sum")
+        ).reset_index()
+        g["rate"] = np.round(
+            g["n_converting"].to_numpy(np.float64)
+            / g["n_sessions"].to_numpy(np.float64), 9
+        )
+        return g.astype({"n_sessions": np.int64, "n_converting": np.int64})
+
+    return map_copartitioned(
+        sess.map_batches(per_session, batch_format="pandas"), "seq", reduce_seq,
+        batch_format="pandas",
+    )
+
+
+def _q_type_token_ratio(sf_dir: str):
+    """Oracle-checked lexical diversity: distinct-token / token ratio per
+    doc (low TTR = repetitive boilerplate; the third leg of the repetition
+    family next to dup-2-gram fraction and char entropy). Map-only
+    factorize-per-doc kernel; empty docs emit no row."""
+    import re
+    from itertools import chain
+
+    import pandas as pd
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"], dense=True
+    )
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.findall(word_re)
+        n = toks.str.len().to_numpy(np.int64)
+        total = int(n.sum())
+        ids = batch["doc_id"].to_numpy(np.int64)
+        if total == 0:
+            return pd.DataFrame(
+                {"doc_id": np.empty(0, np.int64),
+                 "n_tokens": np.empty(0, np.int64),
+                 "n_types": np.empty(0, np.int64),
+                 "ttr": np.empty(0, np.float64)}
+            )
+        flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+        codes = pd.factorize(flat, use_na_sentinel=False)[0].astype(np.int64)
+        V = np.int64(codes.max() + 1)  # factorize codes are dense 0..V-1
+        # distinct (doc, token) pairs in one packed unique
+        upair = np.unique(doc_idx * V + codes)
+        types = np.bincount(upair // V, minlength=len(n)).astype(np.int64)
+        nz = n > 0
+        return pd.DataFrame(
+            {"doc_id": ids[nz], "n_tokens": n[nz], "n_types": types[nz],
+             "ttr": np.round(types[nz] / n[nz].astype(np.float64), 9)}
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def _q_segment_priority_chi2(sf_dir: str):
     """Oracle-checked chi-square contingency statistic: is order priority
     independent of customer market segment? (The data-quality test behind
@@ -3818,6 +3916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_customers": _q_active_customers,
         "entity_clusters": _q_entity_clusters,
         "segment_priority_chi2": _q_segment_priority_chi2,
+        "type_token_ratio": _q_type_token_ratio,
+        "session_conversion": _q_session_conversion,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5208,6 +5308,44 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "session_conversion": """
+            WITH flags AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, event_type,
+                     LEAST(CAST(sum(is_new) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT), 21) AS seq
+              FROM flags
+            ),
+            per AS (
+              SELECT user_id, seq,
+                     CAST(max(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS conv
+              FROM s GROUP BY user_id, seq
+            )
+            SELECT seq, CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(conv) AS BIGINT) AS n_converting,
+                   round(CAST(sum(conv) AS DOUBLE) / count(*), 9) AS rate
+            FROM per GROUP BY seq
+        """,
+        "type_token_ratio": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS toks
+              FROM documents
+            )
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 9) AS ttr
+            FROM t WHERE len(toks) > 0
         """,
         "segment_priority_chi2": """
             WITH cells AS (

@@ -169,6 +169,8 @@ HEADLINE = [
     "active_customers",
     "entity_clusters",
     "segment_priority_chi2",
+    "type_token_ratio",
+    "session_conversion",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
