@@ -2990,6 +2990,88 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_source_scorecard(sf_dir: str):
+    """Oracle-checked per-source quality scorecard: docs, token mass, mean
+    char entropy and mean type-token ratio in ONE map pass (all three
+    signals are map-only — no joins) + one source-keyed combiner exchange.
+    The curation dashboard that ranks sources before mixing. Means derive
+    from sums of the 9dp-rounded per-doc signals so both engines sum the
+    same multiset; empty docs are excluded from signal means but counted
+    in n_docs."""
+    import re
+    from itertools import chain
+
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+    from elasticsearch_minhash_ray.stages.text import char_entropy_values
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"], dense=True
+    )
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ent, nz = char_entropy_values(batch["text"])
+        toks = batch["text"].fillna("").str.findall(word_re)
+        n = toks.str.len().to_numpy(np.int64)
+        total = int(n.sum())
+        if total:
+            flat = np.fromiter(chain.from_iterable(toks), dtype=object, count=total)
+            codes = pd.factorize(flat, use_na_sentinel=False)[0].astype(np.int64)
+            V = np.int64(codes.max() + 1)
+            doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n)
+            upair = np.unique(doc_idx * V + codes)
+            types = np.bincount(upair // V, minlength=len(n)).astype(np.int64)
+        else:
+            types = np.zeros(len(n), np.int64)
+        ttr = np.zeros(len(n), np.float64)
+        tnz = n > 0
+        ttr[tnz] = np.round(types[tnz] / n[tnz].astype(np.float64), 9)
+        g = pd.DataFrame(
+            {"source": batch["source"], "n_tok": n,
+             "ent": np.where(nz, ent, 0.0), "has_ent": nz.astype(np.int64),
+             "ttr": ttr, "has_ttr": tnz.astype(np.int64)}
+        )
+        out = g.groupby("source", sort=False, as_index=False).agg(
+            n_docs=("n_tok", "size"), n_tokens=("n_tok", "sum"),
+            ent_sum=("ent", "sum"), ent_n=("has_ent", "sum"),
+            ttr_sum=("ttr", "sum"), ttr_n=("has_ttr", "sum"),
+        )
+        return out.astype({"n_docs": np.int64, "n_tokens": np.int64,
+                           "ent_n": np.int64, "ttr_n": np.int64})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"source": pd.Series([], dtype=object),
+                 "n_docs": pd.Series([], dtype=np.int64),
+                 "n_tokens": pd.Series([], dtype=np.int64),
+                 "mean_entropy": pd.Series([], dtype=np.float64),
+                 "mean_ttr": pd.Series([], dtype=np.float64)}
+            )
+        m = block.groupby("source", sort=False, as_index=False)[
+            ["n_docs", "n_tokens", "ent_sum", "ent_n", "ttr_sum", "ttr_n"]
+        ].sum()
+        out = pd.DataFrame(
+            {"source": m["source"],
+             "n_docs": m["n_docs"].astype(np.int64),
+             "n_tokens": m["n_tokens"].astype(np.int64),
+             "mean_entropy": np.round(
+                 m["ent_sum"].to_numpy(np.float64)
+                 / m["ent_n"].to_numpy(np.float64), 9),
+             "mean_ttr": np.round(
+                 m["ttr_sum"].to_numpy(np.float64)
+                 / m["ttr_n"].to_numpy(np.float64), 9)}
+        )
+        return out
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), "source", final,
+        batch_format="pandas",
+    )
+
+
 def _q_session_conversion(sf_dir: str):
     """Oracle-checked conversion by session ordinal: of each user's 1st,
     2nd, ... session, what fraction contains a purchase — do later sessions
@@ -3918,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_priority_chi2": _q_segment_priority_chi2,
         "type_token_ratio": _q_type_token_ratio,
         "session_conversion": _q_session_conversion,
+        "source_scorecard": _q_source_scorecard,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5308,6 +5391,46 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "source_scorecard": """
+            WITH ch AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(coalesce(text, ''), '')) AS c
+              FROM documents
+            ),
+            cc AS (
+              SELECT doc_id, c, count(*) AS cnt
+              FROM ch WHERE c <> '' GROUP BY doc_id, c
+            ),
+            eagg AS (
+              SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+                     sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS s
+              FROM cc GROUP BY doc_id
+            ),
+            ent AS (
+              SELECT doc_id, round(ln(CAST(n AS DOUBLE)) - s / n, 9) AS e
+              FROM eagg
+            ),
+            tk AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '[0-9A-Za-z_]+') AS toks
+              FROM documents
+            ),
+            ttr AS (
+              SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                     CASE WHEN len(toks) > 0 THEN
+                       round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / len(toks), 9) END AS r
+              FROM tk
+            )
+            SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(ttr.n_tok) AS BIGINT) AS n_tokens,
+                   round(sum(ent.e) / count(ent.e), 9) AS mean_entropy,
+                   round(sum(ttr.r) / count(ttr.r), 9) AS mean_ttr
+            FROM documents d
+            LEFT JOIN ent USING (doc_id)
+            LEFT JOIN ttr USING (doc_id)
+            GROUP BY d.source
         """,
         "session_conversion": """
             WITH flags AS (

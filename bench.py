@@ -171,6 +171,7 @@ HEADLINE = [
     "segment_priority_chi2",
     "type_token_ratio",
     "session_conversion",
+    "source_scorecard",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
