@@ -2990,6 +2990,33 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_late_ship_orders(sf_dir: str):
+    """Oracle-checked bloom-prefiltered EXACT semi-join: orders with any
+    lineitem shipped on/after 2001-09-01 (the corpus tail) — the key set comes from
+    the BIG lineitem table (too large to broadcast exactly at corpus
+    scale; its ~1.5 B/key bloom fits), the bloom drops definitively-
+    unmatched orders worker-side, and the surviving candidates confirm
+    through the exact native semi join — output identical to a plain
+    EXISTS at any FP rate (stages/join.py:bloom_semi_join)."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.join import bloom_semi_join
+
+    CUTOFF = np.datetime64("2001-09-01T00:00:00", "us")
+
+    def late(batch: pd.DataFrame) -> pd.DataFrame:
+        ts = batch["l_shipdate"].to_numpy().astype("datetime64[us]")
+        return batch[ts >= CUTOFF][["l_orderkey"]]
+
+    items = read_parquet_auto(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"], dense=True
+    ).map_batches(late, batch_format="pandas")
+    orders = read_parquet_auto(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"], dense=True
+    )
+    return bloom_semi_join(orders, items, "o_orderkey", "l_orderkey")
+
+
 def _q_source_scorecard(sf_dir: str):
     """Oracle-checked per-source quality scorecard: docs, token mass, mean
     char entropy and mean type-token ratio in ONE map pass (all three
@@ -4001,6 +4028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_token_ratio": _q_type_token_ratio,
         "session_conversion": _q_session_conversion,
         "source_scorecard": _q_source_scorecard,
+        "late_ship_orders": _q_late_ship_orders,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5390,6 +5418,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
+            )
+        """,
+        "late_ship_orders": """
+            SELECT o_orderkey, o_orderstatus FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate >= TIMESTAMP '2001-09-01'
             )
         """,
         "source_scorecard": """

@@ -172,6 +172,7 @@ HEADLINE = [
     "type_token_ratio",
     "session_conversion",
     "source_scorecard",
+    "late_ship_orders",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented

@@ -420,3 +420,64 @@ def range_join(
     from ..grouping import map_copartitioned
 
     return map_copartitioned(tagged, "_asof_by", join_block, batch_format="pyarrow")
+
+
+def bloom_semi_join(
+    big_ds,
+    keys_ds,
+    big_key: str,
+    right_key: str,
+    *,
+    bits_per_key: int = 12,
+    n_keys_hint: int | None = None,
+    num_partitions: int = 4,
+):
+    """EXACT semi-join of a big table against a key set TOO LARGE to
+    broadcast exactly but whose BLOOM fits (~1.5 B/key at 12 bits) —
+    sideways information passing: the bloom prefilter drops definitively-
+    unmatched big-side rows worker-side (no false negatives, so nothing
+    true is lost), and only the surviving candidates (matches + bloom FPs)
+    enter the exact native semi join. Output identical to a plain semi
+    join at ANY false-positive rate (pytest pins equality with a
+    deliberately undersized bloom); shuffle traffic ∝ candidates, not the
+    big table. Raw keys mix through splitmix64 before the bloom (small
+    sequential ints would otherwise set clustered bits)."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from ..stages.sketch import _hash64
+    from ..stages.text import bloom_add, bloom_params, bloom_query
+
+    def distinct_keys(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({right_key: batch[right_key].dropna().unique()})
+
+    keys_dd = keys_ds.map_batches(distinct_keys, batch_format="pandas")
+    n_keys = n_keys_hint if n_keys_hint is not None else keys_dd.count()
+    m_bits, k = bloom_params(max(1, n_keys), bits_per_key)
+    nbytes = m_bits // 8
+
+    def partial_bloom(batch: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(nbytes, np.uint8)
+        h = _hash64(batch[right_key].to_numpy(np.int64)).view(np.int64)
+        bloom_add(bits, h, m_bits, k)
+        return pd.DataFrame({"bloom": [bits.tobytes()]})
+
+    bits = np.zeros(nbytes, np.uint8)
+    for row in keys_dd.map_batches(partial_bloom, batch_format="pandas").take_all():
+        bits |= np.frombuffer(row["bloom"], np.uint8)
+    bloom_ref = ray.put(bits)
+
+    def prefilter(batch: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(bloom_ref)
+        h = _hash64(batch[big_key].to_numpy(np.int64)).view(np.int64)
+        return batch[bloom_query(b, h, m_bits, k)]
+
+    candidates = big_ds.map_batches(prefilter, batch_format="pandas")
+    return candidates.join(
+        keys_dd,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=(big_key,),
+        right_on=(right_key,),
+    )

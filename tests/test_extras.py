@@ -2600,3 +2600,21 @@ def test_cli_compact_partition_by(ray_session, tmp_path):
     assert dirs == ["g=x", "g=y"]
     n = sum(pq.read_table(f).num_rows for d in out.iterdir() for f in d.glob("*.parquet"))
     assert n == 20
+
+
+def test_bloom_semi_join_exact_at_any_fp(ray_session):
+    """A deliberately undersized bloom (high FP) still produces EXACTLY the
+    plain semi-join output — the prefilter can only pass extra candidates,
+    never drop true matches."""
+    from elasticsearch_minhash_ray.stages.join import bloom_semi_join
+
+    big = rd.from_items([{"k": i, "payload": i * 2} for i in range(500)])
+    keys = rd.from_items([{"rk": i} for i in range(0, 500, 7)])
+    exact = sorted(
+        bloom_semi_join(big, keys, "k", "rk").to_pandas()["k"]
+    )
+    tiny = sorted(
+        bloom_semi_join(big, keys, "k", "rk", bits_per_key=1, n_keys_hint=1)
+        .to_pandas()["k"]
+    )
+    assert exact == tiny == list(range(0, 500, 7))
