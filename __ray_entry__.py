@@ -2990,6 +2990,54 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_source_gini(sf_dir: str):
+    """Oracle-checked corpus-concentration report: Gini coefficient of
+    token mass across sources (0 = evenly spread, →1 = one source
+    dominates — the mixture-health number next to mix_to_weights). Exact
+    integer per-source masses through one combiner exchange; the sorted
+    Gini formula G = (2·Σ i·x_i)/(n·Σx) − (n+1)/n runs over the
+    driver-tiny source table with a deterministic (mass, source) order and
+    exact-int accumulators — one float division pair at the end."""
+    import re
+
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"], dense=True
+    )
+    word_re = re.compile(r"[0-9A-Za-z_]+")
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame(
+            {"source": batch["source"],
+             "n": batch["text"].fillna("").str.count(word_re).to_numpy(np.int64)}
+        )
+        return g.groupby("source", sort=False, as_index=False)["n"].sum()
+
+    def merge(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return block
+        return block.groupby("source", sort=False, as_index=False)["n"].sum()
+
+    masses = map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), "source", merge,
+        batch_format="pandas",
+    ).to_pandas()  # driver-tiny: one row per source
+    masses = masses.sort_values(["n", "source"]).reset_index(drop=True)
+    x = masses["n"].to_numpy(np.int64)
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int((i * x).sum())  # exact BIGINT
+    tot = int(x.sum())
+    gini = round(2.0 * num / (n * float(tot)) - (n + 1) / float(n), 9)
+    return pd.DataFrame(
+        {"n_sources": [np.int64(n)], "total_tokens": [np.int64(tot)],
+         "gini": [gini]}
+    )
+
+
 def _q_late_ship_orders(sf_dir: str):
     """Oracle-checked bloom-prefiltered EXACT semi-join: orders with any
     lineitem shipped on/after 2001-09-01 (the corpus tail) — the key set comes from
@@ -4029,6 +4077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_conversion": _q_session_conversion,
         "source_scorecard": _q_source_scorecard,
         "late_ship_orders": _q_late_ship_orders,
+        "source_gini": _q_source_gini,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5419,6 +5468,23 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "source_gini": """
+            WITH m AS (
+              SELECT source,
+                     CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                          '[0-9A-Za-z_]+'))) AS BIGINT) AS n
+              FROM documents GROUP BY source
+            ),
+            r AS (
+              SELECT n, row_number() OVER (ORDER BY n, source) AS i FROM m
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                   CAST(sum(n) AS BIGINT) AS total_tokens,
+                   round(2.0 * CAST(sum(i * n) AS DOUBLE)
+                         / (count(*) * CAST(sum(n) AS DOUBLE))
+                         - (count(*) + 1) / CAST(count(*) AS DOUBLE), 9) AS gini
+            FROM r
         """,
         "late_ship_orders": """
             SELECT o_orderkey, o_orderstatus FROM orders o

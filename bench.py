@@ -173,6 +173,7 @@ HEADLINE = [
     "session_conversion",
     "source_scorecard",
     "late_ship_orders",
+    "source_gini",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
