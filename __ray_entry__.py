@@ -2990,6 +2990,36 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_interarrival_quantiles(sf_dir: str):
+    """Oracle-checked inter-arrival latency profile: exact p50/p90/p99 of
+    per-user gaps (microseconds) grouped by event type — the
+    tail-latency-style analytic over behavioral streams. Composes the LAG
+    kernel (one user exchange, stages/window.py:lag_diff) with the exact
+    quantile histogram combiner (stages/text.py:column_quantiles); first
+    events per user have no gap and are excluded on both engines."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.text import column_quantiles
+    from elasticsearch_minhash_ray.stages.window import lag_diff
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    gaps = lag_diff(
+        ds, "user_id", ["ts", "event_id"], "ts",
+        out_col="gap_us", fill=-1, keep_cols=["event_type"],
+    )
+
+    def drop_first(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch[batch["gap_us"] >= 0][["event_type", "gap_us"]]
+
+    return column_quantiles(
+        gaps.map_batches(drop_first, batch_format="pandas"),
+        col="gap_us", by="event_type", qs=(0.5, 0.9, 0.99),
+    )
+
+
 def _q_source_gini(sf_dir: str):
     """Oracle-checked corpus-concentration report: Gini coefficient of
     token mass across sources (0 = evenly spread, →1 = one source
@@ -4078,6 +4108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_scorecard": _q_source_scorecard,
         "late_ship_orders": _q_late_ship_orders,
         "source_gini": _q_source_gini,
+        "interarrival_quantiles": _q_interarrival_quantiles,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5468,6 +5499,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "interarrival_quantiles": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+              FROM events
+            ),
+            gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+            cd AS (
+              SELECT event_type, gap_us AS v,
+                     cume_dist() OVER (PARTITION BY event_type
+                                       ORDER BY gap_us) AS cd
+              FROM gg
+            ),
+            qs AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q),
+            counts AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+              FROM gg GROUP BY event_type
+            )
+            SELECT cd.event_type, qs.q, min(cd.v) AS value, counts.n_rows
+            FROM cd CROSS JOIN qs JOIN counts USING (event_type)
+            WHERE cd.cd >= qs.q
+            GROUP BY cd.event_type, qs.q, counts.n_rows
         """,
         "source_gini": """
             WITH m AS (
