@@ -2990,6 +2990,58 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_user_burstiness(sf_dir: str):
+    """Oracle-checked activity burstiness: per user, the Fano factor
+    (variance/mean) of daily event counts over the user's OBSERVED active
+    days — bots pace evenly (F→0 as counts equalize), humans burst. Exact
+    BIGINT sufficient statistics (k days, Σc, Σc²) through one (user, day)
+    count combiner + user exchange; F = (k·Σc² − (Σc)²)/(k·Σc) is a single
+    float divide of exact integers — bit-exact, no tolerance."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.grouping import map_copartitioned
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    DAY = np.int64(86_400_000_000)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        us = batch["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        g = pd.DataFrame({"user_id": batch["user_id"], "day": us // DAY})
+        out = g.groupby(["user_id", "day"], sort=False, as_index=False).size()
+        return out.rename(columns={"size": "cnt"}).astype({"cnt": np.int64})
+
+    def final(block: pd.DataFrame) -> pd.DataFrame:
+        if not len(block):
+            return pd.DataFrame(
+                {"user_id": np.empty(0, np.int64),
+                 "n_days": np.empty(0, np.int64),
+                 "n_events": np.empty(0, np.int64),
+                 "fano": np.empty(0, np.float64)}
+            )
+        m = block.groupby(["user_id", "day"], sort=False, as_index=False)["cnt"].sum()
+        m["cc"] = m["cnt"] * m["cnt"]
+        g = m.groupby("user_id", sort=False).agg(
+            n_days=("cnt", "size"), n_events=("cnt", "sum"), ss=("cc", "sum")
+        ).reset_index()
+        k = g["n_days"].to_numpy(np.int64)
+        s = g["n_events"].to_numpy(np.int64)
+        ss = g["ss"].to_numpy(np.int64)
+        fano = np.round(
+            (k * ss - s * s).astype(np.float64) / (k * s).astype(np.float64), 9
+        )
+        return pd.DataFrame(
+            {"user_id": g["user_id"].to_numpy(np.int64),
+             "n_days": k, "n_events": s, "fano": fano}
+        )
+
+    return map_copartitioned(
+        ds.map_batches(partial, batch_format="pandas"), "user_id", final,
+        batch_format="pandas",
+    )
+
+
 def _q_interarrival_quantiles(sf_dir: str):
     """Oracle-checked inter-arrival latency profile: exact p50/p90/p99 of
     per-user gaps (microseconds) grouped by event type — the
@@ -4109,6 +4161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_ship_orders": _q_late_ship_orders,
         "source_gini": _q_source_gini,
         "interarrival_quantiles": _q_interarrival_quantiles,
+        "user_burstiness": _q_user_burstiness,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5499,6 +5552,23 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "user_burstiness": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM events GROUP BY user_id, day
+            ),
+            g AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(cnt) AS BIGINT) AS n_events,
+                     CAST(sum(cnt * cnt) AS BIGINT) AS ss
+              FROM d GROUP BY user_id
+            )
+            SELECT user_id, n_days, n_events,
+                   round(CAST(n_days * ss - n_events * n_events AS DOUBLE)
+                         / CAST(n_days * n_events AS DOUBLE), 9) AS fano
+            FROM g
         """,
         "interarrival_quantiles": """
             WITH g AS (
