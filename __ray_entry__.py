@@ -2990,6 +2990,69 @@ def _q_active_customers(sf_dir: str):
     )
 
 
+def _q_session_basket_lift(sf_dir: str):
+    """Oracle-checked market-basket analysis over sessions: for every pair
+    of event types, the lift P(a,b)/(P(a)·P(b)) across (user, session)
+    baskets — do errors co-occur with purchases more than chance? Sessions
+    come from the sessionize kernel; distinct (basket, type) rows reduce in
+    the already-user-co-located blocks; the pair/type counts are basket-
+    bounded (types² tiny), so lift = (c_ab·N)/(c_a·c_b) computes on the
+    driver from exact BIGINTs with one float divide — bit-exact."""
+    import pandas as pd
+
+    from elasticsearch_minhash_ray.stages.window import sessionize
+
+    ds = read_parquet_auto(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    sess = sessionize(
+        ds, "user_id", "ts", "event_id", gap_us=1_800_000_000,
+        keep_cols=["event_type"],
+    )
+
+    def per_basket(batch: pd.DataFrame) -> pd.DataFrame:
+        # sessionize output blocks hold whole users -> whole baskets;
+        # pairs via a vectorized self-merge on the basket key (types per
+        # basket are tiny, so the join fan-out is bounded)
+        b = batch[["user_id", "session_seq", "event_type"]].drop_duplicates()
+        n_baskets = len(b[["user_id", "session_seq"]].drop_duplicates())
+        ones = b.groupby("event_type", sort=False, as_index=False).size()
+        ones = pd.DataFrame({"ta": ones["event_type"], "tb": "",
+                             "cnt": ones["size"].astype(np.int64)})
+        m = b.merge(b, on=["user_id", "session_seq"])
+        m = m[m["event_type_x"] < m["event_type_y"]]
+        pr = m.groupby(["event_type_x", "event_type_y"], sort=False,
+                       as_index=False).size()
+        pr = pd.DataFrame({"ta": pr["event_type_x"], "tb": pr["event_type_y"],
+                           "cnt": pr["size"].astype(np.int64)})
+        marker = pd.DataFrame({"ta": ["\x00__n__"], "tb": [""],
+                               "cnt": [np.int64(n_baskets)]})
+        return pd.concat([ones, pr, marker], ignore_index=True)
+
+    parts = sess.map_batches(per_basket, batch_format="pandas").to_pandas()
+    is_n = parts["ta"] == "\x00__n__"
+    n_total = int(parts.loc[is_n, "cnt"].sum())
+    counts = parts[~is_n].groupby(["ta", "tb"], sort=True, as_index=False)["cnt"].sum()
+    singles = dict(
+        zip(counts.loc[counts["tb"] == "", "ta"],
+            counts.loc[counts["tb"] == "", "cnt"])
+    )
+    pairs = counts[counts["tb"] != ""]
+    lift = np.round(
+        (pairs["cnt"].to_numpy(np.int64) * np.int64(n_total)).astype(np.float64)
+        / (pairs["ta"].map(singles).to_numpy(np.int64)
+           * pairs["tb"].map(singles).to_numpy(np.int64)).astype(np.float64),
+        9,
+    )
+    return pd.DataFrame(
+        {"type_a": pairs["ta"].to_numpy(object),
+         "type_b": pairs["tb"].to_numpy(object),
+         "n_both": pairs["cnt"].to_numpy(np.int64),
+         "lift": lift}
+    )
+
+
 def _q_user_burstiness(sf_dir: str):
     """Oracle-checked activity burstiness: per user, the Fano factor
     (variance/mean) of daily event counts over the user's OBSERVED active
@@ -4162,6 +4225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_gini": _q_source_gini,
         "interarrival_quantiles": _q_interarrival_quantiles,
         "user_burstiness": _q_user_burstiness,
+        "session_basket_lift": _q_session_basket_lift,
         "dominant_lang_by_source": _q_dominant_lang_by_source,
         "sessionize": _q_sessionize,
         "name_near_match": _q_name_near_match,
@@ -5552,6 +5616,45 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT'
             )
+        """,
+        "session_basket_lift": """
+            WITH flags AS (
+              SELECT user_id, event_type, ts, event_id,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, event_type,
+                     CAST(sum(is_new) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+              FROM flags
+            ),
+            b AS (SELECT DISTINCT user_id, seq, event_type FROM s),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n
+                  FROM (SELECT DISTINCT user_id, seq FROM b)),
+            singles AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS c
+              FROM b GROUP BY event_type
+            ),
+            pairs AS (
+              SELECT x.event_type AS type_a, y.event_type AS type_b,
+                     CAST(count(*) AS BIGINT) AS n_both
+              FROM b x JOIN b y
+                ON x.user_id = y.user_id AND x.seq = y.seq
+               AND x.event_type < y.event_type
+              GROUP BY 1, 2
+            )
+            SELECT p.type_a, p.type_b, p.n_both,
+                   round(CAST(p.n_both * n.n AS DOUBLE)
+                         / CAST(sa.c * sb.c AS DOUBLE), 9) AS lift
+            FROM pairs p
+            CROSS JOIN n
+            JOIN singles sa ON sa.event_type = p.type_a
+            JOIN singles sb ON sb.event_type = p.type_b
         """,
         "user_burstiness": """
             WITH d AS (

@@ -176,6 +176,7 @@ HEADLINE = [
     "source_gini",
     "interarrival_quantiles",
     "user_burstiness",
+    "session_basket_lift",
     # NOT listed: cluster_split / cluster_stats / ngram_jaccard_cc — each
     # re-runs the full jaccard-verify CC pipeline (11+ s at sf0.1, dominated
     # by shingle-set band rows); the family's cost is already represented
